@@ -1,0 +1,352 @@
+package graft.queries
+
+import graft.dsl.Ksql
+import graft.plans.Planner
+import graft.sources.TestEntities._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Relational core of SURVEY §2.1-§2.2: From/Where/Select/GroupBy/Having/
+  * Join(inner+left)/OrderBy/Limit plus the aggregate set. Every query is
+  * planned through the graft DSL → Planner (not ad-hoc DataFrame code),
+  * so the driver's correctness gate exercises the same path a library
+  * user would.
+  */
+object RelationalQueries extends QueryPack {
+
+  /** Order-independent SUM over doubles: through DECIMAL(18,2), back to
+    * DOUBLE (exact at the testdata's 2-decimal precision).
+    */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Where + scalar projection + arithmetic (WhereExpressionVisitor /
+    // SelectExpressionVisitor semantics)
+    "q_filter_project" -> { (s, dir) =>
+      Planner.batch(
+        Ksql
+          .from(lineitem)
+          .where(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .where(col("l_discount") > 0.05)
+          .select(
+            col("l_orderkey"),
+            col("l_linenumber"),
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_price")
+          )
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+          .build(),
+        catalog(s, dir)
+      )
+    },
+
+    // TPC-H Q1 shape: composite GROUP BY + SUM/AVG/COUNT/MIN/MAX
+    "q_groupby_agg" -> { (s, dir) =>
+      Planner.batch(
+        Ksql
+          .from(lineitem)
+          .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .groupBy(
+            "l_returnflag" -> col("l_returnflag"),
+            "l_linestatus" -> col("l_linestatus")
+          )
+          .select(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .cast(DecimalType(28, 10))).cast("double").as("sum_disc_price"),
+            (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+            min(col("l_quantity")).as("min_qty"),
+            max(col("l_quantity")).as("max_qty"),
+            count(lit(1)).as("count_order")
+          )
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+          .build(),
+        catalog(s, dir)
+      )
+    },
+
+    // INNER equi-join (JoinExpressionVisitor; INNER+LEFT only)
+    "q_join_inner" -> { (s, dir) =>
+      Planner.batch(
+        Ksql
+          .from(orders)
+          .join(customer, col("orders.o_custkey") === col("customer.c_custkey"))
+          .where(col("customer.c_mktsegment") === "BUILDING")
+          .select(
+            col("o_orderkey"),
+            col("c_name"),
+            col("o_totalprice")
+          )
+          .orderBy(col("o_orderkey"))
+          .build(),
+        catalog(s, dir)
+      )
+    },
+
+    // LEFT OUTER join + grouped aggregation over the nullable side
+    "q_join_left_agg" -> { (s, dir) =>
+      Planner.batch(
+        Ksql
+          .from(customer)
+          .leftJoin(orders, col("customer.c_custkey") === col("orders.o_custkey"))
+          .groupBy("c_custkey" -> col("c_custkey"))
+          .select(
+            count(col("o_orderkey")).as("order_cnt"),
+            dsum(col("o_totalprice")).as("total_spent")
+          )
+          .orderBy(col("c_custkey"))
+          .build(),
+        catalog(s, dir)
+      )
+    },
+
+    // HAVING (post-aggregation filter on output aliases)
+    "q_having" -> { (s, dir) =>
+      Planner.batch(
+        Ksql
+          .from(orders)
+          .groupBy("o_custkey" -> col("o_custkey"))
+          .having(col("total_spent") > 500000.0)
+          .select(
+            dsum(col("o_totalprice")).as("total_spent"),
+            count(lit(1)).as("order_cnt")
+          )
+          .orderBy(col("o_custkey"))
+          .build(),
+        catalog(s, dir)
+      )
+    },
+
+    // Pull-query ORDER BY + LIMIT (DMLQueryGenerator pull path)
+    "q_orderby_limit" -> { (s, dir) =>
+      Planner.batch(
+        Ksql
+          .from(orders)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(10)
+          .build(),
+        catalog(s, dir)
+      )
+    },
+
+    // CASE WHEN (C# ternary), IN / NOT IN, NULLIF/COALESCE, IS NULL
+    "q_case_in_null" -> { (s, dir) =>
+      Planner.batch(
+        Ksql
+          .from(part)
+          .select(
+            col("p_partkey"),
+            when(col("p_size") < 10, "small")
+              .when(col("p_size") < 30, "medium")
+              .otherwise("large")
+              .as("size_class"),
+            col("p_brand").isin("Brand#1", "Brand#2").as("is_top_brand"),
+            (!col("p_type").isin("a", "b")).as("not_in_demo"),
+            coalesce(nullif(col("p_brand"), lit("Brand#1")), lit("OTHER"))
+              .as("brand_or_other"),
+            nullif(col("p_brand"), lit("Brand#1")).isNull.as("was_brand1")
+          )
+          .orderBy(col("p_partkey"))
+          .build(),
+        catalog(s, dir)
+      )
+    },
+
+    // composite GROUP BY on expressions (functions in keys —
+    // AllowedInGroupBy set: SUBSTRING/ROUND/YEAR...)
+    "q_groupby_expr_keys" -> { (s, dir) =>
+      Planner.batch(
+        Ksql
+          .from(orders)
+          .groupBy(
+            "order_year" -> year(col("o_orderdate")),
+            "status_prefix" -> substring(col("o_orderstatus"), 1, 1)
+          )
+          .select(
+            count(lit(1)).as("cnt"),
+            dsum(col("o_totalprice")).as("total")
+          )
+          .orderBy(col("order_year"), col("status_prefix"))
+          .build(),
+        catalog(s, dir)
+      )
+    },
+
+    // LATEST/EARLIEST_BY_OFFSET → max_by/min_by over the offset order
+    // (event_id is the append order), COUNT_DISTINCT, COLLECT_LIST/SET
+    "q_agg_offsets" -> { (s, dir) =>
+      Planner.batch(
+        Ksql
+          .from(events)
+          .groupBy("event_type" -> col("event_type"))
+          .select(
+            min_by(col("value"), col("event_id")).as("earliest_value"),
+            max_by(col("value"), col("event_id")).as("latest_value"),
+            count_distinct(col("user_id")).as("uniq_users"),
+            count(lit(1)).as("cnt")
+          )
+          .orderBy(col("event_type"))
+          .build(),
+        catalog(s, dir)
+      )
+    },
+
+    // COLLECT_LIST / COLLECT_SET (sorted for deterministic compare)
+    "q_collect" -> { (s, dir) =>
+      Planner.batch(
+        Ksql
+          .from(lineitem)
+          .where(col("l_orderkey") < 100)
+          .groupBy("l_orderkey" -> col("l_orderkey"))
+          .select(
+            sort_array(collect_list(col("l_linenumber"))).as("line_nums"),
+            sort_array(collect_set(col("l_returnflag"))).as("flags")
+          )
+          .orderBy(col("l_orderkey"))
+          .build(),
+        catalog(s, dir)
+      )
+    },
+
+    // TOPK / TOPKDISTINCT (composite built-ins, KFunctions.topK)
+    "q_topk" -> { (s, dir) =>
+      Planner.batch(
+        Ksql
+          .from(events)
+          .groupBy("event_type" -> col("event_type"))
+          .select(
+            graft.functions.KFunctions.topK(col("value"), 3).as("top3"),
+            graft.functions.KFunctions.topKDistinct(col("user_id"), 3).as("top3_users")
+          )
+          .orderBy(col("event_type"))
+          .build(),
+        catalog(s, dir)
+      )
+    },
+
+    // HISTOGRAM: value→count as sorted entry structs (map emitted as
+    // deterministic entries; KFunctions.histogramEntries for the MAP form)
+    "q_histogram" -> { (s, dir) =>
+      val buckets = Planner.batch(
+        Ksql
+          .from(events)
+          .groupBy(
+            "event_type" -> col("event_type"),
+            "bucket" -> (floor(col("value") / 50) * 50).cast("long")
+          )
+          .select(count(lit(1)).as("cnt"))
+          .build(),
+        catalog(s, dir)
+      )
+      buckets
+        .groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("bucket"), col("cnt")))).as("hist"))
+        .orderBy(col("event_type"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       l_extendedprice * (1 - l_discount) AS net_price
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1998-01-01' AND l_discount > 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_groupby_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |       MIN(l_quantity) AS min_qty,
+        |       MAX(l_quantity) AS max_qty,
+        |       COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_join_inner" ->
+      """SELECT o_orderkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_join_left_agg" ->
+      """SELECT c_custkey,
+        |       COUNT(o_orderkey) AS order_cnt,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey
+        |ORDER BY c_custkey""".stripMargin,
+    "q_having" ->
+      """SELECT o_custkey,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
+        |       COUNT(*) AS order_cnt
+        |FROM orders
+        |GROUP BY o_custkey
+        |HAVING CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) > 500000.0
+        |ORDER BY o_custkey""".stripMargin,
+    "q_orderby_limit" ->
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+    "q_case_in_null" ->
+      """SELECT p_partkey,
+        |       CASE WHEN p_size < 10 THEN 'small'
+        |            WHEN p_size < 30 THEN 'medium'
+        |            ELSE 'large' END AS size_class,
+        |       p_brand IN ('Brand#1','Brand#2') AS is_top_brand,
+        |       p_type NOT IN ('a','b') AS not_in_demo,
+        |       COALESCE(NULLIF(p_brand,'Brand#1'),'OTHER') AS brand_or_other,
+        |       NULLIF(p_brand,'Brand#1') IS NULL AS was_brand1
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
+    "q_groupby_expr_keys" ->
+      """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
+        |       SUBSTRING(o_orderstatus, 1, 1) AS status_prefix,
+        |       COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY 1, 2
+        |ORDER BY order_year, status_prefix""".stripMargin,
+    "q_agg_offsets" ->
+      """SELECT event_type,
+        |       ARG_MIN(value, event_id) AS earliest_value,
+        |       ARG_MAX(value, event_id) AS latest_value,
+        |       COUNT(DISTINCT user_id) AS uniq_users,
+        |       COUNT(*) AS cnt
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q_collect" ->
+      """SELECT l_orderkey,
+        |       LIST_SORT(LIST(l_linenumber)) AS line_nums,
+        |       LIST_SORT(LIST(DISTINCT l_returnflag)) AS flags
+        |FROM lineitem
+        |WHERE l_orderkey < 100
+        |GROUP BY l_orderkey
+        |ORDER BY l_orderkey""".stripMargin,
+    "q_topk" ->
+      """SELECT event_type,
+        |       LIST_SORT(LIST(value), 'DESC')[1:3] AS top3,
+        |       LIST_SORT(LIST(DISTINCT user_id), 'DESC')[1:3] AS top3_users
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q_histogram" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |         CAST(FLOOR(value / 50) * 50 AS BIGINT) AS bucket,
+        |         COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type,
+        |       LIST_SORT(LIST({'bucket': bucket, 'cnt': cnt})) AS hist
+        |FROM b GROUP BY event_type
+        |ORDER BY event_type""".stripMargin
+  )
+
+  private def catalog(s: SparkSession, dir: String) =
+    graft.sources.TestEntities.catalog(s, dir)
+}

@@ -1,0 +1,38 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Batch source registry over a testdata scale-factor directory
+  * (`/root/testdata/sf*` — parquet per table, see TESTDATA.md).
+  *
+  * This plays the role of the reference's topic-backed sources
+  * (`CREATE STREAM/TABLE ... WITH (kafka_topic=...)`,
+  * `/root/reference/src/Query/Pipeline/DDLQueryGenerator.cs:78,120`):
+  * a named, schema-carrying handle the planner reads from. Reads are
+  * plain `spark.read.parquet` so Catalyst keeps pushdown/pruning.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings"
+  )
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+      // reader rejects; read the raw INT64 nanos and truncate to micros —
+      // the same ns→µs truncation DuckDB applies, so oracles agree.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read
+        .parquet(s"$dir/$name.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every table as a temp view so both the DataFrame DSL and
+    * `spark.sql` address the same names the DuckDB oracle uses.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach { n =>
+      load(spark, dir, n).createOrReplaceTempView(n)
+    }
+}

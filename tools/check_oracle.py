@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Local pre-flight for the driver's correctness gate.
+
+Runs each oracle SQL from <outdir>/oracle_sql.json in DuckDB over the
+testdata parquet tables, loads the Spark result parquet from
+<outdir>/<name>/, and compares (columns sorted by name, rows sorted,
+values normalized). Usage:
+
+    python3 tools/check_oracle.py <sfdir> <outdir> [query ...]
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return float(round(v, 9))
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    if isinstance(v, dict):
+        return tuple((k, norm(v[k])) for k in sorted(v))
+    return v
+
+
+def canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm(r[i]) for i in order) for r in rows]
+    return [cols[i] for i in order], sorted(out, key=repr)
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    failed = []
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        try:
+            spark_rel = con.sql(
+                f"SELECT * FROM '{outdir}/{name}/*.parquet'")
+            scols, srows = spark_rel.columns, spark_rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: spark result unreadable: {e}")
+            failed.append(name)
+            continue
+        try:
+            ducks = con.sql(sql)
+            dcols, drows = ducks.columns, ducks.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            failed.append(name)
+            continue
+        sc, sr = canon(scols, srows)
+        dc, dr = canon(dcols, drows)
+        if sc != dc:
+            print(f"FAIL {name}: columns spark={sc} duck={dc}")
+            failed.append(name)
+            continue
+        if len(sr) != len(dr):
+            print(f"FAIL {name}: rowcount spark={len(sr)} duck={len(dr)}")
+            failed.append(name)
+            continue
+        bad = [(a, b) for a, b in zip(sr, dr) if a != b]
+        if bad:
+            print(f"FAIL {name}: {len(bad)}/{len(sr)} rows differ; first:")
+            print(f"   cols:  {sc}")
+            print(f"   spark: {bad[0][0]}")
+            print(f"   duck:  {bad[0][1]}")
+            failed.append(name)
+        else:
+            print(f"OK   {name} ({len(sr)} rows)")
+    print(f"\n{len(oracle) - len(failed)}/{len(oracle)} OK")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
