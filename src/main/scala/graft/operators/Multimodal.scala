@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Multimodal (image/audio/video) column plumbing.
+  *
+  * Media payloads are opaque `BinaryType` columns with a typed metadata
+  * struct alongside — the layout a 100 TB multimodal corpus needs:
+  * payloads stay out of every shuffle (metadata-only projections prune
+  * them at the parquet scan), and decode runs partition-local.
+  *
+  * The decode kernel itself is STUBBED (`decodeStub`): this container
+  * ships no image/audio codecs, so the stub derives deterministic fake
+  * features from the bytes (size, sha-derived dims). The Spark-side
+  * contract — schema, batch shape, partition-local execution via
+  * `mapPartitions`, metadata pruning — is real and is what the tests
+  * cover. Swap `decodeStub` for a JNI/FFmpeg/Pillow-equivalent kernel
+  * (or a Python `mapInPandas` stage in PySpark) without touching the
+  * plan shape.
+  */
+object Multimodal {
+
+  val metadataType: StructType = StructType(Seq(
+    StructField("media_type", StringType),
+    StructField("byte_len", LongType),
+    StructField("sha256", StringType)
+  ))
+
+  val featureType: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("brightness", DoubleType)
+  ))
+
+  /** Wrap a binary column with its typed metadata struct. */
+  def withMetadata(df: DataFrame, payloadCol: String, mediaType: String): DataFrame =
+    df.withColumn(
+      "media_meta",
+      struct(
+        lit(mediaType).as("media_type"),
+        length(col(payloadCol)).cast("long").as("byte_len"),
+        sha2(col(payloadCol), 256).as("sha256")
+      )
+    )
+
+  /** Deterministic fake decode: features derived from payload bytes.
+    * STUB — replace with a real codec kernel; signature and batch shape
+    * are the real contract.
+    */
+  def decodeStub(payload: Array[Byte]): (Int, Int, Int, Double) = {
+    val h = java.security.MessageDigest.getInstance("SHA-256").digest(payload)
+    def u(i: Int): Int = h(i) & 0xff
+    val width = 64 + (u(0) * 256 + u(1)) % 1984   // 64..2047
+    val height = 64 + (u(2) * 256 + u(3)) % 1984
+    val frames = 1 + u(4) % 64
+    val brightness = (u(5) * 256 + u(6)).toDouble / 65535.0
+    (width, height, frames, brightness)
+  }
+
+  /** Partition-local decode/feature-extract over the payload column —
+    * the Scala analog of a Pandas-UDF `mapInPandas` stage: rows are
+    * processed in partition batches, no shuffle, payload never leaves
+    * the executor.
+    */
+  def decodeFeatures(df: DataFrame, payloadCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField("features", featureType))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        val (w, h, f, b) = decodeStub(bytes)
+        Row.fromSeq(r.toSeq :+ Row(w, h, f, b))
+      }
+    }(enc)
+  }
+
+  /** Frame sampling plan for video payloads: expand to (frame_idx, ts)
+    * rows WITHOUT duplicating the payload — downstream per-frame decode
+    * re-reads the payload column once per partition, not per frame.
+    */
+  def sampleFrames(df: DataFrame, nFramesCol: String, everyNth: Int): DataFrame =
+    df.withColumn(
+      "frame_idx",
+      explode(expr(s"sequence(0, greatest($nFramesCol - 1, 0), $everyNth)"))
+    )
+}

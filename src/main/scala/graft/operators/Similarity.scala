@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`).
+  *
+  * Two paths, per SURVEY §7.2 item 10:
+  *   - [[bruteForceTopK]] — exact baseline: broadcast the (small) query
+  *     set against the corpus, one pass, no shuffle of the corpus.
+  *   - [[lshTopK]] — scale path: sign-LSH bucketing first, so each
+  *     corpus row joins only its bucket's queries. At 100 TB the
+  *     bucket join replaces the queries×corpus blow-up with a
+  *     shuffle keyed by bucket id; recall is tuned by `planeDims`
+  *     (more planes → smaller buckets → faster, lower recall).
+  */
+object Similarity {
+
+  /** Cosine similarity between two float-array columns, computed in
+    * double precision. Pure `zip_with`/`aggregate` column expressions —
+    * codegen'd, no UDF, deterministic accumulation order.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(
+        zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0),
+        (acc, v) => acc + v
+      )
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Exact top-k neighbors for each query vector. The query set is
+    * expected to be small (it is broadcast); the corpus is scanned once
+    * and never shuffled — the window ranks within each query's
+    * partition.
+    */
+  def bruteForceTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val scored = corpus
+      .join(broadcast(q), col("query_id") =!= col(idCol))
+      .select(
+        col("query_id"),
+        col(idCol).as("neighbor_id"),
+        // round before ranking so rank order is stable across engines
+        round(cosine(col("qvec"), col(vecCol)), 6).as("cos")
+      )
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Sign-LSH bucket id: one bit per leading dimension's sign (the
+    * coordinate hyperplanes as a cheap random-projection family). A
+    * corpus-side column, so bucketing is a narrow map — the only
+    * shuffle is the bucket-keyed candidate join.
+    */
+  def signBucket(vecCol: Column, planeDims: Int = 8): Column =
+    // MSB-first binary fold: bucket = Σ sign_bit(dim_i) · 2^(planeDims-1-i)
+    aggregate(
+      slice(vecCol, 1, planeDims),
+      lit(0L),
+      (acc, v) => acc * 2 + when(v > lit(0f), 1L).otherwise(0L)
+    )
+
+  /** Bucketed ANN: rank only within the query's sign bucket. */
+  def lshTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      planeDims: Int = 8
+  ): DataFrame = {
+    val q = queries.select(
+      col(idCol).as("query_id"),
+      col(vecCol).as("qvec"),
+      signBucket(col(vecCol), planeDims).as("bucket")
+    )
+    val c = corpus.select(
+      col(idCol),
+      col(vecCol),
+      signBucket(col(vecCol), planeDims).as("bucket")
+    )
+    val scored = c
+      .join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col(idCol))
+      .select(
+        col("query_id"),
+        col(idCol).as("neighbor_id"),
+        round(cosine(col("qvec"), col(vecCol)), 6).as("cos")
+      )
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

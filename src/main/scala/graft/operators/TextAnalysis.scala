@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Text-analysis operators for training-data curation: language ID,
+  * quality scoring, token counting, document fingerprinting. All are
+  * narrow per-row column expressions (no shuffle, no UDF) — at 100 TB
+  * they run at parquet-scan speed inside whole-stage codegen.
+  */
+object TextAnalysis {
+
+  /** Language-ID by stopword-marker voting: count hits from small
+    * per-language marker sets over the token array and take the argmax
+    * (deterministic tie-break by language code order). The classic
+    * n-gram/stopword heuristic — replace marker sets per corpus.
+    */
+  val markers: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "und", "nicht", "das"),
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "es" -> Seq("el", "la", "los", "que", "y"),
+    "fr" -> Seq("le", "la", "les", "et", "des"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2")
+  )
+
+  def markerHits(toks: Column, words: Seq[String]): Column =
+    size(array_intersect(toks, array(words.map(lit): _*)))
+
+  def langId(textCol: Column): Column = {
+    val toks = array_distinct(split(textCol, " "))
+    // greatest-of-structs argmax: (hits, lang) pairs, tie-break on the
+    // lexicographically LARGEST language code — deterministic both ways
+    val scored = markers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(markerHits(toks, words).as("hits"), lit(lang).as("lang"))
+    }
+    greatest(scored: _*).getField("lang")
+  }
+
+  /** Heuristic quality score ∈ [0,1]: word-length sanity, stopword
+    * presence, alpha ratio, length band (the length/punct/stopword
+    * ratio recipe).
+    */
+  def qualityScore(textCol: Column): Column = {
+    val toks = split(textCol, " ")
+    val nWords = size(toks).cast("double")
+    val nChars = length(textCol).cast("double")
+    val avgWordLen = (nChars - (nWords - 1)) / nWords
+    val stopRatio =
+      size(array_intersect(array_distinct(toks), array(markers("en").map(lit): _*)))
+        .cast("double") / lit(5.0)
+    val alphaRatio =
+      (length(regexp_replace(textCol, "[^a-zA-Z]", "")).cast("double") + lit(1.0)) /
+        (nChars + lit(1.0))
+    val lenScore =
+      when(nWords >= 20 && nWords <= 10000, 1.0)
+        .when(nWords >= 5, 0.5)
+        .otherwise(0.0)
+    val wordLenScore = when(avgWordLen >= 3 && avgWordLen <= 10, 1.0).otherwise(0.5)
+    round(
+      (lenScore * 0.3 + wordLenScore * 0.2 + stopRatio * 0.2 + alphaRatio * 0.3),
+      6
+    )
+  }
+
+  /** Token counts: whitespace words, BPE-ish regex pieces, and the
+    * chars/4 approximation used for budget estimates.
+    */
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_words", size(split(col(textCol), " ")))
+      .withColumn("n_pieces", size(expr(s"regexp_extract_all($textCol, '[a-zA-Z]+|[0-9]+', 0)")))
+      .withColumn("n_tok_approx", ceil(length(col(textCol)) / 4).cast("int"))
+
+  /** Winnowing-style document fingerprint: lexicographic min of the
+    * hashes of all character 8-grams — robust to small edits, pure
+    * column math (transform over substring windows + array_min).
+    */
+  def fingerprint(textColName: String, gram: Int = 8): Column =
+    array_min(
+      expr(
+        s"transform(sequence(1, greatest(length($textColName) - ${gram - 1}, 1)), " +
+          s"i -> md5(cast(substring($textColName, i, $gram) AS BINARY)))"
+      )
+    )
+}

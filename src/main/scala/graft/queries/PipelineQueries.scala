@@ -1,0 +1,277 @@
+package graft.queries
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** LLM-training-data pipeline operators (builder-prompt first-class
+  * inventory): deduplication ×5, similarity search ×2, text analysis ×4,
+  * multimodal plumbing. Implementations in `graft.operators.*`; this
+  * pack binds them to the `documents`/`embeddings` tables and pairs each
+  * SQL-expressible one with a DuckDB oracle.
+  */
+object PipelineQueries extends QueryPack {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> { (s, dir) =>
+      Dedup
+        .exact(Tables.load(s, dir, "documents"), "doc_id", Seq("text"))
+        .orderBy(col("canonical_id"))
+    },
+    "q_dedup_minhash" -> { (s, dir) =>
+      Dedup
+        .minhashCandidates(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc1"), col("doc2"))
+    },
+    "q_dedup_simhash" -> { (s, dir) =>
+      Dedup
+        .simhash(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    "q_ngram_jaccard" -> { (s, dir) =>
+      Dedup
+        .ngramJaccard(Tables.load(s, dir, "documents"), "doc_id", "text", "source")
+        .orderBy(col("doc1"), col("doc2"))
+    },
+    "q_embedding_neardup" -> { (s, dir) =>
+      Dedup
+        .embeddingNearDup(Tables.load(s, dir, "embeddings"), "vec_id", "embedding", "label")
+        .orderBy(col("id1"), col("id2"))
+    },
+    "q_ann_bruteforce" -> { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity
+        .bruteForceTopK(emb.filter(col("vec_id") < 3), emb, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    "q_ann_lsh" -> { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity
+        .lshTopK(emb.filter(col("vec_id") < 3), emb, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    "q_lang_id" -> { (s, dir) =>
+      Tables
+        .load(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextAnalysis.langId(col("text")).as("predicted_lang"),
+          col("lang").as("labeled_lang")
+        )
+        .orderBy(col("doc_id"))
+    },
+    "q_quality_score" -> { (s, dir) =>
+      Tables
+        .load(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("quality")
+        )
+        .orderBy(col("doc_id"))
+    },
+    "q_token_count" -> { (s, dir) =>
+      TextAnalysis
+        .tokenCounts(Tables.load(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("n_words"), col("n_pieces"), col("n_tok_approx"))
+        .orderBy(col("doc_id"))
+    },
+    "q_fingerprint" -> { (s, dir) =>
+      Tables
+        .load(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint("text").as("fingerprint"))
+        .orderBy(col("doc_id"))
+    },
+    "q_multimodal_meta" -> { (s, dir) =>
+      val media = Tables
+        .load(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal
+        .withMetadata(media, "payload", "text/plain")
+        .select(
+          col("doc_id"),
+          col("media_meta.media_type").as("media_type"),
+          col("media_meta.byte_len").as("byte_len"),
+          col("media_meta.sha256").as("payload_sha256")
+        )
+        .orderBy(col("doc_id"))
+    },
+    // mapPartitions decode stage — deliberately NOT SQL-expressible
+    // (no oracle → driver rows-only check); covered by MultimodalSpec
+    "q_multimodal_decode" -> { (s, dir) =>
+      val media = Tables
+        .load(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal
+        .decodeFeatures(media, "payload")
+        .select(
+          col("doc_id"),
+          col("features.width").as("width"),
+          col("features.height").as("height"),
+          col("features.n_frames").as("n_frames"),
+          round(col("features.brightness"), 6).as("brightness")
+        )
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT MD5(text) AS content_hash,
+        |       MIN(doc_id) AS canonical_id,
+        |       COUNT(*) AS dup_count
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY canonical_id""".stripMargin,
+    "q_dedup_minhash" -> {
+      val mins = (1 to 16).map(j => s"MIN(MD5(shingle || '#$j')) AS h$j").mkString(",\n        ")
+      val bandCase = (0 until 4)
+        .map { b =>
+          val hs = (1 to 4).map(r => s"h${b * 4 + r}").mkString(" || '|' || ")
+          s"WHEN $b THEN MD5($hs)"
+        }
+        .mkString(" ")
+      s"""WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+         |sh AS (SELECT doc_id,
+         |              UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(t) - 1, 2)),
+         |                     i -> ARRAY_TO_STRING(t[i:i+2], ' '))) AS shingle
+         |       FROM toks),
+         |sig AS (SELECT doc_id, $mins
+         |        FROM sh GROUP BY doc_id),
+         |bands AS (SELECT doc_id, band_idx,
+         |                 CASE band_idx $bandCase END AS band_hash
+         |          FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) b(band_idx))
+         |SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+         |FROM bands a JOIN bands b
+         |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         | AND a.doc_id < b.doc_id
+         |ORDER BY doc1, doc2""".stripMargin
+    },
+    "q_dedup_simhash" ->
+      """WITH tok AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents),
+        |bits AS (
+        |  SELECT doc_id, i,
+        |         SUM(CASE WHEN SUBSTRING(MD5(t), i, 1) >= '8' THEN 1 ELSE -1 END) AS s
+        |  FROM tok CROSS JOIN (SELECT UNNEST(RANGE(1, 17)) AS i) g
+        |  GROUP BY doc_id, i)
+        |SELECT doc_id,
+        |       CAST(SUM(CASE WHEN s > 0 THEN CAST(POW(2, i - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS fingerprint
+        |FROM bits GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS toks
+        |  FROM documents)
+        |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+        |       CAST(LEN(LIST_FILTER(a.toks, x -> LIST_CONTAINS(b.toks, x))) AS DOUBLE) /
+        |       (LEN(a.toks) + LEN(b.toks) - LEN(LIST_FILTER(a.toks, x -> LIST_CONTAINS(b.toks, x)))) AS jaccard
+        |FROM d a JOIN d b
+        |  ON a.source = b.source AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 50
+        |WHERE CAST(LEN(LIST_FILTER(a.toks, x -> LIST_CONTAINS(b.toks, x))) AS DOUBLE) /
+        |      (LEN(a.toks) + LEN(b.toks) - LEN(LIST_FILTER(a.toks, x -> LIST_CONTAINS(b.toks, x)))) >= 0.2
+        |ORDER BY doc1, doc2""".stripMargin,
+    "q_embedding_neardup" ->
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |         LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.embedding) + 1),
+        |           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+        |         (SQRT(LIST_SUM(LIST_TRANSFORM(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |          SQRT(LIST_SUM(LIST_TRANSFORM(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 50)
+        |SELECT id1, id2, cos FROM pairs WHERE cos >= 0.3
+        |ORDER BY id1, id2""".stripMargin,
+    "q_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 3),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |         ROUND(
+        |           LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(q.qvec) + 1),
+        |             i -> CAST(q.qvec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+        |           (SQRT(LIST_SUM(LIST_TRANSFORM(q.qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |            SQRT(LIST_SUM(LIST_TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos
+        |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    "q_ann_lsh" ->
+      """WITH bucketed AS (
+        |  SELECT vec_id, embedding,
+        |         LIST_SUM(LIST_TRANSFORM(RANGE(1, 9),
+        |           j -> CASE WHEN embedding[j] > 0 THEN CAST(POW(2, 8 - j) AS BIGINT) ELSE 0 END)) AS bucket
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket FROM bucketed WHERE vec_id < 3),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |         ROUND(
+        |           LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(q.qvec) + 1),
+        |             i -> CAST(q.qvec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+        |           (SQRT(LIST_SUM(LIST_TRANSFORM(q.qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |            SQRT(LIST_SUM(LIST_TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos
+        |  FROM q JOIN bucketed e ON e.bucket = q.bucket AND e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    "q_lang_id" -> {
+      // (hits, lang) struct argmax emulated as fixed-width string max:
+      // '%03d'-padded hits + 2-char lang code orders identically
+      val langExprs = TextAnalysis.markers.toSeq.sortBy(_._1).map { case (lang, ws) =>
+        val lst = ws.map(w => s"'$w'").mkString(", ")
+        s"LPAD(CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS([$lst], x))) AS VARCHAR), 3, '0') || '$lang'"
+      }
+      s"""WITH d AS (SELECT doc_id, lang, LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS toks FROM documents)
+         |SELECT doc_id,
+         |       RIGHT(GREATEST(${langExprs.mkString(",\n        ")}), 2) AS predicted_lang,
+         |       lang AS labeled_lang
+         |FROM d
+         |ORDER BY doc_id""".stripMargin
+    },
+    "q_quality_score" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |         CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) AS n_words,
+        |         CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+        |         CAST(LEN(LIST_FILTER(LIST_DISTINCT(STRING_SPLIT(text, ' ')),
+        |              x -> LIST_CONTAINS(['the','a','and','of','to'], x))) AS DOUBLE) / 5.0 AS stop_ratio,
+        |         (CAST(LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) + 1.0) /
+        |           (CAST(LENGTH(text) AS DOUBLE) + 1.0) AS alpha_ratio
+        |  FROM documents)
+        |SELECT doc_id,
+        |       ROUND(
+        |         (CASE WHEN n_words >= 20 AND n_words <= 10000 THEN 1.0
+        |               WHEN n_words >= 5 THEN 0.5 ELSE 0.0 END) * 0.3 +
+        |         (CASE WHEN (n_chars - (n_words - 1)) / n_words >= 3
+        |                AND (n_chars - (n_words - 1)) / n_words <= 10 THEN 1.0 ELSE 0.5 END) * 0.2 +
+        |         stop_ratio * 0.2 + alpha_ratio * 0.3, 6) AS quality
+        |FROM d
+        |ORDER BY doc_id""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id,
+        |       CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_words,
+        |       CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-zA-Z]+|[0-9]+')) AS INT) AS n_pieces,
+        |       CAST(CEIL(LENGTH(text) / 4) AS INT) AS n_tok_approx
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |       LIST_MIN(LIST_TRANSFORM(RANGE(1, GREATEST(LENGTH(text) - 6, 2)),
+        |                i -> MD5(SUBSTRING(text, i, 8)))) AS fingerprint
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |       'text/plain' AS media_type,
+        |       CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS byte_len,
+        |       SHA256(text) AS payload_sha256
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
+  )
+}
