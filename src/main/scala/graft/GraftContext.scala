@@ -1,0 +1,96 @@
+package graft
+
+import graft.core.EntityModel
+import graft.dsl.QueryModel
+import graft.plans.Planner
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+import scala.collection.concurrent.TrieMap
+
+/** EF-style context — the Spark analog of the reference's `KsqlContext`
+  * (`/root/reference/src/Context/KsqlContext.Model.cs:18-31`, lifecycle
+  * `KsqlContext.Lifecycle.cs:363`): entities register in a model
+  * registry, derived entities attach a query model (`ToQuery`,
+  * `src/Core/Modeling/EntityBuilderToQueryExtensions.cs:11-29`), and
+  * reads resolve through the planner.
+  *
+  * Where the reference's startup translates models to KSQL DDL and POSTs
+  * them to ksqlDB, here a derived entity is just a named logical plan:
+  * batch pulls lower it on demand (`Planner.batch`) and streaming
+  * materializations lower it once (`Planner.streaming`) into a
+  * supervised query. No SQL text, no schema-registry round-trips —
+  * Catalyst sees the whole plan.
+  */
+final class GraftContext(
+    val spark: SparkSession,
+    resolve: String => DataFrame
+) {
+
+  private val entities = TrieMap.empty[String, EntityModel[_]]
+  private val derived = TrieMap.empty[String, QueryModel]
+
+  /** `modelBuilder.Entity<T>()` analog. */
+  def register[T](model: EntityModel[T]): EntityModel[T] = {
+    entities.put(model.name, model.validated)
+    model
+  }
+
+  /** `.ToQuery(root => ...)` analog: a derived entity defined by a
+    * query over registered entities.
+    */
+  def toQuery(name: String, model: QueryModel): Unit = {
+    require(!derived.contains(name), s"derived entity '$name' already defined")
+    derived.put(name, model)
+  }
+
+  def entityModel(name: String): EntityModel[_] =
+    entities.getOrElse(name, throw new NoSuchElementException(s"entity '$name' not registered"))
+
+  /** Catalog the planner reads from: derived entities resolve
+    * recursively through their own plans (views-over-views).
+    */
+  val catalog: String => DataFrame = { name =>
+    derived.get(name) match {
+      case Some(qm) => Planner.batch(qm, catalog)
+      case None     => resolve(name)
+    }
+  }
+
+  /** Batch pull of any entity or derived entity. */
+  def set(name: String): DataFrame = catalog(name)
+
+  /** Typed pull — `EventSet<T>` surface. */
+  def eventSet[T](model: EntityModel[T]): EventSet[T] = {
+    register(model)
+    new EventSet[T](this, model)
+  }
+}
+
+/** Typed entity-set facade — `EventSet<T>`
+  * (`/root/reference/src/EntitySets/EventSet.cs`): ToListAsync (pull
+  * scan), ForEachAsync (push consume), Map (client transform),
+  * AddAsync (produce). Pull reads come from the entity's materialized
+  * form exactly like the reference's RocksDB table cache
+  * (`src/Cache/Core/TableCache.cs:44-53`) — here the parquet/sink
+  * snapshot, with predicate pushdown instead of key-prefix scans.
+  */
+final class EventSet[T](ctx: GraftContext, val model: EntityModel[T]) {
+  private implicit def enc: org.apache.spark.sql.Encoder[T] = model.encoder
+
+  def toDS: Dataset[T] = ctx.set(model.name).as[T](model.encoder)
+
+  /** `ToListAsync()` — local materialization of the table snapshot. */
+  def toList(): Seq[T] = toDS.collect().toSeq
+
+  /** `ForEachAsync(action)` — push-style consumption. Batch form
+    * iterates the snapshot; streaming form is `writeStream.foreachBatch`
+    * over the same dataset.
+    */
+  def forEach(action: T => Unit): Unit = toDS.collect().foreach(action)
+
+  /** `Map` — client-side transform producing a new in-memory set
+    * (`MappedEventSet` analog).
+    */
+  def map[U](f: T => U)(implicit uenc: org.apache.spark.sql.Encoder[U]): Dataset[U] =
+    toDS.map(f)
+}

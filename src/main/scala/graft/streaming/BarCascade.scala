@@ -1,0 +1,173 @@
+package graft.streaming
+
+import graft.core.Period
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import scala.concurrent.duration._
+
+/** The multi-timeframe OHLC bar cascade — the reference's flagship
+  * feature, re-expressed as chained Structured Streaming jobs.
+  *
+  * Reference pipeline (`DerivedTumblingPipeline`,
+  * `/root/reference/src/Query/Analysis/DerivedTumblingPipeline.cs:56-87`
+  * + golden `tests/Query/Golden/bars_5m_live.sql`): one `Tumbling` DSL
+  * call plans a 1-second "hub" rows stream (RowMonitor,
+  * `src/Runtime/RowMonitor.cs:39-50`) and then one windowed table per
+  * timeframe, each re-aggregating the hub, executed in dependency order
+  * (1s first, then ascending timeframes), chained through Kafka topics.
+  *
+  * Spark mapping: each stage is a watermarked windowed aggregation in
+  * append mode (EMIT FINAL — windows seal at the watermark) writing a
+  * parquet directory sink; the next stage `readStream`s that directory.
+  * The file sink replaces the reference's intermediate topics — it is
+  * exactly the same materialize-between-stateful-stages pattern, and it
+  * is mandatory in Spark because streaming aggregations cannot chain
+  * directly (SURVEY §7.4).
+  *
+  * OHLC re-aggregation is order-correct: open/close use min_by/max_by on
+  * the source bucket start, never first/last (nondeterministic).
+  */
+object BarCascade {
+
+  /** OHLC aggregate columns over raw ticks ordered by `orderCol`. */
+  def tickAggs(valueCol: String, orderCol: String) = Seq(
+    min_by(col(valueCol), col(orderCol)).as("open"),
+    max(col(valueCol)).as("high"),
+    min(col(valueCol)).as("low"),
+    max_by(col(valueCol), col(orderCol)).as("close"),
+    count(lit(1)).as("cnt")
+  )
+
+  /** OHLC re-aggregation from finer bars keyed by their bucket start. */
+  def reAggs(bucketCol: String) = Seq(
+    min_by(col("open"), col(bucketCol)).as("open"),
+    max(col("high")).as("high"),
+    min(col("low")).as("low"),
+    max_by(col("close"), col(bucketCol)).as("close"),
+    sum(col("cnt")).as("cnt")
+  )
+
+  /** 1s hub aggregation (RowMonitor): raw ticks → per-key 1-second bars. */
+  def hubBars(
+      ticks: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      orderCol: String,
+      grace: FiniteDuration = 3.seconds
+  ): DataFrame = {
+    val aggs = tickAggs(valueCol, orderCol)
+    ticks
+      .withWatermark(tsCol, s"${grace.toSeconds} seconds")
+      // group by the window STRUCT (not a field of it) so Spark keeps
+      // the event-time column for watermark-based window sealing
+      .groupBy(window(col(tsCol), "1 second").as("window") +: keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("bucket_start", col("window.start"))
+      .drop("window")
+  }
+
+  /** One timeframe's live table: re-aggregate hub (or finer) bars. */
+  def timeframeBars(
+      finerBars: DataFrame,
+      keys: Seq[String],
+      period: Period,
+      grace: FiniteDuration = 3.seconds
+  ): DataFrame = {
+    val sec = period.fixedSeconds.getOrElse(
+      throw new IllegalArgumentException(
+        s"calendar period ${period.label} needs date_trunc grouping"
+      )
+    )
+    val aggs = reAggs("bucket_start")
+    finerBars
+      .withWatermark("bucket_start", s"${grace.toSeconds} seconds")
+      .groupBy(
+        window(col("bucket_start"), s"$sec seconds").as("window") +: keys.map(col): _*
+      )
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("bucket_start", col("window.start"))
+      .drop("window")
+  }
+
+  final case class CascadePlan(
+      hubPath: String,
+      livePaths: Map[String, String],
+      queries: Seq[StreamingQuery]
+  )
+
+  /** Plan and start the full cascade: ticks → `{base}_1s_rows` →
+    * `{base}_{tf}_live` per timeframe, ascending (the reference's
+    * deterministic dependency order). Parquet sinks + per-stage
+    * checkpoints; callers read live tables with `spark.read.parquet`
+    * (the TimeBucket pull path).
+    */
+  def start(
+      spark: SparkSession,
+      ticks: DataFrame,
+      base: String,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      orderCol: String,
+      timeframes: Seq[Period],
+      root: String,
+      grace: FiniteDuration = 3.seconds
+  ): CascadePlan = {
+    val hubPath = s"$root/${base}_1s_rows"
+    val hub = hubBars(ticks, keys, tsCol, valueCol, orderCol, grace)
+    val hubQ = hub.writeStream
+      .format("parquet")
+      .option("path", hubPath)
+      .option("checkpointLocation", s"$root/_chk/${base}_1s_rows")
+      .outputMode("append")
+      .start()
+
+    val ordered = timeframes.sortBy(_.fixedSeconds.getOrElse(Long.MaxValue))
+    val hubSchema = hub.schema
+    val liveQs = ordered.map { tf =>
+      val path = s"$root/${base}_${tf.label}_live"
+      val finer = spark.readStream.schema(hubSchema).parquet(hubPath)
+      val q = timeframeBars(finer, keys, tf, grace).writeStream
+        .format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", s"$root/_chk/${base}_${tf.label}_live")
+        .outputMode("append")
+        .start()
+      tf.label -> (path, q)
+    }
+    CascadePlan(
+      hubPath,
+      liveQs.map { case (l, (p, _)) => l -> p }.toMap,
+      hubQ +: liveQs.map(_._2._2)
+    )
+  }
+}
+
+/** Period-addressed read/write API over materialized bar tables — the
+  * reference's `TimeBucket.Get[T](ctx, Period.Minutes(5))`
+  * (`/root/reference/src/Runtime/TimeBucket.cs:18-24`; rejects
+  * second-level periods `:53-54`).
+  */
+object TimeBucket {
+  def get(
+      spark: SparkSession,
+      plan: BarCascade.CascadePlan,
+      period: Period
+  ): DataFrame = {
+    period match {
+      case Period.Seconds(_) =>
+        throw new IllegalArgumentException(
+          "TimeBucket does not serve second-level periods (reference TimeBucket.cs:53-54)"
+        )
+      case _ =>
+    }
+    val path = plan.livePaths.getOrElse(
+      period.label,
+      throw new IllegalArgumentException(s"no materialized bars for ${period.label}")
+    )
+    spark.read.parquet(path)
+  }
+}

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener}
+
+import java.util.concurrent.ConcurrentHashMap
+import scala.jdk.CollectionConverters._
+
+/** Streaming-query supervisor — replaces the reference's self-healing
+  * machinery (`/root/reference/src/Infrastructure/Ksql/UnifiedPipelineRunner.cs:113-152`:
+  * DESCRIBE → TERMINATE → DROP → re-issue CTAS with bounded retries).
+  * Spark checkpoints make the topic surgery unnecessary: healing a
+  * failed query is restarting it from its checkpoint, which this
+  * supervisor does with bounded retries + backoff (the reference's
+  * `KsqlDdlRetryCount` / `KsqlDdlRetryInitialDelayMs` semantics).
+  */
+final class Supervisor(
+    spark: SparkSession,
+    maxRestarts: Int = 3,
+    backoffMs: Long = 1000
+) extends AutoCloseable {
+
+  final case class Managed(name: String, start: () => StreamingQuery)
+
+  private val restarts = new ConcurrentHashMap[String, Integer]()
+  private val managed = new ConcurrentHashMap[String, Managed]()
+  private val active = new ConcurrentHashMap[String, StreamingQuery]()
+
+  private val listener = new StreamingQueryListener {
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = ()
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = {
+      // exception => failed; self-heal by restarting from checkpoint
+      if (e.exception.isDefined) {
+        managed.asScala.values
+          .find(m => Option(active.get(m.name)).exists(_.id == e.id))
+          .foreach { m =>
+            val n = restarts.merge(m.name, 1, (a, b) => a + b)
+            if (n <= maxRestarts) {
+              Thread.sleep(backoffMs * n)
+              active.put(m.name, m.start())
+            }
+          }
+      }
+    }
+  }
+  spark.streams.addListener(listener)
+
+  /** Register + start a named query; restarted automatically on failure. */
+  def supervise(name: String)(start: () => StreamingQuery): StreamingQuery = {
+    managed.put(name, Managed(name, start))
+    val q = start()
+    active.put(name, q)
+    q
+  }
+
+  def restartCount(name: String): Int = Option(restarts.get(name)).fold(0)(_.intValue)
+  def query(name: String): Option[StreamingQuery] = Option(active.get(name))
+
+  override def close(): Unit = {
+    spark.streams.removeListener(listener)
+    active.asScala.values.foreach(q => if (q.isActive) q.stop())
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import graft.dsl.Ksql
+import graft.sources.{TestEntities, Tables}
+import org.apache.spark.sql.functions._
+
+/** GraftContext / EventSet facade: registration, derived entities
+  * (views-over-views), typed pulls.
+  */
+class ContextSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def ctx = new GraftContext(spark, TestEntities.catalog(spark, dir))
+
+  test("derived entity resolves through the planner, recursively") {
+    val c = ctx
+    c.register(TestEntities.orders)
+    c.toQuery(
+      "big_orders",
+      Ksql.from(TestEntities.orders)
+        .where(col("o_totalprice") > 100000.0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .build()
+    )
+    // second derivation on top of the first
+    c.toQuery(
+      "big_orders_by_cust",
+      Ksql.from(graft.core.EntityModel[graft.sources.Order]("big_orders"))
+        .groupBy("o_custkey" -> col("o_custkey"))
+        .select(count(lit(1)).as("cnt"))
+        .build()
+    )
+    val direct = Tables.load(spark, dir, "orders")
+      .filter(col("o_totalprice") > 100000.0)
+    assert(c.set("big_orders").count() == direct.count())
+    assert(c.set("big_orders_by_cust").agg(sum("cnt")).head.getLong(0) == direct.count())
+    intercept[IllegalArgumentException] {
+      c.toQuery("big_orders", Ksql.from(TestEntities.orders).select(col("o_orderkey")).build())
+    }
+  }
+
+  test("EventSet typed pull, forEach and map") {
+    val c = ctx
+    val set = c.eventSet(TestEntities.region)
+    val regions = set.toList()
+    assert(regions.size == 5)
+    var n = 0
+    set.forEach(_ => n += 1)
+    assert(n == 5)
+    import spark.implicits._
+    val names = set.map(_.r_name).collect().toSet
+    assert(names.size == 5)
+  }
+
+  test("unregistered entity fails fast") {
+    intercept[NoSuchElementException](ctx.entityModel("nope"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import graft.core.Period
+import graft.dsl.Ksql
+import graft.plans.Planner
+import graft.sources.TestEntities
+import org.apache.spark.sql.functions._
+
+import scala.concurrent.duration._
+
+/** DSL stage-machine guards — parity with the reference's documented
+  * error behavior (SURVEY §2.1): max-2-source joins, join-after-From
+  * only, HAVING×Tumbling prohibition, WITHIN requiring a join.
+  */
+class DslSpec extends SparkSpec {
+  import TestEntities._
+
+  test("second join is rejected (max 2 sources, JoinLimitationEnforcer)") {
+    val q = Ksql.from(orders).join(customer, col("orders.o_custkey") === col("customer.c_custkey"))
+    val e = intercept[IllegalStateException] {
+      q.join(part, col("orders.o_orderkey") === col("part.p_partkey"))
+    }
+    assert(e.getMessage.contains("2 sources"))
+  }
+
+  test("join after where is rejected (Join immediately after From)") {
+    val q = Ksql.from(orders).where(col("o_totalprice") > 0)
+    intercept[IllegalStateException] {
+      q.join(customer, col("orders.o_custkey") === col("customer.c_custkey"))
+    }
+  }
+
+  test("HAVING with tumbling windows is rejected (KsqlGroupedQueryable.cs:29-30)") {
+    val q = Ksql
+      .from(events)
+      .tumbling(Seq(Period.Minutes(5)))
+      .groupBy("event_type" -> col("event_type"))
+    val e = intercept[IllegalStateException](q.having(col("cnt") > 1))
+    assert(e.getMessage.toLowerCase.contains("tumbling"))
+  }
+
+  test("WITHIN without a join is rejected") {
+    intercept[IllegalStateException](Ksql.from(events).within(300))
+  }
+
+  test("timeframes are deduped and sorted ascending (KsqlQueryModel.cs:127-135)") {
+    val q = Ksql
+      .from(events)
+      .tumbling(Seq(Period.Hours(1), Period.Minutes(5), Period.Minutes(5), Period.Minutes(1)))
+    assert(q.model.tumbling.get.timeframes ==
+      Seq(Period.Minutes(1), Period.Minutes(5), Period.Hours(1)))
+  }
+
+  test("aggregate query infers Table, plain projection infers Stream") {
+    import graft.core.StreamTableType
+    val agg = Ksql.from(orders).groupBy("o_custkey" -> col("o_custkey"))
+      .select(count(lit(1)).as("cnt")).build()
+    val proj = Ksql.from(orders).select(col("o_orderkey")).build()
+    assert(agg.inferredType == StreamTableType.Table)
+    assert(proj.inferredType == StreamTableType.Stream)
+  }
+
+  test("streaming lowering produces update-mode plan for aggregates") {
+    val model = Ksql
+      .from(events)
+      .tumbling(Seq(Period.Minutes(5)), grace = 10.seconds)
+      .groupBy("event_type" -> col("event_type"))
+      .select(count(lit(1)).as("cnt"))
+      .build()
+    assert(Planner.outputMode(model) == "update")
+    assert(Planner.outputMode(model, emitFinal = true) == "append")
+    // lower over a streaming source and check it is a streaming plan
+    val src = TestEntities.catalog(spark, "/root/testdata/sf0.001")
+    val stream = spark.readStream
+      .schema(src("events").schema)
+      .parquet("/root/testdata/sf0.001") // schema-compatible dir read not used; plan only
+    val df = Planner.streaming(model, _ => stream)
+    assert(df.isStreaming)
+  }
+}

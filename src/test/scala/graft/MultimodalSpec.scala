@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Multimodal plumbing: metadata wrapping, partition-local decode
+  * (schema + determinism), frame sampling.
+  */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def media = Seq(
+    (1L, "hello world".getBytes("UTF-8")),
+    (2L, "another payload".getBytes("UTF-8"))
+  ).toDF("id", "payload")
+
+  test("withMetadata produces the typed metadata struct") {
+    val df = Multimodal.withMetadata(media, "payload", "image/png")
+    val r = df.filter(col("id") === 1).select("media_meta.*").collect().head
+    assert(r.getAs[String]("media_type") == "image/png")
+    assert(r.getAs[Long]("byte_len") == 11L)
+    assert(r.getAs[String]("sha256").length == 64)
+  }
+
+  test("decodeFeatures appends the feature struct deterministically") {
+    val out1 = Multimodal.decodeFeatures(media, "payload")
+      .select("id", "features.*").collect().sortBy(_.getLong(0))
+    val out2 = Multimodal.decodeFeatures(media, "payload")
+      .select("id", "features.*").collect().sortBy(_.getLong(0))
+    assert(out1.toSeq == out2.toSeq) // same bytes -> same features
+    val r = out1.head
+    assert(r.getAs[Int]("width") >= 64 && r.getAs[Int]("width") < 2048)
+    assert(r.getAs[Int]("n_frames") >= 1)
+    val b = r.getAs[Double]("brightness")
+    assert(b >= 0.0 && b <= 1.0)
+  }
+
+  test("sampleFrames expands every Nth frame without payload duplication in plan") {
+    val withFrames = media.withColumn("n_frames", lit(10))
+    val frames = Multimodal.sampleFrames(withFrames, "n_frames", everyNth = 3)
+    val idx = frames.filter(col("id") === 1).select("frame_idx")
+      .collect().map(_.getInt(0)).sorted
+    assert(idx.toSeq == Seq(0, 3, 6, 9))
+  }
+}
