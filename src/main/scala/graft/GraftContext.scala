@@ -56,8 +56,45 @@ final class GraftContext(
     }
   }
 
-  /** Batch pull of any entity or derived entity. */
-  def set(name: String): DataFrame = catalog(name)
+  /** Batch pull of any entity or derived entity. Materialized sinks
+    * (table cache analog) win over re-planning.
+    */
+  def set(name: String): DataFrame =
+    materialized.get(name).map(_.apply()).getOrElse(catalog(name))
+
+  // ---- materialization manager (the reference's Streamiz/RocksDB
+  // table cache, `src/Cache/Core/TableCache.cs` — here: streaming
+  // queries materializing into pull-readable sinks) ----
+  private val materialized = TrieMap.empty[String, () => DataFrame]
+
+  /** Materialize a LIVE table (EMIT CHANGES): complete-mode memory sink;
+    * pulls read the in-memory table — the direct analog of the
+    * reference's embedded KTable cache.
+    */
+  def materializeLive(name: String, aggregated: DataFrame): org.apache.spark.sql.streaming.StreamingQuery = {
+    val q = aggregated.writeStream
+      .format("memory")
+      .queryName(s"__graft_$name")
+      .outputMode("complete")
+      .start()
+    materialized.put(name, () => spark.table(s"__graft_$name"))
+    q
+  }
+
+  /** Materialize a FINAL table (EMIT FINAL): append-mode parquet sink
+    * sealed by the watermark; pulls read the directory.
+    */
+  def materializeFinal(name: String, finalized: DataFrame, root: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val path = s"$root/$name"
+    val q = finalized.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", s"$root/_chk/$name")
+      .outputMode("append")
+      .start()
+    materialized.put(name, () => spark.read.parquet(path))
+    q
+  }
 
   /** Typed pull — `EventSet<T>` surface. */
   def eventSet[T](model: EntityModel[T]): EventSet[T] = {

@@ -44,6 +44,30 @@ object KFunctions {
   def addInterval(ts: Column, n: Column, unit: String): Column =
     ts + (n * expr(s"INTERVAL 1 $unit"))
 
+  // ---- JSON (registry :108-113) ----
+  /** JSON_CONCAT (:112) for flat string-valued objects: parse both to
+    * MAP<STRING,STRING>, right side wins on key conflicts, re-serialize.
+    */
+  def jsonConcat(a: Column, b: Column): Column = {
+    val mapType = org.apache.spark.sql.types.MapType(StringType, StringType)
+    val ma = from_json(a, mapType)
+    val mb = from_json(b, mapType)
+    // right-wins merge without map_concat (which throws on duplicate
+    // keys under the default mapKeyDedupPolicy)
+    val keptFromA =
+      filter(map_entries(ma), e => !array_contains(map_keys(mb), e.getField("key")))
+    to_json(map_from_entries(concat(keptFromA, map_entries(mb))))
+  }
+
+  /** JSON_RECORDS (:113): flat object → MAP<STRING,STRING> of its
+    * fields (key/value records).
+    */
+  def jsonRecords(c: Column): Column =
+    from_json(c, org.apache.spark.sql.types.MapType(StringType, StringType))
+
+  /** LOG with base (registry :57 two-arg form): log_base(b, x). */
+  def logBase(base: Double, c: Column): Column = log(base, c)
+
   // ---- URL (registry :131-134) → parse_url ----
   def urlExtractHost(c: Column): Column = parse_url(c, lit("HOST"))
   def urlExtractPath(c: Column): Column = parse_url(c, lit("PATH"))

@@ -167,6 +167,36 @@ object FunctionQueries extends QueryPack {
       ).orderBy(col("doc_id"))
     },
 
+    // full ARRAY_* registry (:95-105) over deterministic arrays; results
+    // sorted so both engines' set-op ordering agrees
+    "q_array_funcs" -> { (s, dir) =>
+      Planner.batch(
+        Ksql
+          .from(part)
+          .select(
+            col("p_partkey"),
+            split(col("p_name"), " ").as("words"),
+            array(col("p_type"), lit("ECONOMY"), lit("zz")).as("tags")
+          )
+          .build(),
+        catalog(s, dir)
+      ).select(
+        col("p_partkey"),
+        size(col("words")).as("arr_len"),
+        array_contains(col("words"), "widget").as("has_widget"),
+        slice(col("words"), 1, 1).as("first_word"),
+        array_join(col("words"), "_").as("joined"),
+        sort_array(array_distinct(col("tags"))).as("tags_distinct"),
+        sort_array(array_except(col("tags"), array(lit("ECONOMY")))).as("tags_except"),
+        sort_array(array_intersect(col("tags"), array(lit("ECONOMY"), lit("PROMO"))))
+          .as("tags_inter"),
+        sort_array(array_union(col("words"), col("tags"))).as("all_tokens"),
+        sort_array(col("words")).as("words_sorted"),
+        array_max(col("words")).as("word_max"),
+        array_min(col("words")).as("word_min")
+      ).orderBy(col("p_partkey"))
+    },
+
     "q_crypto_funcs" -> { (s, dir) =>
       Planner.batch(
         Ksql
@@ -292,6 +322,26 @@ object FunctionQueries extends QueryPack {
         |       'https' AS protocol
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    "q_array_funcs" ->
+      """WITH p AS (
+        |  SELECT p_partkey,
+        |         STRING_SPLIT(p_name, ' ') AS words,
+        |         [p_type, 'ECONOMY', 'zz'] AS tags
+        |  FROM part)
+        |SELECT p_partkey,
+        |       CAST(LEN(words) AS INT) AS arr_len,
+        |       LIST_CONTAINS(words, 'widget') AS has_widget,
+        |       words[1:1] AS first_word,
+        |       ARRAY_TO_STRING(words, '_') AS joined,
+        |       LIST_SORT(LIST_DISTINCT(tags)) AS tags_distinct,
+        |       LIST_SORT(LIST_FILTER(LIST_DISTINCT(tags), x -> x <> 'ECONOMY')) AS tags_except,
+        |       LIST_SORT(LIST_DISTINCT(LIST_FILTER(tags, x -> x IN ('ECONOMY','PROMO')))) AS tags_inter,
+        |       LIST_SORT(LIST_DISTINCT(LIST_CONCAT(words, tags))) AS all_tokens,
+        |       LIST_SORT(words) AS words_sorted,
+        |       LIST_MAX(words) AS word_max,
+        |       LIST_MIN(words) AS word_min
+        |FROM p
+        |ORDER BY p_partkey""".stripMargin,
     "q_crypto_funcs" ->
       """SELECT c_custkey,
         |       MD5(c_name) AS name_md5,

@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.Dedup
+import graft.sources.TestEntities
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Materialization manager (table-cache analog) + streaming dedup. */
+class MaterializeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("live (complete/memory) and final (append/parquet) materializations serve pulls") {
+    implicit val sqlCtx = spark.sqlContext
+    val ctx = new GraftContext(spark, TestEntities.catalog(spark, "/root/testdata/sf0.001"))
+    val root = Files.createTempDirectory("mat").toString
+
+    val mem = MemoryStream[(String, Timestamp, Double)]
+    val src = mem.toDF().toDF("k", "ts", "v")
+
+    // live: running per-key counts, EMIT CHANGES ≈ complete to memory
+    val live = src.groupBy($"k").agg(count(lit(1)).as("cnt"))
+    val qLive = ctx.materializeLive("counts_live", live)
+
+    // final: windowed sums sealed by watermark, EMIT FINAL ≈ append
+    val fin = src
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window($"ts", "1 minute").as("window"), $"k")
+      .agg(sum($"v").as("total"))
+      .withColumn("bucket", $"window.start").drop("window")
+    val qFin = ctx.materializeFinal("sums_final", fin, root)
+
+    try {
+      mem.addData(("a", t("2024-01-01 00:00:10"), 1.0), ("a", t("2024-01-01 00:00:20"), 2.0))
+      qLive.processAllAvailable(); qFin.processAllAvailable()
+      mem.addData(("b", t("2024-01-01 00:05:00"), 5.0)) // seals minute 0
+      qLive.processAllAvailable(); qFin.processAllAvailable()
+
+      val liveRows = ctx.set("counts_live").as[(String, Long)].collect().toMap
+      assert(liveRows("a") == 2)
+
+      mem.addData(("b", t("2024-01-01 00:10:00"), 1.0)) // let sink flush files
+      qFin.processAllAvailable()
+      val finRows = ctx.set("sums_final")
+        .filter($"k" === "a").select("total").as[Double].collect()
+      assert(finRows.toSeq == Seq(3.0))
+    } finally { qLive.stop(); qFin.stop() }
+  }
+
+  test("streaming exact dedup drops duplicates within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val deduped = Dedup.streamingExact(
+      mem.toDF().toDF("id", "ts", "payload"), Seq("id"), "ts", "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, t("2024-01-01 00:00:00"), "a"), (1L, t("2024-01-01 00:00:05"), "a-dup"))
+      q.processAllAvailable()
+      mem.addData((2L, t("2024-01-01 00:00:10"), "b"), (1L, t("2024-01-01 00:00:20"), "a-dup2"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select("id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+}
