@@ -210,14 +210,17 @@ object RelationalQueries extends QueryPack {
       )
     },
 
-    // TOPK / TOPKDISTINCT (composite built-ins, KFunctions.topK)
+    // TOPK via the bounded-heap TypedImperativeAggregate (buffer ≤ k per
+    // partial — the 100TB-safe path); TOPKDISTINCT via the composite.
+    // BoundedTopKSpec proves heap ≡ composite.
     "q_topk" -> { (s, dir) =>
+      graft.functions.BoundedTopK.register(s)
       Planner.batch(
         Ksql
           .from(events)
           .groupBy("event_type" -> col("event_type"))
           .select(
-            graft.functions.KFunctions.topK(col("value"), 3).as("top3"),
+            expr("bounded_topk(value, 3)").as("top3"),
             graft.functions.KFunctions.topKDistinct(col("user_id"), 3).as("top3_users")
           )
           .orderBy(col("event_type"))

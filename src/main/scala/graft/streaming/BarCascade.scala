@@ -95,6 +95,7 @@ object BarCascade {
   final case class CascadePlan(
       hubPath: String,
       livePaths: Map[String, String],
+      fillPaths: Map[String, String],
       queries: Seq[StreamingQuery]
   )
 
@@ -117,6 +118,7 @@ object BarCascade {
       grace: FiniteDuration = 3.seconds
   ): CascadePlan = {
     val hubPath = s"$root/${base}_1s_rows"
+    new java.io.File(hubPath).mkdirs() // downstream readStream needs the dir
     val hub = hubBars(ticks, keys, tsCol, valueCol, orderCol, grace)
     val hubQ = hub.writeStream
       .format("parquet")
@@ -129,6 +131,7 @@ object BarCascade {
     val hubSchema = hub.schema
     val liveQs = ordered.map { tf =>
       val path = s"$root/${base}_${tf.label}_live"
+      new java.io.File(path).mkdirs()
       val finer = spark.readStream.schema(hubSchema).parquet(hubPath)
       val q = timeframeBars(finer, keys, tf, grace).writeStream
         .format("parquet")
@@ -141,7 +144,81 @@ object BarCascade {
     CascadePlan(
       hubPath,
       liveQs.map { case (l, (p, _)) => l -> p }.toMap,
+      Map.empty,
       hubQ +: liveQs.map(_._2._2)
+    )
+  }
+
+  /** Full DSL-driven cascade: derivation plan from the query model's
+    * Tumbling spec (hub → live ascending), plus gap-fill continuation
+    * stages when the spec asks for them
+    * (`Tumbling(..., continuation: true)` → `{base}_{tf}_fill` tables).
+    *
+    * The fill stage consumes each live sink as a stream, keys bars by
+    * the NUL-joined composite key (the reference's string-key
+    * convention, `TableCache.cs:12-13`), and runs the stateful
+    * [[GapFill]] operator into a `_fill` parquet sink.
+    */
+  def startFromModel(
+      spark: SparkSession,
+      ticks: DataFrame,
+      base: String,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      orderCol: String,
+      model: graft.dsl.QueryModel,
+      root: String,
+      policy: GapFill.Policy = GapFill.Skip
+  ): CascadePlan = {
+    import graft.plans.DerivationPlanner
+    import org.apache.spark.sql.Encoders
+    val derivation = DerivationPlanner.plan(base, model)
+    val spec = model.tumbling.get
+    val grace = spec.grace
+    val basePlan =
+      start(spark, ticks, base, keys, tsCol, valueCol, orderCol, spec.timeframes, root, grace)
+
+    val fills = derivation.collect {
+      case d if d.role == DerivationPlanner.Role.Fill =>
+        val tf = d.period.get
+        val livePath = basePlan.livePaths(tf.label)
+        // static schema: the live sink dir may not exist until its
+        // first commit, so it cannot be inferred here
+        val valueType = ticks.schema(valueCol).dataType
+        val liveSchema = org.apache.spark.sql.types.StructType(
+          keys.map(k => ticks.schema(k)) ++ Seq(
+            org.apache.spark.sql.types.StructField("open", valueType),
+            org.apache.spark.sql.types.StructField("high", valueType),
+            org.apache.spark.sql.types.StructField("low", valueType),
+            org.apache.spark.sql.types.StructField("close", valueType),
+            org.apache.spark.sql.types.StructField("cnt", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField(
+              "bucket_start", org.apache.spark.sql.types.TimestampType)
+          )
+        )
+        val liveStream = spark.readStream.schema(liveSchema).parquet(livePath)
+        val barIn = liveStream
+          .select(
+            concat_ws("\u0000", keys.map(col): _*).as("key"),
+            col("bucket_start").as("bucket"),
+            col("open"), col("high"), col("low"), col("close")
+          )
+          .withWatermark("bucket", s"${grace.toSeconds} seconds")
+          .as[GapFill.BarIn](Encoders.product[GapFill.BarIn])
+        val filled = GapFill(barIn, tf.fixedSeconds.get, policy)
+        val path = s"$root/${d.name}"
+        val q = filled.writeStream
+          .format("parquet")
+          .option("path", path)
+          .option("checkpointLocation", s"$root/_chk/${d.name}")
+          .outputMode("append")
+          .start()
+        (tf.label, path, q)
+    }
+    basePlan.copy(
+      fillPaths = fills.map(f => f._1 -> f._2).toMap,
+      queries = basePlan.queries ++ fills.map(_._3)
     )
   }
 }
