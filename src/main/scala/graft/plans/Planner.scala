@@ -119,18 +119,23 @@ object Planner {
     else "update"
 
   /** Calendar-aware window key: fixed periods use Spark's `window()`;
-    * months (no fixed length) use `date_trunc` — same split the
-    * reference makes in `Periods.cs:7-27`.
+    * weeks get a `startTime` offset (Spark's window origin is the epoch,
+    * 1970-01-01, a THURSDAY — an unshifted 7-day window is
+    * Thursday-anchored, not the reference's configurable week anchor,
+    * `Periods.cs:16-19`); months (no fixed length) use `date_trunc`.
     */
-  def windowFor(ts: Column, p: Period): Column = p.fixedSeconds match {
-    case Some(sec) => window(ts, s"$sec seconds")
-    case None =>
-      val n = p.asInstanceOf[Period.Months].n
+  def windowFor(ts: Column, p: Period): Column = p match {
+    case Period.Weeks(n, anchor) =>
+      // days from the epoch's Thursday to the first `anchor` day
+      val offsetDays = ((anchor.getValue - 4) % 7 + 7) % 7
+      window(ts, s"${n * 7} days", s"${n * 7} days", s"$offsetDays days")
+    case Period.Months(n) =>
       require(n == 1, "multi-month windows need custom floor math (Periods.floorUtc)")
       struct(
         date_trunc("month", ts).as("start"),
         (date_trunc("month", ts) + expr("INTERVAL 1 MONTH")).as("end")
       )
+    case other => window(ts, s"${other.fixedSeconds.get} seconds")
   }
 
   private def sourceWithJoin(

@@ -91,6 +91,34 @@ object WindowQueries extends QueryPack {
         .orderBy(col("bucket_start"), col("event_type"))
     },
 
+    // Calendar-month tumbling (the window() built-in can't express
+    // months — date_trunc grouping, SURVEY §7.4 hazard)
+    "q_window_monthly" -> { (s, dir) =>
+      Planner.batch(
+        Ksql
+          .from(events)
+          .tumbling(Seq(Period.Months(1)))
+          .groupBy("event_type" -> col("event_type"))
+          .select(count(lit(1)).as("cnt"))
+          .build(),
+        catalog(s, dir)
+      ).orderBy(col("window_start"), col("event_type"))
+    },
+
+    // Week windows anchored to Monday (Spark's epoch origin is a
+    // Thursday; the planner shifts startTime to the anchor day)
+    "q_window_weekly" -> { (s, dir) =>
+      Planner.batch(
+        Ksql
+          .from(events)
+          .tumbling(Seq(Period.Weeks(1)))
+          .groupBy("event_type" -> col("event_type"))
+          .select(count(lit(1)).as("cnt"))
+          .build(),
+        catalog(s, dir)
+      ).orderBy(col("window_start"), col("event_type"))
+    },
+
     // Stream-stream join with the default WITHIN 300s bound
     // (`KsqlCreateStatementBuilder.cs:362-376`) — the planner injects the
     // symmetric time-range predicate automatically
@@ -237,6 +265,22 @@ object WindowQueries extends QueryPack {
         |FROM b1s
         |GROUP BY 1, 2
         |ORDER BY bucket_start, event_type""".stripMargin,
+    "q_window_monthly" ->
+      """SELECT CAST(DATE_TRUNC('month', ts) AS TIMESTAMP) AS window_start,
+        |       CAST(DATE_TRUNC('month', ts) AS TIMESTAMP) + INTERVAL 1 MONTH AS window_end,
+        |       event_type,
+        |       COUNT(*) AS cnt
+        |FROM events
+        |GROUP BY 1, 2, 3
+        |ORDER BY window_start, event_type""".stripMargin,
+    "q_window_weekly" ->
+      """SELECT CAST(DATE_TRUNC('week', ts) AS TIMESTAMP) AS window_start,
+        |       CAST(DATE_TRUNC('week', ts) AS TIMESTAMP) + INTERVAL 7 DAY AS window_end,
+        |       event_type,
+        |       COUNT(*) AS cnt
+        |FROM events
+        |GROUP BY 1, 2, 3
+        |ORDER BY window_start, event_type""".stripMargin,
     "q_join_within" ->
       """SELECT e1.event_id AS signup_id,
         |       e2.event_id AS purchase_id,

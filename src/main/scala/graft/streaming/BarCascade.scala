@@ -40,6 +40,26 @@ object BarCascade {
     count(lit(1)).as("cnt")
   )
 
+  /** AVG is not re-aggregable across cascade stages (avg of avgs is
+    * wrong under uneven bucket counts) — the reference decomposes hub
+    * AVG into SUM+COUNT and reconstructs at read
+    * (`HubSelectPolicy.cs:38-58`). Same here: [[avgDecomposed]] are the
+    * hub-stage aggregates, [[avgReconstructed]] the downstream re-agg +
+    * final ratio.
+    */
+  def avgDecomposed(valueCol: String): Seq[org.apache.spark.sql.Column] = Seq(
+    sum(col(valueCol)).as(s"${valueCol}_sum"),
+    count(col(valueCol)).as(s"${valueCol}_cnt")
+  )
+
+  def avgReconstructed(valueCol: String): Seq[org.apache.spark.sql.Column] = Seq(
+    sum(col(s"${valueCol}_sum")).as(s"${valueCol}_sum"),
+    sum(col(s"${valueCol}_cnt")).as(s"${valueCol}_cnt")
+  )
+
+  def avgFinal(valueCol: String): org.apache.spark.sql.Column =
+    (col(s"${valueCol}_sum") / col(s"${valueCol}_cnt")).as(s"${valueCol}_avg")
+
   /** OHLC re-aggregation from finer bars keyed by their bucket start. */
   def reAggs(bucketCol: String) = Seq(
     min_by(col("open"), col(bucketCol)).as("open"),

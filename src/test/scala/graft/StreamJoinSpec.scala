@@ -1,0 +1,69 @@
+package graft
+
+import graft.core.EntityModel
+import graft.dsl.Ksql
+import graft.plans.Planner
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+case class Click(user: Long, ts: Timestamp, page: String)
+case class Buy(buyer: Long, ts: Timestamp, amount: Double)
+
+/** Stream-stream join through the planner: the injected WITHIN bound
+  * (default 300 s) keeps only temporally-close pairs, with watermarks
+  * on both sides so join state is prunable.
+  */
+class StreamJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("WITHIN-bounded stream-stream join drops far-apart pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Click]
+    val buys = MemoryStream[Buy]
+
+    val clickEntity = EntityModel[Click]("clicks").key("user").timestamp("ts").validated
+    val buyEntity = EntityModel[Buy]("buys").key("buyer").timestamp("ts").validated
+
+    val model = Ksql
+      .from(clickEntity)
+      .join(buyEntity, col("clicks.user") === col("buys.buyer"))
+      .select(
+        col("clicks.user").as("user"),
+        col("clicks.page").as("page"),
+        col("buys.amount").as("amount")
+      )
+      .build()
+
+    val joined = Planner.streaming(
+      model,
+      { case "clicks" => clicks.toDF(); case "buys" => buys.toDF() }
+    )
+    assert(joined.isStreaming)
+    val q = joined.writeStream.format("memory").queryName("within_join")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        Click(1, t("2024-01-01 10:00:00"), "home"),
+        Click(2, t("2024-01-01 10:00:00"), "shop")
+      )
+      buys.addData(
+        Buy(1, t("2024-01-01 10:02:00"), 9.99),  // 2 min later: inside WITHIN
+        Buy(2, t("2024-01-01 11:00:00"), 5.0)    // 1 h later: outside
+      )
+      q.processAllAvailable()
+      // advance both watermarks so results flush
+      clicks.addData(Click(9, t("2024-01-01 12:00:00"), "x"))
+      buys.addData(Buy(9, t("2024-01-01 12:00:01"), 0.0))
+      q.processAllAvailable()
+
+      val rows = spark.table("within_join")
+        .filter($"user" < 9)
+        .select($"user", $"amount").as[(Long, Double)].collect().toSet
+      assert(rows == Set((1L, 9.99))) // user 2's buy was beyond 300 s
+    } finally q.stop()
+  }
+}
