@@ -72,6 +72,73 @@ object Similarity {
       (acc, v) => acc * 2 + when(v > lit(0f), 1L).otherwise(0L)
     )
 
+  /** IVF (inverted-file) ANN: assign every corpus vector to its nearest
+    * centroid cell, then search only the query's `nprobe` best cells.
+    * At 100 TB: the assignment is one broadcast pass over the corpus,
+    * cells are the shuffle key, and each query touches |corpus|/nlist ·
+    * nprobe candidates instead of the full corpus.
+    *
+    * `centroids` is a (centroid_id, centroid_vec) frame — use
+    * [[trainCentroidsKMeans]] for real cells, or any deterministic
+    * subset for reproducible tests.
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int = 1
+  ): DataFrame = {
+    def assign(df: DataFrame, keep: Seq[Column], n: Int): DataFrame = {
+      val scored = df.join(broadcast(centroids))
+        .select(keep :+ col("centroid_id") :+
+          cosine(col(vecCol), col("centroid_vec")).as("__ccos"): _*)
+      val w = Window.partitionBy(col(idCol)).orderBy(col("__ccos").desc, col("centroid_id"))
+      scored.withColumn("__crank", row_number().over(w))
+        .filter(col("__crank") <= n)
+        .drop("__ccos", "__crank")
+        .withColumnRenamed("centroid_id", "cell")
+    }
+    val corpusCells = assign(corpus, Seq(col(idCol), col(vecCol)), 1)
+    val queryCells = assign(
+      queries.select(col(idCol), col(vecCol)), Seq(col(idCol), col(vecCol)), nprobe)
+      .withColumnRenamed(idCol, "query_id").withColumnRenamed(vecCol, "qvec")
+    val scored = corpusCells
+      .join(queryCells, Seq("cell"))
+      .filter(col("query_id") =!= col(idCol))
+      .select(
+        col("query_id"),
+        col(idCol).as("neighbor_id"),
+        round(cosine(col("qvec"), col(vecCol)), 6).as("cos")
+      )
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** KMeans centroids for IVF cells (spark.ml, fixed seed). The
+    * float vectors are densified for the trainer; the returned frame is
+    * (centroid_id, centroid_vec float array) ready for [[ivfTopK]].
+    */
+  def trainCentroidsKMeans(
+      corpus: DataFrame,
+      vecCol: String,
+      nlist: Int,
+      seed: Long = 42L
+  ): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = corpus.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features").fit(feats)
+    val rows = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat))
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    rows.toSeq.toDF("centroid_id", "centroid_vec")
+  }
+
   /** Bucketed ANN: rank only within the query's sign bucket. */
   def lshTopK(
       queries: DataFrame,

@@ -53,6 +53,36 @@ object PipelineQueries extends QueryPack {
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     },
+    // IVF ANN with deterministic centroids (vec_id < 8) so the oracle
+    // can mirror the cell assignment; production path trains cells with
+    // Similarity.trainCentroidsKMeans
+    "q_ann_ivf" -> { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val centroids = emb
+        .filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("centroid_id"), col("embedding").as("centroid_vec"))
+      Similarity
+        .ivfTopK(emb.filter(col("vec_id") < 3), emb, centroids, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // skew-salted two-phase aggregation — same answer as a direct
+    // groupBy, but hot keys shard across 16 partials first
+    "q_salted_agg" -> { (s, dir) =>
+      val li = Tables
+        .load(s, dir, "lineitem")
+        .withColumn("qd", col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+      graft.operators.Skew
+        .saltedSumCount(li, Seq("l_returnflag"), "qd", saltFactor = 16)
+        .select(
+          col("l_returnflag"),
+          col("sum_value").cast("double").as("sum_qty"),
+          col("cnt")
+        )
+        .orderBy(col("l_returnflag"))
+    },
+
     "q_lang_id" -> { (s, dir) =>
       Tables
         .load(s, dir, "documents")
@@ -220,6 +250,45 @@ object PipelineQueries extends QueryPack {
         |SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
         |FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    "q_ann_ivf" -> {
+      val cosEC =
+        """LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(e.embedding) + 1),
+          |             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE))) /
+          |           (SQRT(LIST_SUM(LIST_TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+          |            SQRT(LIST_SUM(LIST_TRANSFORM(c.cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+      val cosQE =
+        """LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(q.qvec) + 1),
+          |             i -> CAST(q.qvec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) /
+          |           (SQRT(LIST_SUM(LIST_TRANSFORM(q.qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+          |            SQRT(LIST_SUM(LIST_TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+      s"""WITH centroids AS (
+         |  SELECT CAST(vec_id AS INT) AS centroid_id, embedding AS cvec
+         |  FROM embeddings WHERE vec_id < 8),
+         |assign AS (
+         |  SELECT e.vec_id, e.embedding, c.centroid_id,
+         |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |           ORDER BY $cosEC DESC, c.centroid_id) AS rn
+         |  FROM embeddings e CROSS JOIN centroids c),
+         |cells AS (SELECT vec_id, embedding, centroid_id AS cell FROM assign WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qvec, cell FROM cells WHERE vec_id < 3),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |         ROUND($cosQE, 6) AS cos
+         |  FROM cells e JOIN q ON e.cell = q.cell AND e.vec_id <> q.query_id),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+         |FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    },
+    "q_salted_agg" ->
+      """SELECT l_returnflag,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       COUNT(*) AS cnt
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q_lang_id" -> {
       // (hits, lang) struct argmax emulated as fixed-width string max:
       // '%03d'-padded hits + 2-char lang code orders identically

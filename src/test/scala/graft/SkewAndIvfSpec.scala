@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.{Similarity, Skew}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Skew-salted aggregation equivalence + IVF ANN properties. */
+class SkewAndIvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted aggregation equals direct aggregation on heavily skewed data") {
+    // 90% of rows on one hot key
+    val skewed = spark.range(0, 50000)
+      .select(
+        when($"id" % 10 < 9, "HOT").otherwise(concat(lit("k"), $"id" % 7)).as("key"),
+        ($"id" % 100).cast("double").as("v")
+      )
+    val direct = skewed.groupBy($"key")
+      .agg(sum($"v").cast("long").as("s"), count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    val salted = Skew.saltedSumCount(skewed, Seq("key"), "v", saltFactor = 16)
+      .select($"key", $"sum_value".cast("long"), $"cnt")
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(salted == direct)
+  }
+
+  test("IVF with a single cell degenerates to exact brute-force top-k") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val oneCentroid = emb.filter($"vec_id" === 0)
+      .select(lit(0).as("centroid_id"), $"embedding".as("centroid_vec"))
+    val queries = emb.filter($"vec_id" < 3)
+    val ivf = Similarity.ivfTopK(queries, emb, oneCentroid, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(ivf == brute)
+  }
+
+  test("KMeans-trained centroids partition the corpus into nlist cells") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val centroids = Similarity.trainCentroidsKMeans(emb, "embedding", nlist = 4)
+    assert(centroids.count() == 4)
+    val topk = Similarity.ivfTopK(
+      emb.filter($"vec_id" < 2), emb, centroids, "vec_id", "embedding", 3)
+    val rows = topk.collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Int]("rank") <= 3))
+  }
+}
