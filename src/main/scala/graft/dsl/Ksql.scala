@@ -77,6 +77,7 @@ final case class QueryStage(model: QueryModel, joined: Boolean = false) {
   def where(pred: Column): QueryStage = {
     if (model.groupBy.nonEmpty || model.select.nonEmpty)
       throw new IllegalStateException("Where must be called before GroupBy/Select")
+    graft.plans.AggregateDetection.forbidIn("WHERE")(Seq(pred))
     copy(model = model.copy(wheres = model.wheres :+ pred))
   }
 
@@ -119,13 +120,22 @@ final case class QueryStage(model: QueryModel, joined: Boolean = false) {
   def groupBy(keys: (String, Column)*): GroupedStage = {
     if (model.select.nonEmpty)
       throw new IllegalStateException("GroupBy must be called before Select")
+    graft.plans.AggregateDetection.forbidIn("GROUP BY keys")(keys.map(_._2))
     GroupedStage(
       model.copy(groupBy = keys.map(_._2), groupByNames = keys.map(_._1))
     )
   }
 
-  /** Non-grouped projection → Stream result. */
-  def select(cols: Column*): BuiltQuery = BuiltQuery(model.copy(select = cols))
+  /** Non-grouped projection. An aggregate in the projection classifies
+    * the query as a Table (AggregateDetectionVisitor semantics,
+    * `KsqlQueryable.cs:53-55` / `KsqlQueryModel.IsAggregateQuery`).
+    */
+  def select(cols: Column*): BuiltQuery = BuiltQuery(
+    model.copy(
+      select = cols,
+      aggregateInSelect = cols.exists(graft.plans.AggregateDetection.containsAggregate)
+    )
+  )
 }
 
 final case class GroupedStage(model: QueryModel) {

@@ -70,17 +70,18 @@ final case class QueryModel(
     schedule: Option[ScheduleSpec] = None,
     orderBy: Seq[Column] = Nil,
     limit: Option[Int] = None,
-    timeKeyOverride: Option[String] = None
+    timeKeyOverride: Option[String] = None,
+    aggregateInSelect: Boolean = false
 ) {
 
   def timeKey: Option[String] = timeKeyOverride.orElse(source.timeKey)
 
   /** Aggregate query ⇒ Table (upsert), else Stream — the reference's
     * inference rule (`KsqlQueryModel.cs:114-124`: GroupBy ∨ Tumbling ∨
-    * Hopping ⇒ aggregate).
+    * Hopping ∨ aggregate-in-Select ⇒ aggregate).
     */
   def isAggregateQuery: Boolean =
-    groupBy.nonEmpty || tumbling.nonEmpty || hopping.nonEmpty
+    groupBy.nonEmpty || tumbling.nonEmpty || hopping.nonEmpty || aggregateInSelect
 
   def inferredType: StreamTableType =
     if (isAggregateQuery) StreamTableType.Table else StreamTableType.Stream

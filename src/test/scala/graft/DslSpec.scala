@@ -51,6 +51,24 @@ class DslSpec extends SparkSpec {
       Seq(Period.Minutes(1), Period.Minutes(5), Period.Hours(1)))
   }
 
+  test("aggregates are rejected in WHERE and GROUP BY keys") {
+    intercept[IllegalStateException] {
+      Ksql.from(orders).where(sum(col("o_totalprice")) > 10)
+    }
+    intercept[IllegalStateException] {
+      Ksql.from(orders).groupBy("bad" -> max(col("o_totalprice")))
+    }
+  }
+
+  test("aggregate in a non-grouped Select classifies the query as Table") {
+    import graft.core.StreamTableType
+    val m = Ksql.from(orders).select(sum(col("o_totalprice")).as("t")).build()
+    assert(m.isAggregateQuery && m.inferredType == StreamTableType.Table)
+    // scalar functions do NOT trigger classification
+    val s = Ksql.from(orders).select(upper(col("o_orderstatus")).as("u")).build()
+    assert(!s.isAggregateQuery)
+  }
+
   test("aggregate query infers Table, plain projection infers Stream") {
     import graft.core.StreamTableType
     val agg = Ksql.from(orders).groupBy("o_custkey" -> col("o_custkey"))

@@ -1,0 +1,54 @@
+package graft
+
+/** Physical-plan guards — the golden-test analog for an engine whose
+  * output is a Catalyst plan rather than SQL text. Asserts the plan
+  * properties the 100 TB design depends on (SCALE.md): pushdown reaches
+  * the scans, dimension joins broadcast, and NO query plans a cartesian
+  * product (every candidate-pair operator must stay an equi-join).
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def physical(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("filters and projections are pushed to the parquet scan") {
+    val plan = physical("q_filter_project")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    assert(!plan.contains("l_partkey"), "projection pruning should drop unused columns")
+  }
+
+  test("dimension join broadcasts") {
+    assert(physical("q_join_inner").contains("BroadcastHashJoin"))
+  }
+
+  test("aggregations use two-phase hash aggregation (map-side partials)") {
+    val plan = physical("q_groupby_agg")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2)
+  }
+
+  test("no query plans a cartesian product") {
+    // The ANN brute-force queries intentionally use a broadcast
+    // nested-loop against the tiny query set; CartesianProduct (both
+    // sides unbroadcast) is never acceptable.
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val plan = physical(name)
+      assert(
+        !plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct"
+      )
+    }
+  }
+
+  test("candidate-pair operators stay equi-joins (no nested-loop)") {
+    Seq("q_dedup_minhash", "q_ngram_jaccard", "q_embedding_neardup", "q_ann_lsh")
+      .foreach { name =>
+        val plan = physical(name)
+        assert(
+          !plan.contains("BroadcastNestedLoopJoin"),
+          s"$name fell back to a nested-loop join"
+        )
+      }
+  }
+}
