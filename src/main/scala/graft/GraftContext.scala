@@ -43,6 +43,18 @@ final class GraftContext(
     derived.put(name, model)
   }
 
+  /** ToQuery with projection validation against a target entity — the
+    * reference validates at model-build time (`OnModelCreating` →
+    * `ToQueryValidator`, SURVEY §3.1 step 1): the planned schema must
+    * match the target POCO by name/order/type/decimal precision before
+    * the derived entity is registered.
+    */
+  def toQueryAs[T](name: String, model: QueryModel, target: EntityModel[T]): Unit = {
+    val planned = graft.plans.Planner.batch(model, catalog).schema
+    graft.plans.ToQueryValidator.validate(planned, target)
+    toQuery(name, model)
+  }
+
   def entityModel(name: String): EntityModel[_] =
     entities.getOrElse(name, throw new NoSuchElementException(s"entity '$name' not registered"))
 

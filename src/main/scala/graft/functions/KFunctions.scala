@@ -103,6 +103,20 @@ object KFunctions {
   /** EARLIEST_BY_OFFSET (:86). */
   def earliestByOffset(value: Column, order: Column): Column = min_by(value, order)
 
+  /** ROWTIME pseudo-column (:146): the entity's event-time column. */
+  def rowTime(entity: graft.core.EntityModel[_]): Column =
+    col(entity.timeKey.getOrElse(
+      throw new IllegalArgumentException(s"entity '${entity.name}' has no time key")))
+
+  /** ROWKEY pseudo-column (:147): the (possibly composite) key, NUL-
+    * joined like the reference's string-key convention.
+    */
+  def rowKey(entity: graft.core.EntityModel[_]): Column = {
+    require(entity.hasKeys, s"entity '${entity.name}' has no key")
+    if (entity.isCompositeKey) concat_ws("\u0000", entity.keys.map(col): _*)
+    else col(entity.keys.head)
+  }
+
   /** TOPK (:91) — composite built-ins: sort desc, take k. For very hot
     * 100TB paths a bounded-heap TypedImperativeAggregate would cut the
     * collect_list buffer; the composite keeps codegen and is partial-agg

@@ -58,10 +58,14 @@ object ToQueryValidator {
 
   private def compatible(expected: DataType, actual: DataType): Boolean =
     (expected, actual) match {
-      case (a, b) if a == b                   => true
-      case (LongType, IntegerType)            => true // widening is safe
-      case (DoubleType, FloatType)            => true
-      case (_: DecimalType, _: DecimalType)   => true // precision checked above
-      case _                                  => false
+      case (a, b) if a == b                        => true
+      case (LongType, IntegerType)                 => true // widening is safe
+      case (DoubleType, FloatType)                 => true
+      case (_: DecimalType, _: DecimalType)        => true // precision checked above
+      // the engine pins the session to UTC, so NTZ and LTZ timestamps
+      // denote the same instants (parquet scans infer NTZ in Spark 4)
+      case (TimestampType, TimestampNTZType)       => true
+      case (TimestampNTZType, TimestampType)       => true
+      case _                                       => false
     }
 }

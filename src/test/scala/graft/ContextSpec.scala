@@ -56,4 +56,39 @@ class ContextSpec extends SparkSpec {
   test("unregistered entity fails fast") {
     intercept[NoSuchElementException](ctx.entityModel("nope"))
   }
+
+  test("toQueryAs validates the projection against the target entity at registration") {
+    val c = ctx
+    c.register(TestEntities.orders)
+    val target = graft.core.EntityModel[graft.sources.Order]("order_view")
+    val good = Ksql.from(TestEntities.orders)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+      .build()
+    c.toQueryAs("order_view", good, target) // validates, registers
+    assert(c.set("order_view").count() > 0)
+
+    val bad = Ksql.from(TestEntities.orders)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .build()
+    intercept[graft.plans.ToQueryValidator.ValidationError] {
+      c.toQueryAs("order_view2", bad, target)
+    }
+  }
+
+  test("ROWTIME / ROWKEY pseudo-columns resolve from the entity model") {
+    import graft.functions.KFunctions
+    val ev = graft.sources.Tables.load(spark, dir, "events")
+    val r = ev.select(
+      KFunctions.rowTime(TestEntities.events).as("rt"),
+      KFunctions.rowKey(TestEntities.events).as("rk")
+    ).limit(1).collect().head
+    assert(r.getAs[java.sql.Timestamp]("rt") != null)
+    assert(r.getAs[Long]("rk") >= 0)
+    val li = graft.sources.Tables.load(spark, dir, "lineitem")
+    val composite = li.select(KFunctions.rowKey(TestEntities.lineitem).as("rk"))
+      .limit(1).collect().head.getString(0)
+    assert(composite.contains("\u0000"))
+    intercept[IllegalArgumentException](KFunctions.rowTime(TestEntities.customer))
+  }
 }
