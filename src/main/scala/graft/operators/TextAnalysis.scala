@@ -71,13 +71,16 @@ object TextAnalysis {
       .withColumn("n_tok_approx", ceil(length(col(textCol)) / 4).cast("int"))
 
   /** Winnowing-style document fingerprint: lexicographic min of the
-    * hashes of all character 8-grams — robust to small edits, pure
-    * column math (transform over substring windows + array_min).
+    * hashes of character 8-grams sampled at `stride` — robust to small
+    * edits, pure column math (transform over substring windows +
+    * array_min). Stride 2 halves the hash count with negligible
+    * fingerprint-collision impact (min-sampling keeps the extremum
+    * property over the sampled family).
     */
-  def fingerprint(textColName: String, gram: Int = 8): Column =
+  def fingerprint(textColName: String, gram: Int = 8, stride: Int = 2): Column =
     array_min(
       expr(
-        s"transform(sequence(1, greatest(length($textColName) - ${gram - 1}, 1)), " +
+        s"transform(sequence(1, greatest(length($textColName) - ${gram - 1}, 1), $stride), " +
           s"i -> md5(cast(substring($textColName, i, $gram) AS BINARY)))"
       )
     )

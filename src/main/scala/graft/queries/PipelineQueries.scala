@@ -331,7 +331,7 @@ object PipelineQueries extends QueryPack {
         |ORDER BY doc_id""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id,
-        |       LIST_MIN(LIST_TRANSFORM(RANGE(1, GREATEST(LENGTH(text) - 6, 2)),
+        |       LIST_MIN(LIST_TRANSFORM(RANGE(1, GREATEST(LENGTH(text) - 6, 2), 2),
         |                i -> MD5(SUBSTRING(text, i, 8)))) AS fingerprint
         |FROM documents
         |ORDER BY doc_id""".stripMargin,

@@ -73,6 +73,10 @@ def main():
             print(f"FAIL {name}: rowcount spark={len(sr)} duck={len(dr)}")
             failed.append(name)
             continue
+        if len(sr) == 0:
+            # an empty result hash-matches trivially — almost always a
+            # mis-aimed predicate, so flag it loudly
+            print(f"WARN {name}: 0 rows on both sides (vacuous match)")
         bad = [(a, b) for a, b in zip(sr, dr) if a != b]
         if bad:
             print(f"FAIL {name}: {len(bad)}/{len(sr)} rows differ; first:")
