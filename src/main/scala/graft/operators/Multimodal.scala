@@ -78,6 +78,32 @@ object Multimodal {
     }(enc)
   }
 
+  /** Partition-local "resize": recompute target dimensions preserving
+    * aspect ratio and produce a derived payload. STUB — the pixel
+    * resample is faked as a deterministic byte slice (no codec in this
+    * container); the contract (payload in → payload out + new dims,
+    * partition-local, no shuffle) is real.
+    */
+  def resizeStub(df: DataFrame, payloadCol: String, maxSide: Int): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("resized_payload", BinaryType),
+      StructField("resized_width", IntegerType),
+      StructField("resized_height", IntegerType)
+    ))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        val (w, h, _, _) = decodeStub(bytes)
+        val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
+        val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+        val resized = java.util.Arrays.copyOf(bytes, math.max(1, (bytes.length * scale).toInt))
+        Row.fromSeq(r.toSeq ++ Seq(resized, nw, nh))
+      }
+    }(enc)
+  }
+
   /** Frame sampling plan for video payloads: expand to (frame_idx, ts)
     * rows WITHOUT duplicating the payload — downstream per-frame decode
     * re-reads the payload column once per partition, not per frame.

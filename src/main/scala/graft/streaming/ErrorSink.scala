@@ -59,7 +59,8 @@ object ErrorSink {
       action: ErrorAction,
       dlqPath: String,
       maxRetries: Int = 3,
-      initialDelayMs: Long = 100
+      initialDelayMs: Long = 100,
+      retryWhen: Throwable => Boolean = _ => true
   )(write: DataFrame => Unit): (DataFrame, Long) => Unit = { (batch, batchId) =>
     val attempts = action match {
       case ErrorAction.Retry => maxRetries
@@ -74,7 +75,10 @@ object ErrorSink {
         case e: Throwable =>
           lastError = Some(e)
           attempt += 1
-          if (attempt < attempts) Thread.sleep(initialDelayMs * attempt)
+          // WithRetryWhen predicate (ErrorHandlingExtensions.cs:36):
+          // non-matching errors stop retrying immediately
+          if (!retryWhen(e)) attempt = attempts
+          else if (attempt < attempts) Thread.sleep(initialDelayMs * attempt)
       }
     }
     if (!done) {

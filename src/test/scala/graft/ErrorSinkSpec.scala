@@ -36,6 +36,20 @@ class ErrorSinkSpec extends SparkSpec {
     assert(rows.forall(_.getAs[String]("raw").contains("\"id\"")))
   }
 
+  test("retryWhen predicate stops retries for non-matching errors (WithRetryWhen)") {
+    val dlq = Files.createTempDirectory("dlq").toString + "/out"
+    val attempts = new AtomicInteger(0)
+    val fn = ErrorSink.guardedForeachBatch(
+      spark, "src", ErrorAction.Retry, dlq, maxRetries = 5, initialDelayMs = 1,
+      retryWhen = _.getMessage.contains("transient")) { _ =>
+      attempts.incrementAndGet()
+      sys.error("fatal: not retryable")
+    }
+    fn(batch, 0L)
+    assert(attempts.get() == 1) // no retries on a non-matching error
+    assert(spark.read.parquet(dlq).count() == 2) // dead-lettered instead
+  }
+
   test("Skip drops the failed batch silently") {
     val dlq = Files.createTempDirectory("dlq").toString + "/out"
     val fn = ErrorSink.guardedForeachBatch(

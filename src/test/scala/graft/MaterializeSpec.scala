@@ -51,6 +51,33 @@ class MaterializeSpec extends SparkSpec {
     } finally { qLive.stop(); qFin.stop() }
   }
 
+  test("streaming hopping window lowers through the planner (update mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.dsl.Ksql
+    import graft.sources.TestEntities
+    import scala.concurrent.duration._
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val src = mem.toDF().toDF("event_id", "ts", "event_type", "value")
+    val model = Ksql
+      .from(TestEntities.events)
+      .hopping(10.minutes, 5.minutes, grace = Some(0.seconds))
+      .groupBy("event_type" -> col("event_type"))
+      .select(count(lit(1)).as("cnt"))
+      .build()
+    val df = graft.plans.Planner.streaming(model, _ => src)
+    assert(df.isStreaming)
+    val q = df.writeStream.format("memory").queryName("hop_stream")
+      .outputMode("update").start()
+    try {
+      mem.addData((1L, t("2024-01-01 00:07:00"), "buy", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("hop_stream").collect()
+      // one event in size-10m/slide-5m windows -> two windows
+      assert(rows.length == 2)
+      assert(rows.forall(_.getAs[Long]("cnt") == 1))
+    } finally q.stop()
+  }
+
   test("streaming exact dedup drops duplicates within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)]

@@ -35,6 +35,19 @@ class MultimodalSpec extends SparkSpec {
     assert(b >= 0.0 && b <= 1.0)
   }
 
+  test("resizeStub scales dims aspect-preserved and never upsizes") {
+    val out = Multimodal.resizeStub(media, "payload", maxSide = 256)
+      .select("id", "resized_width", "resized_height").collect()
+    out.foreach { r =>
+      val (w, h) = (r.getInt(1), r.getInt(2))
+      assert(w <= 256 && h <= 256 && w >= 1 && h >= 1)
+    }
+    // deterministic across runs
+    val again = Multimodal.resizeStub(media, "payload", maxSide = 256)
+      .select("id", "resized_width", "resized_height").collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("sampleFrames expands every Nth frame without payload duplication in plan") {
     val withFrames = media.withColumn("n_frames", lit(10))
     val frames = Multimodal.sampleFrames(withFrames, "n_frames", everyNth = 3)
