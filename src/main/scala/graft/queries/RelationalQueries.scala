@@ -53,8 +53,13 @@ object RelationalQueries extends QueryPack {
           .select(
             dsum(col("l_quantity")).as("sum_qty"),
             dsum(col("l_extendedprice")).as("sum_base_price"),
+            // scale-4 sum: price(2dp) × (1-discount)(2dp) has EXACTLY 4
+            // decimal digits, so the cast never rounds (engines disagree
+            // on half-rounding) and the sum stays under 2^53 scale units
+            // (a scale-10 sum overflows that and its double conversion
+            // drifts by an ulp between engines)
             sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-              .cast(DecimalType(28, 10))).cast("double").as("sum_disc_price"),
+              .cast(DecimalType(28, 4))).cast("double").as("sum_disc_price"),
             (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
             min(col("l_quantity")).as("min_qty"),
             max(col("l_quantity")).as("max_qty"),
@@ -261,7 +266,7 @@ object RelationalQueries extends QueryPack {
       """SELECT l_returnflag, l_linestatus,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
         |       MIN(l_quantity) AS min_qty,
         |       MAX(l_quantity) AS max_qty,
