@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Dedup operator properties beyond the oracle queries: duplicate
+  * detection guarantees and the hot-bucket cap.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a one-word edit in a 48-word doc keeps shingle-Jaccard ≈ 0.93, which
+  // the 4x4 banding detects with probability ≈ 1 (and the hash family is
+  // deterministic, so this test is stable)
+  private val base = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+    "kilo lima mike november oscar papa quebec romeo sierra tango " +
+    "uniform victor whiskey xray yankee zulu one two three four " +
+    "five six seven eight nine ten eleven twelve thirteen fourteen " +
+    "fifteen sixteen seventeen eighteen nineteen twenty alpha end")
+  private val docs = Seq(
+    (1L, base),
+    (2L, base), // exact dup of 1
+    (3L, base.replace("oscar", "OSCAR")), // near dup of 1
+    (4L, "completely different content about spark streaming engines okay")
+  ).toDF("doc_id", "text")
+
+  test("minhash finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // identical -> identical signature
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("maxBucketSize cap drops oversized buckets") {
+    // 30 identical docs form one giant bucket per band; cap 10 kills them
+    val many = (1L to 30L).map(i => (i, "same same same text for every single one of them"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.minhashCandidates(many, "doc_id", "text")
+    assert(uncapped.count() == 30L * 29 / 2)
+    val capped = Dedup.minhashCandidates(many, "doc_id", "text", maxBucketSize = Some(10))
+    assert(capped.count() == 0)
+  }
+
+  test("simhash: identical docs share a fingerprint, near dups are close in hamming") {
+    val fp = Dedup.simhash(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    val hamming = java.lang.Long.bitCount(fp(1L) ^ fp(3L))
+    assert(hamming <= 6, s"near-dup hamming was $hamming")
+  }
+}
