@@ -30,9 +30,12 @@ object Planner {
   def batch(model: QueryModel, catalog: String => DataFrame): DataFrame = {
     val base = sourceWithJoin(model, catalog, streaming = false)
     val filtered0 = model.wheres.foldLeft(base)(_.filter(_))
-    val filtered = model.schedule.fold(filtered0)(s =>
-      applySchedule(filtered0, s, model.timeKey.get, catalog)
-    )
+    val filtered = model.schedule.fold(filtered0) { s =>
+      val tk = model.timeKey.getOrElse(
+        throw new IllegalStateException("TimeFrame requires an entity time key")
+      )
+      applySchedule(filtered0, s, tk, catalog)
+    }
 
     val projected =
       if (model.groupBy.isEmpty && model.tumbling.isEmpty && model.hopping.isEmpty) {
@@ -77,9 +80,12 @@ object Planner {
   def streaming(model: QueryModel, catalog: String => DataFrame): DataFrame = {
     val base = sourceWithJoin(model, catalog, streaming = true)
     val filtered0 = model.wheres.foldLeft(base)(_.filter(_))
-    val filtered = model.schedule.fold(filtered0)(s =>
-      applySchedule(filtered0, s, model.timeKey.get, catalog)
-    )
+    val filtered = model.schedule.fold(filtered0) { s =>
+      val tk = model.timeKey.getOrElse(
+        throw new IllegalStateException("TimeFrame requires an entity time key")
+      )
+      applySchedule(filtered0, s, tk, catalog)
+    }
     if (!model.isAggregateQuery) {
       if (model.select.nonEmpty) filtered.select(model.select: _*) else filtered
     } else {
