@@ -142,4 +142,15 @@ final class EventSet[T](ctx: GraftContext, val model: EntityModel[T]) {
     */
   def map[U](f: T => U)(implicit uenc: org.apache.spark.sql.Encoder[U]): Dataset[U] =
     toDS.map(f)
+
+  /** `Limit(n)` — newest N records by the entity's event-time column
+    * (`EventSetLimitExtensions`: keeps the newest, not an arbitrary
+    * head).
+    */
+  def latest(n: Int): Seq[T] = {
+    val tk = model.timeKey.getOrElse(
+      throw new IllegalArgumentException(s"entity '${model.name}' has no time key for latest()")
+    )
+    toDS.orderBy(org.apache.spark.sql.functions.col(tk).desc).limit(n).collect().toSeq
+  }
 }

@@ -161,8 +161,28 @@ final case class GroupedStage(model: QueryModel) {
   * `/root/reference/src/Query/Pipeline/DMLQueryGenerator.cs:508-512`).
   */
 final case class BuiltQuery(model: QueryModel) {
-  def orderBy(cols: Column*): BuiltQuery =
+
+  /** ORDER BY with function-context validation: functions flagged
+    * `allowedInOrderBy = false` in the registry (SPLIT, COLLECT_*,
+    * aggregates — `KsqlFunctionRegistry.cs:17-77`) are rejected here,
+    * reproducing the reference's validation errors.
+    */
+  def orderBy(cols: Column*): BuiltQuery = {
+    cols.foreach { c =>
+      org.apache.spark.sql.graftbridge.ColumnBridge
+        .functionNames(c)
+        .find { n =>
+          graft.functions.KFunctions.registry
+            .get(n.toUpperCase)
+            .exists(!_.allowedInOrderBy)
+        }
+        .foreach { bad =>
+          throw new IllegalStateException(s"function $bad is not allowed in ORDER BY")
+        }
+    }
     copy(model = model.copy(orderBy = cols))
+  }
+
   def limit(n: Int): BuiltQuery = copy(model = model.copy(limit = Some(n)))
   def build(): QueryModel = model
 }

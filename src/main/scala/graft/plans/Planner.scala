@@ -78,6 +78,13 @@ object Planner {
     * watermark. Output mode is decided by [[outputMode]].
     */
   def streaming(model: QueryModel, catalog: String => DataFrame): DataFrame = {
+    if (model.orderBy.nonEmpty || model.limit.nonEmpty)
+      // push-query ORDER BY/LIMIT is dropped with a warning, matching the
+      // reference (`DMLQueryGenerator.cs:508-512` warns; ksqlDB ignores) —
+      // Structured Streaming cannot sort an unbounded stream
+      System.err.println(
+        "[graft] WARN: ORDER BY/LIMIT on a push (streaming) query is ignored"
+      )
     val base = sourceWithJoin(model, catalog, streaming = true)
     val filtered0 = model.wheres.foldLeft(base)(_.filter(_))
     val filtered = model.schedule.fold(filtered0) { s =>

@@ -43,7 +43,7 @@ object ErrorSink {
   def envelope(batch: DataFrame, sourceName: String, error: Throwable): DataFrame =
     batch.select(
       lit(sourceName).as("source"),
-      to_json(struct(batch.columns.map(col): _*)).as("raw"),
+      to_json(struct(batch.columns.toIndexedSeq.map(col): _*)).as("raw"),
       lit(String.valueOf(error.getMessage)).as("error_phase"),
       current_timestamp().as("dlq_ts")
     )

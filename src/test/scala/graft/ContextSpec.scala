@@ -76,6 +76,19 @@ class ContextSpec extends SparkSpec {
     }
   }
 
+  test("EventSet.latest keeps the newest N by event time") {
+    val c = ctx
+    val set = c.eventSet(TestEntities.events)
+    val newest = set.latest(3)
+    assert(newest.size == 3)
+    val ts = newest.map(_.ts.getTime)
+    assert(ts == ts.sorted.reverse) // descending
+    val globalMax = set.toDS.agg(org.apache.spark.sql.functions.max("ts"))
+      .head.getTimestamp(0).getTime
+    assert(ts.head == globalMax)
+    intercept[IllegalArgumentException](c.eventSet(TestEntities.region).latest(1))
+  }
+
   test("ROWTIME / ROWKEY pseudo-columns resolve from the entity model") {
     import graft.functions.KFunctions
     val ev = graft.sources.Tables.load(spark, dir, "events")

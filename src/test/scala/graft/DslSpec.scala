@@ -69,6 +69,17 @@ class DslSpec extends SparkSpec {
     assert(!s.isAggregateQuery)
   }
 
+  test("ORDER BY rejects functions flagged not-allowed (SPLIT, aggregates)") {
+    val q = Ksql.from(orders).select(col("o_orderkey"), col("o_orderstatus"))
+    intercept[IllegalStateException] {
+      q.orderBy(split(col("o_orderstatus"), ","))
+    }
+    intercept[IllegalStateException] {
+      q.orderBy(sum(col("o_orderkey")))
+    }
+    q.orderBy(col("o_orderkey").desc) // plain columns fine
+  }
+
   test("aggregate query infers Table, plain projection infers Stream") {
     import graft.core.StreamTableType
     val agg = Ksql.from(orders).groupBy("o_custkey" -> col("o_custkey"))
