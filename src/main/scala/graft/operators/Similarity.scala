@@ -19,10 +19,21 @@ import org.apache.spark.sql.{Column, DataFrame}
 object Similarity {
 
   /** Cosine similarity between two float-array columns, computed in
-    * double precision. Pure `zip_with`/`aggregate` column expressions —
-    * codegen'd, no UDF, deterministic accumulation order.
+    * double precision by the native fused-loop expression
+    * ([[graft.functions.CosineSimilarity]] — one pass, no intermediate
+    * arrays). [[cosineComposed]] is the built-ins-only equivalent; the
+    * two are bit-identical (same accumulation order), spec-proven.
     */
-  def cosine(a: Column, b: Column): Column = {
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.CosineSimilarity(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)
+      )
+    )
+
+  /** Composed form: `zip_with` + `aggregate` built-ins only. */
+  def cosineComposed(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(
         zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),

@@ -14,4 +14,14 @@ object ColumnBridge {
   /** Every function name referenced anywhere in the column's tree. */
   def functionNames(c: Column): Seq[String] =
     c.node.collect { case f: UnresolvedFunction => f.functionName }
+
+  /** Wrap a catalyst Expression as a user-facing Column (for custom
+    * expressions like [[graft.functions.CosineSimilarity]]).
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** Column → catalyst Expression (unresolved). */
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 }
