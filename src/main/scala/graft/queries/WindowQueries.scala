@@ -119,6 +119,23 @@ object WindowQueries extends QueryPack {
       ).orderBy(col("window_start"), col("event_type"))
     },
 
+    // Session windows (gap-based) — BEYOND the reference: its DSL has
+    // none (SURVEY §2.1), Spark's session_window is native. A session
+    // closes after 30 idle minutes; window_end = last event + gap.
+    "q_window_session" -> { (s, dir) =>
+      graft.sources.Tables
+        .load(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(
+          col("w.start").as("window_start"),
+          col("w.end").as("window_end"),
+          col("event_type"),
+          col("cnt")
+        )
+        .orderBy(col("event_type"), col("window_start"))
+    },
+
     // Stream-stream join with the default WITHIN 300s bound
     // (`KsqlCreateStatementBuilder.cs:362-376`) — the planner injects the
     // symmetric time-range predicate automatically
@@ -281,6 +298,26 @@ object WindowQueries extends QueryPack {
         |FROM events
         |GROUP BY 1, 2, 3
         |ORDER BY window_start, event_type""".stripMargin,
+    "q_window_session" ->
+      """WITH marked AS (
+        |  SELECT event_type, ts,
+        |         CASE WHEN LAG(ts) OVER w IS NULL
+        |               OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts)),
+        |sess AS (
+        |  SELECT event_type, ts,
+        |         SUM(new_s) OVER (PARTITION BY event_type ORDER BY ts
+        |                          ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT MIN(ts) AS window_start,
+        |       MAX(ts) + INTERVAL '30 minutes' AS window_end,
+        |       event_type,
+        |       COUNT(*) AS cnt
+        |FROM sess
+        |GROUP BY event_type, sid
+        |ORDER BY event_type, window_start""".stripMargin,
     "q_join_within" ->
       """SELECT e1.event_id AS signup_id,
         |       e2.event_id AS purchase_id,
