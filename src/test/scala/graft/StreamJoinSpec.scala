@@ -20,6 +20,51 @@ class StreamJoinSpec extends SparkSpec {
 
   private def t(s: String) = Timestamp.valueOf(s)
 
+  test("stream-stream LEFT OUTER join emits null-padded rows after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Click]
+    val buys = MemoryStream[Buy]
+    val clickEntity = EntityModel[Click]("clicks").key("user").timestamp("ts").validated
+    val buyEntity = EntityModel[Buy]("buys").key("buyer").timestamp("ts").validated
+
+    val model = Ksql
+      .from(clickEntity)
+      .leftJoin(buyEntity, col("clicks.user") === col("buys.buyer"))
+      .select(
+        col("clicks.user").as("user"),
+        col("buys.amount").as("amount")
+      )
+      .build()
+    val joined = Planner.streaming(
+      model,
+      { case "clicks" => clicks.toDF(); case "buys" => buys.toDF() }
+    )
+    val q = joined.writeStream.format("memory").queryName("louter_join")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        Click(1, t("2024-01-01 10:00:00"), "home"), // will match
+        Click(2, t("2024-01-01 10:00:00"), "shop")  // never matches
+      )
+      buys.addData(Buy(1, t("2024-01-01 10:01:00"), 7.5))
+      q.processAllAvailable()
+      // push both watermarks far past the join window so the unmatched
+      // left row is finalized with nulls
+      clicks.addData(Click(9, t("2024-01-01 13:00:00"), "x"))
+      buys.addData(Buy(9, t("2024-01-01 13:00:01"), 0.0))
+      q.processAllAvailable()
+      clicks.addData(Click(10, t("2024-01-01 14:00:00"), "x"))
+      buys.addData(Buy(10, t("2024-01-01 14:00:01"), 0.0))
+      q.processAllAvailable()
+
+      val rows = spark.table("louter_join").filter($"user" < 9)
+        .select($"user", $"amount").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+      assert(rows.contains((1L, Some(7.5))))
+      assert(rows.contains((2L, None))) // unmatched left emitted with null
+    } finally q.stop()
+  }
+
   test("WITHIN-bounded stream-stream join drops far-apart pairs") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Click]
