@@ -65,6 +65,24 @@ object KFunctions {
   def jsonRecords(c: Column): Column =
     from_json(c, org.apache.spark.sql.types.MapType(StringType, StringType))
 
+  /** JSON_ARRAY_CONTAINS (registry :111): parse the JSON array with the
+    * element type of the probe value, then array membership — pure
+    * from_json + array_contains, no UDF.
+    */
+  def jsonArrayContains(
+      jsonArr: Column,
+      value: Column,
+      elemType: DataType = StringType
+  ): Column =
+    array_contains(from_json(jsonArr, ArrayType(elemType)), value.cast(elemType))
+
+  // ---- crypto (registry :141-143) ----
+  /** SHA1 (registry :142) — hex digest like MD5/SHA256. DuckDB 1.0 has no
+    * sha1, so this is covered by FunctionsSpec NIST vectors rather than a
+    * driver oracle.
+    */
+  def sha1Hex(c: Column): Column = sha1(c)
+
   /** LOG with base (registry :57 two-arg form): log_base(b, x). */
   def logBase(base: Double, c: Column): Column = log(base, c)
 

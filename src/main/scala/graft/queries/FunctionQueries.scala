@@ -135,7 +135,16 @@ object FunctionQueries extends QueryPack {
             json_array_length(
               concat(lit("[1,2,"), get_json_object(col("props"), "$.k"), lit("]"))
             ).as("arr_len"),
-            json_object_keys(col("props")).as("obj_keys"),
+            // array output serialized to a scalar string: the driver's
+            // pandas comparator cannot hash ndarray cells
+            array_join(json_object_keys(col("props")), ",").as("obj_keys"),
+            KFunctions
+              .jsonArrayContains(
+                concat(lit("[1,2,"), get_json_object(col("props"), "$.k"), lit("]")),
+                lit(5L),
+                org.apache.spark.sql.types.LongType
+              )
+              .as("has_five"),
             get_json_object(col("props"), "$.missing").isNull.as("missing_is_null")
           )
           .orderBy(col("event_id"))
@@ -181,17 +190,22 @@ object FunctionQueries extends QueryPack {
           .build(),
         catalog(s, dir)
       ).select(
+        // every array-valued result is serialized through array_join so the
+        // driver's pandas comparator sees only scalar strings
         col("p_partkey"),
         size(col("words")).as("arr_len"),
         array_contains(col("words"), "widget").as("has_widget"),
-        slice(col("words"), 1, 1).as("first_word"),
+        array_join(slice(col("words"), 1, 1), "_").as("first_word"),
         array_join(col("words"), "_").as("joined"),
-        sort_array(array_distinct(col("tags"))).as("tags_distinct"),
-        sort_array(array_except(col("tags"), array(lit("ECONOMY")))).as("tags_except"),
-        sort_array(array_intersect(col("tags"), array(lit("ECONOMY"), lit("PROMO"))))
-          .as("tags_inter"),
-        sort_array(array_union(col("words"), col("tags"))).as("all_tokens"),
-        sort_array(col("words")).as("words_sorted"),
+        array_join(sort_array(array_distinct(col("tags"))), "|").as("tags_distinct"),
+        array_join(sort_array(array_except(col("tags"), array(lit("ECONOMY")))), "|")
+          .as("tags_except"),
+        array_join(
+          sort_array(array_intersect(col("tags"), array(lit("ECONOMY"), lit("PROMO")))),
+          "|"
+        ).as("tags_inter"),
+        array_join(sort_array(array_union(col("words"), col("tags"))), "|").as("all_tokens"),
+        array_join(sort_array(col("words")), "|").as("words_sorted"),
         array_max(col("words")).as("word_max"),
         array_min(col("words")).as("word_min")
       ).orderBy(col("p_partkey"))
@@ -260,11 +274,11 @@ object FunctionQueries extends QueryPack {
       """SELECT l_orderkey, l_linenumber,
         |       ABS(l_quantity - 25.0) AS abs_dev,
         |       ROUND(l_extendedprice, 1) AS price_round,
-        |       FLOOR(l_discount * 100) AS disc_floor,
-        |       CEIL(l_discount * 100) AS disc_ceil,
+        |       CAST(FLOOR(l_discount * 100) AS BIGINT) AS disc_floor,
+        |       CAST(CEIL(l_discount * 100) AS BIGINT) AS disc_ceil,
         |       SQRT(l_quantity) AS qty_sqrt,
         |       ROUND(POW(l_quantity, 2), 6) AS qty_sq,
-        |       SIGN(l_quantity - 25.0) AS qty_sign,
+        |       CAST(SIGN(l_quantity - 25.0) AS DOUBLE) AS qty_sign,
         |       ROUND(SIN(l_quantity), 6) AS qty_sin,
         |       ROUND(COS(l_quantity), 6) AS qty_cos,
         |       ROUND(TAN(l_quantity), 6) AS qty_tan,
@@ -309,7 +323,8 @@ object FunctionQueries extends QueryPack {
         |       CAST(props->>'$.k' AS VARCHAR) AS k_str,
         |       CAST(props->>'$.k' AS INT) AS k_int,
         |       CAST(JSON_ARRAY_LENGTH('[1,2,' || (props->>'$.k') || ']') AS INT) AS arr_len,
-        |       CAST(JSON_KEYS(props) AS VARCHAR[]) AS obj_keys,
+        |       ARRAY_TO_STRING(CAST(JSON_KEYS(props) AS VARCHAR[]), ',') AS obj_keys,
+        |       JSON_CONTAINS('[1,2,' || (props->>'$.k') || ']', '5') AS has_five,
         |       (props->>'$.missing') IS NULL AS missing_is_null
         |FROM events
         |WHERE event_id < 500
@@ -331,13 +346,13 @@ object FunctionQueries extends QueryPack {
         |SELECT p_partkey,
         |       CAST(LEN(words) AS INT) AS arr_len,
         |       LIST_CONTAINS(words, 'widget') AS has_widget,
-        |       words[1:1] AS first_word,
+        |       ARRAY_TO_STRING(words[1:1], '_') AS first_word,
         |       ARRAY_TO_STRING(words, '_') AS joined,
-        |       LIST_SORT(LIST_DISTINCT(tags)) AS tags_distinct,
-        |       LIST_SORT(LIST_FILTER(LIST_DISTINCT(tags), x -> x <> 'ECONOMY')) AS tags_except,
-        |       LIST_SORT(LIST_DISTINCT(LIST_FILTER(tags, x -> x IN ('ECONOMY','PROMO')))) AS tags_inter,
-        |       LIST_SORT(LIST_DISTINCT(LIST_CONCAT(words, tags))) AS all_tokens,
-        |       LIST_SORT(words) AS words_sorted,
+        |       ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(tags)), '|') AS tags_distinct,
+        |       ARRAY_TO_STRING(LIST_SORT(LIST_FILTER(LIST_DISTINCT(tags), x -> x <> 'ECONOMY')), '|') AS tags_except,
+        |       ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(LIST_FILTER(tags, x -> x IN ('ECONOMY','PROMO')))), '|') AS tags_inter,
+        |       ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(LIST_CONCAT(words, tags))), '|') AS all_tokens,
+        |       ARRAY_TO_STRING(LIST_SORT(words), '|') AS words_sorted,
         |       LIST_MAX(words) AS word_max,
         |       LIST_MIN(words) AS word_min
         |FROM p

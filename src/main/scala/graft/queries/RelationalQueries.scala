@@ -198,7 +198,9 @@ object RelationalQueries extends QueryPack {
       )
     },
 
-    // COLLECT_LIST / COLLECT_SET (sorted for deterministic compare)
+    // COLLECT_LIST / COLLECT_SET (sorted for deterministic compare;
+    // serialized via array_join — the driver's pandas comparator cannot
+    // hash ndarray cells, so every output column must be scalar)
     "q_collect" -> { (s, dir) =>
       Planner.batch(
         Ksql
@@ -206,8 +208,11 @@ object RelationalQueries extends QueryPack {
           .where(col("l_orderkey") < 100)
           .groupBy("l_orderkey" -> col("l_orderkey"))
           .select(
-            sort_array(collect_list(col("l_linenumber"))).as("line_nums"),
-            sort_array(collect_set(col("l_returnflag"))).as("flags")
+            array_join(
+              sort_array(collect_list(col("l_linenumber"))).cast("array<string>"),
+              ","
+            ).as("line_nums"),
+            array_join(sort_array(collect_set(col("l_returnflag"))), ",").as("flags")
           )
           .orderBy(col("l_orderkey"))
           .build(),
@@ -220,18 +225,29 @@ object RelationalQueries extends QueryPack {
     // BoundedTopKSpec proves heap ≡ composite.
     "q_topk" -> { (s, dir) =>
       graft.functions.BoundedTopK.register(s)
-      Planner.batch(
-        Ksql
-          .from(events)
-          .groupBy("event_type" -> col("event_type"))
-          .select(
-            expr("bounded_topk(value, 3)").as("top3"),
-            graft.functions.KFunctions.topKDistinct(col("user_id"), 3).as("top3_users")
-          )
-          .orderBy(col("event_type"))
-          .build(),
-        catalog(s, dir)
-      )
+      // top-k doubles come out as scalar rank columns (get() is null-safe
+      // out of bounds) — double→string formatting differs across engines,
+      // so numeric columns beat a joined string here
+      Planner
+        .batch(
+          Ksql
+            .from(events)
+            .groupBy("event_type" -> col("event_type"))
+            .select(
+              expr("bounded_topk(value, 3)").as("topv"),
+              graft.functions.KFunctions.topKDistinct(col("user_id"), 3).as("topu")
+            )
+            .build(),
+          catalog(s, dir)
+        )
+        .select(
+          col("event_type"),
+          get(col("topv"), lit(0)).as("top1"),
+          get(col("topv"), lit(1)).as("top2"),
+          get(col("topv"), lit(2)).as("top3"),
+          array_join(col("topu").cast("array<string>"), ",").as("top_users")
+        )
+        .orderBy(col("event_type"))
     },
 
     // HISTOGRAM: value→count as sorted entry structs (map emitted as
@@ -250,7 +266,19 @@ object RelationalQueries extends QueryPack {
       )
       buckets
         .groupBy(col("event_type"))
-        .agg(sort_array(collect_list(struct(col("bucket"), col("cnt")))).as("hist"))
+        .agg(
+          // entries rendered "bucket:cnt" and joined — lexical sort of the
+          // rendered strings is identical in Spark and DuckDB (binary
+          // collation both sides), and the output stays scalar
+          array_join(
+            sort_array(
+              collect_list(
+                concat(col("bucket").cast("string"), lit(":"), col("cnt").cast("string"))
+              )
+            ),
+            "|"
+          ).as("hist")
+        )
         .orderBy(col("event_type"))
     }
   )
@@ -330,16 +358,18 @@ object RelationalQueries extends QueryPack {
         |ORDER BY event_type""".stripMargin,
     "q_collect" ->
       """SELECT l_orderkey,
-        |       LIST_SORT(LIST(l_linenumber)) AS line_nums,
-        |       LIST_SORT(LIST(DISTINCT l_returnflag)) AS flags
+        |       ARRAY_TO_STRING(LIST_SORT(LIST(l_linenumber)), ',') AS line_nums,
+        |       ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT l_returnflag)), ',') AS flags
         |FROM lineitem
         |WHERE l_orderkey < 100
         |GROUP BY l_orderkey
         |ORDER BY l_orderkey""".stripMargin,
     "q_topk" ->
       """SELECT event_type,
-        |       LIST_SORT(LIST(value), 'DESC')[1:3] AS top3,
-        |       LIST_SORT(LIST(DISTINCT user_id), 'DESC')[1:3] AS top3_users
+        |       LIST_SORT(LIST(value), 'DESC')[1] AS top1,
+        |       LIST_SORT(LIST(value), 'DESC')[2] AS top2,
+        |       LIST_SORT(LIST(value), 'DESC')[3] AS top3,
+        |       ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT user_id), 'DESC')[1:3], ',') AS top_users
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
@@ -350,7 +380,7 @@ object RelationalQueries extends QueryPack {
         |         COUNT(*) AS cnt
         |  FROM events GROUP BY 1, 2)
         |SELECT event_type,
-        |       LIST_SORT(LIST({'bucket': bucket, 'cnt': cnt})) AS hist
+        |       ARRAY_TO_STRING(LIST_SORT(LIST(CAST(bucket AS VARCHAR) || ':' || CAST(cnt AS VARCHAR))), '|') AS hist
         |FROM b GROUP BY event_type
         |ORDER BY event_type""".stripMargin
   )

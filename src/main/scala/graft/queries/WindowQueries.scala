@@ -278,7 +278,7 @@ object WindowQueries extends QueryPack {
         |       MAX(high) AS high,
         |       MIN(low) AS low,
         |       ARG_MAX(close, ws) AS close,
-        |       SUM(cnt) AS cnt
+        |       CAST(SUM(cnt) AS BIGINT) AS cnt
         |FROM b1s
         |GROUP BY 1, 2
         |ORDER BY bucket_start, event_type""".stripMargin,

@@ -28,8 +28,21 @@ class FunctionsSpec extends SparkSpec {
   }
 
   test("sha1 matches the known test vector") {
-    val h = Seq("abc").toDF("s").select(sha1($"s".cast("binary"))).head.getString(0)
+    // NIST FIPS 180-1 vector; DuckDB 1.0 has no sha1, so this spec is the
+    // correctness cover for the SHA1 registry entry
+    val h =
+      Seq("abc").toDF("s").select(KFunctions.sha1Hex($"s".cast("binary"))).head.getString(0)
     assert(h == "a9993e364706816aba3e25717850c26c9cd0d89d")
+  }
+
+  test("jsonArrayContains parses the array with the probe's element type") {
+    import org.apache.spark.sql.types.LongType
+    val df = Seq("[1,2,5]", "[1,2,9]", "not json").toDF("j")
+    val got = df
+      .select(KFunctions.jsonArrayContains($"j", lit(5L), LongType).as("c"))
+      .collect()
+      .map(r => Option(r.get(0)))
+    assert(got.toSeq == Seq(Some(true), Some(false), None))
   }
 
   test("geoDistance: known city pair within tolerance; asGeoJson shape") {
