@@ -341,6 +341,29 @@ object PipelineQueries extends QueryPack {
         |       CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS byte_len,
         |       SHA256(text) AS payload_sha256
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    // the decode stub's features are sha256-derived (Multimodal.decodeStub),
+    // so DuckDB can recompute them exactly: unsigned bytes u0..u6 of the
+    // digest via hex-digit arithmetic on SHA256's hex output
+    "q_multimodal_decode" -> {
+      val u = (0 to 6).map { i =>
+        val p = 2 * i + 1
+        s"(STRPOS('0123456789abcdef', SUBSTRING(hx,$p,1))-1)*16 + " +
+          s"STRPOS('0123456789abcdef', SUBSTRING(hx,${p + 1},1))-1 AS u$i"
+      }.mkString(",\n        |         ")
+      s"""WITH h AS (
+        |  SELECT doc_id, SHA256(text) AS hx FROM documents
+        |), b AS (
+        |  SELECT doc_id,
+        |         $u
+        |  FROM h)
+        |SELECT doc_id,
+        |       CAST(64 + (u0*256+u1) % 1984 AS INT) AS width,
+        |       CAST(64 + (u2*256+u3) % 1984 AS INT) AS height,
+        |       CAST(1 + u4 % 64 AS INT) AS n_frames,
+        |       ROUND((u5*256+u6) / 65535.0, 6) AS brightness
+        |FROM b
         |ORDER BY doc_id""".stripMargin
+    }
   )
 }
