@@ -57,6 +57,18 @@ final case class QueryStage(model: QueryModel, joined: Boolean = false) {
     copy(model = model.copy(join = Some(j.copy(withinSeconds = Some(seconds)))))
   }
 
+  /** Late-arrival grace for a stream-stream join — becomes the watermark
+    * delay on both inputs (the state-retention knob; analogous to the
+    * windowed GRACE PERIOD, `KsqlQueryable.cs:70-94`).
+    */
+  def joinGrace(seconds: Long): QueryStage = {
+    val j = model.join.getOrElse(
+      throw new IllegalStateException("JoinGrace requires a preceding Join")
+    )
+    require(seconds >= 0, "join grace must be non-negative")
+    copy(model = model.copy(join = Some(j.copy(graceSeconds = Some(seconds)))))
+  }
+
   def forbidDefaultWithin: QueryStage = {
     val j = model.join.getOrElse(
       throw new IllegalStateException("ForbidDefaultWithin requires a preceding Join")

@@ -15,7 +15,12 @@ final case class JoinSpec(
     condition: Column,
     joinType: String, // "inner" | "left_outer"
     withinSeconds: Option[Long] = None,
-    forbidDefaultWithin: Boolean = false
+    forbidDefaultWithin: Boolean = false,
+    // Late-arrival tolerance for BOTH sides of a stream-stream join: this
+    // becomes the watermark delay, which at scale is the state-retention /
+    // late-drop knob (retained state ≈ delay + WITHIN range). None → the
+    // planner default (Planner.DefaultJoinGraceSeconds).
+    graceSeconds: Option[Long] = None
 )
 
 /** Multi-timeframe tumbling spec — one DSL call fans out to N windowed

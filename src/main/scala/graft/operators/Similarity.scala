@@ -102,20 +102,56 @@ object Similarity {
       k: Int,
       nprobe: Int = 1
   ): DataFrame = {
-    def assign(df: DataFrame, keep: Seq[Column], n: Int): DataFrame = {
-      val scored = df.join(broadcast(centroids))
-        .select(keep :+ col("centroid_id") :+
-          cosine(col(vecCol), col("centroid_vec")).as("__ccos"): _*)
-      val w = Window.partitionBy(col(idCol)).orderBy(col("__ccos").desc, col("centroid_id"))
-      scored.withColumn("__crank", row_number().over(w))
-        .filter(col("__crank") <= n)
+    // Corpus assignment is a per-row argmax folded over the centroid set
+    // in ONE expression: the (tiny) centroid array rides in on a
+    // constant-key broadcast hash join, so there is no corpus × nlist row
+    // blow-up, no shuffle, and no window sort over the corpus — at
+    // nlist=1024 the old join+row_number shape multiplied corpus rows
+    // 1024× through a shuffle just to pick a max. Ties break to the
+    // smallest centroid_id (array sorted by id, strict > keeps the
+    // first), matching the former ORDER BY __ccos DESC, centroid_id.
+    val centArr = centroids
+      .agg(collect_list(struct(col("centroid_id"), col("centroid_vec"))).as("__cents"))
+      .select(sort_array(col("__cents")).as("__cents"), lit(1).as("__one"))
+    val nearestCell = aggregate(
+      col("__cents"),
+      struct(lit(Double.MinValue).as("best"), lit(-1).as("cell")),
+      (acc, c) => {
+        val s = cosine(col(vecCol), c.getField("centroid_vec"))
+        when(
+          s > acc.getField("best"),
+          struct(s.as("best"), c.getField("centroid_id").as("cell"))
+        ).otherwise(acc)
+      }
+    ).getField("cell")
+    val corpusCells = corpus
+      .select(col(idCol), col(vecCol), lit(1).as("__one"))
+      .join(broadcast(centArr), Seq("__one"))
+      .withColumn("cell", nearestCell)
+      .drop("__one", "__cents")
+
+    // Query-side nprobe ranking keeps the window — the query set is small
+    // and needs the n-best cells, not just the argmax.
+    val queryCells = {
+      val scored = queries
+        .select(col(idCol), col(vecCol))
+        .join(broadcast(centroids))
+        .select(
+          col(idCol),
+          col(vecCol),
+          col("centroid_id"),
+          cosine(col(vecCol), col("centroid_vec")).as("__ccos")
+        )
+      val w =
+        Window.partitionBy(col(idCol)).orderBy(col("__ccos").desc, col("centroid_id"))
+      scored
+        .withColumn("__crank", row_number().over(w))
+        .filter(col("__crank") <= nprobe)
         .drop("__ccos", "__crank")
         .withColumnRenamed("centroid_id", "cell")
+        .withColumnRenamed(idCol, "query_id")
+        .withColumnRenamed(vecCol, "qvec")
     }
-    val corpusCells = assign(corpus, Seq(col(idCol), col(vecCol)), 1)
-    val queryCells = assign(
-      queries.select(col(idCol), col(vecCol)), Seq(col(idCol), col(vecCol)), nprobe)
-      .withColumnRenamed(idCol, "query_id").withColumnRenamed(vecCol, "qvec")
     val scored = corpusCells
       .join(queryCells, Seq("cell"))
       .filter(col("query_id") =!= col(idCol))

@@ -26,6 +26,12 @@ object Planner {
 
   val DefaultWithinSeconds = 300L
 
+  /** Default watermark delay for stream-stream joins when the model
+    * carries no explicit `joinGrace` — the late-data tolerance, and with
+    * the WITHIN range, the state-retention bound.
+    */
+  val DefaultJoinGraceSeconds = 30L
+
   /** Batch (pull-query) lowering. `catalog` resolves entity name → DataFrame. */
   def batch(model: QueryModel, catalog: String => DataFrame): DataFrame = {
     val base = sourceWithJoin(model, catalog, streaming = false)
@@ -177,13 +183,15 @@ object Planner {
             rts >= lts - expr(s"INTERVAL $w SECONDS") &&
             rts <= lts + expr(s"INTERVAL $w SECONDS")
           } else j.condition
+        val graceExpr =
+          s"${j.graceSeconds.getOrElse(DefaultJoinGraceSeconds)} seconds"
         val l =
           if (streaming && streamStream)
-            left.withWatermark(model.source.timeKey.get, "30 seconds")
+            left.withWatermark(model.source.timeKey.get, graceExpr)
           else left
         val r =
           if (streaming && streamStream)
-            right.withWatermark(j.right.timeKey.get, "30 seconds")
+            right.withWatermark(j.right.timeKey.get, graceExpr)
           else right
         l.join(r, cond, j.joinType)
     }

@@ -41,6 +41,13 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("IVF corpus assignment is a fold, not a corpus-wide window sort") {
+    // allowed windows: query-side nprobe ranking + final per-query top-k.
+    // A third would mean the corpus × nlist assignment sort came back.
+    val plan = physical("q_ann_ivf")
+    assert("Window ".r.findAllIn(plan).size <= 2, "corpus assignment must not plan a window")
+  }
+
   test("candidate-pair operators stay equi-joins (no nested-loop)") {
     Seq("q_dedup_minhash", "q_ngram_jaccard", "q_embedding_neardup", "q_ann_lsh")
       .foreach { name =>

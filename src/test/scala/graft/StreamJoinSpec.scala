@@ -65,6 +65,36 @@ class StreamJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("joinGrace parameterizes the stream-stream watermark delay (no hardcoded 30 s)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark
+    val clicks = MemoryStream[Click]
+    val buys = MemoryStream[Buy]
+    val clickEntity = EntityModel[Click]("clicks").key("user").timestamp("ts").validated
+    val buyEntity = EntityModel[Buy]("buys").key("buyer").timestamp("ts").validated
+
+    def delaysFor(stage: graft.dsl.QueryStage): Seq[Long] = {
+      val df = Planner.streaming(
+        stage.select(col("clicks.user").as("user"), col("buys.amount").as("amount")).build(),
+        { case "clicks" => clicks.toDF(); case "buys" => buys.toDF() }
+      )
+      df.queryExecution.analyzed.collect { case e: EventTimeWatermark =>
+        e.delay.microseconds / 1000000L
+      }
+    }
+
+    val base = Ksql
+      .from(clickEntity)
+      .join(buyEntity, col("clicks.user") === col("buys.buyer"))
+    // explicit grace lands on BOTH sides' watermarks
+    assert(delaysFor(base.joinGrace(120)) == Seq(120L, 120L))
+    // unset → planner default, not a literal in the lowering
+    assert(delaysFor(base) == Seq(
+      Planner.DefaultJoinGraceSeconds,
+      Planner.DefaultJoinGraceSeconds
+    ))
+  }
+
   test("WITHIN-bounded stream-stream join drops far-apart pairs") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Click]
