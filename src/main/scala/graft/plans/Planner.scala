@@ -148,12 +148,21 @@ object Planner {
       // days from the epoch's Thursday to the first `anchor` day
       val offsetDays = ((anchor.getValue - 4) % 7 + 7) % 7
       window(ts, s"${n * 7} days", s"${n * 7} days", s"$offsetDays days")
-    case Period.Months(n) =>
-      require(n == 1, "multi-month windows need custom floor math (Periods.floorUtc)")
+    case Period.Months(1) =>
       struct(
         date_trunc("month", ts).as("start"),
         (date_trunc("month", ts) + expr("INTERVAL 1 MONTH")).as("end")
       )
+    case Period.Months(n) =>
+      // epoch-anchored n-month floor, the column form of Periods.floorUtc
+      // (core/Period.scala): months-since-epoch, floored to a multiple of
+      // n, rebuilt via add_months from 1970-01-01 (pmod keeps pre-epoch
+      // timestamps correct). Reference emits SIZE n MONTHS
+      // (KsqlCreateWindowedStatementBuilder.cs:132).
+      val monthsSinceEpoch = (year(ts) - lit(1970)) * 12 + month(ts) - 1
+      val floored = monthsSinceEpoch - pmod(monthsSinceEpoch, lit(n))
+      val start = add_months(lit("1970-01-01").cast("date"), floored).cast("timestamp")
+      struct(start.as("start"), add_months(start, n).cast("timestamp").as("end"))
     case other => window(ts, s"${other.fixedSeconds.get} seconds")
   }
 

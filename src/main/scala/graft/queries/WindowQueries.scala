@@ -105,6 +105,20 @@ object WindowQueries extends QueryPack {
       ).orderBy(col("window_start"), col("event_type"))
     },
 
+    // Multi-month tumbling (SIZE 3 MONTHS): epoch-anchored quarter floor
+    // via the planner's add_months month-arithmetic (no fixed length)
+    "q_window_quarterly" -> { (s, dir) =>
+      Planner.batch(
+        Ksql
+          .from(events)
+          .tumbling(Seq(Period.Months(3)))
+          .groupBy("event_type" -> col("event_type"))
+          .select(count(lit(1)).as("cnt"))
+          .build(),
+        catalog(s, dir)
+      ).orderBy(col("window_start"), col("event_type"))
+    },
+
     // Week windows anchored to Monday (Spark's epoch origin is a
     // Thursday; the planner shifts startTime to the anchor day)
     "q_window_weekly" -> { (s, dir) =>
@@ -285,6 +299,16 @@ object WindowQueries extends QueryPack {
     "q_window_monthly" ->
       """SELECT CAST(DATE_TRUNC('month', ts) AS TIMESTAMP) AS window_start,
         |       CAST(DATE_TRUNC('month', ts) AS TIMESTAMP) + INTERVAL 1 MONTH AS window_end,
+        |       event_type,
+        |       COUNT(*) AS cnt
+        |FROM events
+        |GROUP BY 1, 2, 3
+        |ORDER BY window_start, event_type""".stripMargin,
+    // DuckDB's 'quarter' truncation is Jan-anchored, which coincides with
+    // the epoch-anchored 3-month floor (1970-01 mod 3 = 0)
+    "q_window_quarterly" ->
+      """SELECT CAST(DATE_TRUNC('quarter', ts) AS TIMESTAMP) AS window_start,
+        |       CAST(DATE_TRUNC('quarter', ts) AS TIMESTAMP) + INTERVAL 3 MONTH AS window_end,
         |       event_type,
         |       COUNT(*) AS cnt
         |FROM events

@@ -15,6 +15,29 @@ import scala.concurrent.duration._
 class DslSpec extends SparkSpec {
   import TestEntities._
 
+  test("multi-month windowFor agrees with Periods.floorUtc") {
+    import java.time.Instant
+    import spark.implicits._
+    val instants = Seq(
+      "1970-01-01T00:00:00Z", "1970-02-15T12:00:00Z", "1999-12-31T23:59:59Z",
+      "2024-03-01T00:00:00Z", "2024-07-04T09:30:00Z", "2031-11-30T23:00:00Z"
+    ).map(Instant.parse)
+    for (n <- Seq(2, 3, 5, 12)) {
+      val df = instants
+        .map(i => java.sql.Timestamp.from(i))
+        .toDF("ts")
+        .select(Planner.windowFor(col("ts"), Period.Months(n)).as("w"), col("ts"))
+        .select(col("w.start"), col("w.end"), col("ts"))
+      df.collect().foreach { r =>
+        val ts = r.getTimestamp(2).toInstant
+        val expectedStart = graft.core.Periods.floorUtc(ts, Period.Months(n))
+        val expectedEnd = graft.core.Periods.add(expectedStart, Period.Months(n))
+        assert(r.getTimestamp(0).toInstant == expectedStart, s"start n=$n ts=$ts")
+        assert(r.getTimestamp(1).toInstant == expectedEnd, s"end n=$n ts=$ts")
+      }
+    }
+  }
+
   test("second join is rejected (max 2 sources, JoinLimitationEnforcer)") {
     val q = Ksql.from(orders).join(customer, col("orders.o_custkey") === col("customer.c_custkey"))
     val e = intercept[IllegalStateException] {
