@@ -156,10 +156,16 @@ object PipelineQueries extends QueryPack {
         |GROUP BY 1
         |ORDER BY canonical_id""".stripMargin,
     "q_dedup_minhash" -> {
-      val mins = (1 to 16).map(j => s"MIN(MD5(shingle || '#$j')) AS h$j").mkString(",\n        ")
+      // mirrors the Kirsch-Mitzenmacher family: one md5 per shingle,
+      // h1/h2 from its hex halves, h_j = (h1 + j*h2) mod 2^32
+      val mins = (1 to 16)
+        .map(j => s"MIN((h1 + $j*h2) % 4294967296) AS m$j")
+        .mkString(",\n        ")
       val bandCase = (0 until 4)
         .map { b =>
-          val hs = (1 to 4).map(r => s"h${b * 4 + r}").mkString(" || '|' || ")
+          val hs = (1 to 4)
+            .map(r => s"CAST(m${b * 4 + r} AS VARCHAR)")
+            .mkString(" || '|' || ")
           s"WHEN $b THEN MD5($hs)"
         }
         .mkString(" ")
@@ -168,8 +174,12 @@ object PipelineQueries extends QueryPack {
          |              UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(t) - 1, 2)),
          |                     i -> ARRAY_TO_STRING(t[i:i+2], ' '))) AS shingle
          |       FROM toks),
+         |hx AS (SELECT doc_id,
+         |              CAST('0x' || SUBSTRING(MD5(shingle), 1, 8) AS BIGINT) AS h1,
+         |              CAST('0x' || SUBSTRING(MD5(shingle), 9, 8) AS BIGINT) AS h2
+         |       FROM sh),
          |sig AS (SELECT doc_id, $mins
-         |        FROM sh GROUP BY doc_id),
+         |        FROM hx GROUP BY doc_id),
          |bands AS (SELECT doc_id, band_idx,
          |                 CASE band_idx $bandCase END AS band_hash
          |          FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) b(band_idx))

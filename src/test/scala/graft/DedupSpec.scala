@@ -42,6 +42,17 @@ class DedupSpec extends SparkSpec {
     assert(capped.count() == 0)
   }
 
+  test("xxhash64 production family detects the same duplicate structure") {
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text", hashFamily = "xxhash64")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    intercept[IllegalArgumentException] {
+      Dedup.minhashCandidates(docs, "doc_id", "text", hashFamily = "fnv")
+    }
+  }
+
   test("simhash: identical docs share a fingerprint, near dups are close in hamming") {
     val fp = Dedup.simhash(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
