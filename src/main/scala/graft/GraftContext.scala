@@ -131,11 +131,96 @@ final class EventSet[T](ctx: GraftContext, val model: EntityModel[T]) {
   /** `ToListAsync()` — local materialization of the table snapshot. */
   def toList(): Seq[T] = toDS.collect().toSeq
 
+  /** `ToListAsync(pkFilter)` — key-prefix pull: the filter parts are the
+    * LEADING primary-key components, exactly the reference's NUL-joined
+    * prefix scan (`ReadCachedEntitySet.cs:25-35` →
+    * `TableCache.cs:43-53`, `string.Join(NUL, filter) + NUL` ordinal
+    * prefix). The Spark form is equality on the leading key columns —
+    * same restriction, but pushed down to the scan instead of a
+    * store-side string match.
+    */
+  def toList(pkFilter: Seq[String]): Seq[T] = {
+    require(model.hasKeys, s"entity '${model.name}' has no key for a prefix pull")
+    require(
+      pkFilter.nonEmpty && pkFilter.size <= model.keys.size,
+      s"pkFilter must name 1..${model.keys.size} leading key parts"
+    )
+    import org.apache.spark.sql.functions.col
+    val cond = model.keys
+      .zip(pkFilter)
+      .map { case (k, v) => col(k).cast("string") === v }
+      .reduce(_ && _)
+    toDS.filter(cond).collect().toSeq
+  }
+
   /** `ForEachAsync(action)` — push-style consumption. Batch form
     * iterates the snapshot; streaming form is `writeStream.foreachBatch`
     * over the same dataset.
     */
   def forEach(action: T => Unit): Unit = toDS.collect().foreach(action)
+
+  /** `ForEachAsync(action, timeout)` (`EventSet.cs:214-229`): dispatch
+    * stops when the deadline passes — the batch analog of cancelling the
+    * consume loop. Iterates incrementally (no full collect) so the
+    * timeout actually bounds work.
+    */
+  def forEach(action: T => Unit, timeout: scala.concurrent.duration.FiniteDuration): Unit = {
+    val deadline = System.nanoTime + timeout.toNanos
+    val it = toDS.toLocalIterator()
+    while (it.hasNext && System.nanoTime < deadline) action(it.next())
+  }
+
+  /** Record metadata surfaced to [[forEachWithMeta]] — the reference's
+    * `(entity, headers, meta)` consume tuple (`EventSet.cs:229-233`,
+    * meta = offset/timestamp).
+    */
+  final case class RecordMeta(
+      topic: String,
+      offset: Long,
+      timestampUtc: Option[java.sql.Timestamp]
+  )
+
+  /** `ForEachAsync((entity, headers, meta) => ...)` — headers come from a
+    * `__headers` column when the backing store recorded them (see
+    * [[graft.sources.ChangelogStore.add]]), offsets from `__seq` (the
+    * produce sequence) or the iteration ordinal, the timestamp from the
+    * entity's time key.
+    */
+  def forEachWithMeta(action: (T, Map[String, String], RecordMeta) => Unit): Unit = {
+    import org.apache.spark.sql.functions._
+    val df = ctx.set(model.name)
+    val hasHeaders = df.columns.contains("__headers")
+    val hasSeq = df.columns.contains("__seq")
+    val tk = model.timeKey.filter(df.columns.contains)
+    val ordered =
+      if (hasSeq) df.orderBy(col("__seq"))
+      else tk.fold(df)(t => df.orderBy(col(t)))
+    val metaCols = Set("__headers", "__seq", "__op")
+    val dataCols = df.columns.filterNot(metaCols).map(col)
+    val emptyMap = org.apache.spark.sql.functions.map().cast("map<string,string>")
+    val headersC =
+      if (hasHeaders) coalesce(col("__headers"), emptyMap)
+      else emptyMap
+    val seqC = if (hasSeq) col("__seq").cast("long") else lit(-1L)
+    val tsC = tk.map(t => col(t).cast("timestamp")).getOrElse(lit(null).cast("timestamp"))
+    val sp = ctx.spark
+    import sp.implicits._
+    val tupEnc = org.apache.spark.sql.Encoders.tuple(
+      model.encoder,
+      implicitly[org.apache.spark.sql.Encoder[Map[String, String]]],
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.TIMESTAMP
+    )
+    ordered
+      .select(struct(dataCols: _*).as("_1"), headersC.as("_2"), seqC.as("_3"), tsC.as("_4"))
+      .as(tupEnc)
+      .collect()
+      .zipWithIndex
+      .foreach { case ((entity, headers, seq, ts), i) =>
+        val offset = if (seq >= 0) seq else i.toLong
+        action(entity, headers, RecordMeta(model.name, offset, Option(ts)))
+      }
+  }
 
   /** `Map` — client-side transform producing a new in-memory set
     * (`MappedEventSet` analog).

@@ -26,10 +26,24 @@ final class ChangelogStore(spark: SparkSession, root: String) {
 
   /** Produce (upsert) rows. */
   def add(entity: String, rows: DataFrame): Unit =
+    add(entity, rows, Map.empty)
+
+  /** Produce with record headers (`AddAsync(entity, headers)`,
+    * `/root/reference/src/EntitySets/EventSet.cs:148-161`): headers ride
+    * as a `__headers` map column on the changelog — visible to log
+    * readers and [[graft.EventSet.forEachWithMeta]], dropped from the
+    * compacted value snapshot like Kafka header metadata.
+    */
+  def add(entity: String, rows: DataFrame, headers: Map[String, String]): Unit = {
+    val headerCol =
+      if (headers.isEmpty) map().cast("map<string,string>")
+      else map(headers.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
     rows
       .withColumn("__seq", lit(seq.incrementAndGet()) * 1000000 + monotonically_increasing_id() % 1000000)
       .withColumn("__op", lit("u"))
+      .withColumn("__headers", headerCol)
       .write.mode("append").parquet(path(entity))
+  }
 
   /** Tombstone rows (RemoveAsync analog). `keyRows` must carry the full
     * entity schema (only the key columns matter — a Kafka tombstone is
@@ -40,6 +54,7 @@ final class ChangelogStore(spark: SparkSession, root: String) {
     keyRows
       .withColumn("__seq", lit(seq.incrementAndGet()) * 1000000 + monotonically_increasing_id() % 1000000)
       .withColumn("__op", lit("d"))
+      .withColumn("__headers", map().cast("map<string,string>"))
       .write.mode("append").parquet(path(entity))
 
   /** Raw changelog (the "topic"): every produce in order. */
@@ -51,7 +66,7 @@ final class ChangelogStore(spark: SparkSession, root: String) {
     log(entity)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && col("__op") === "u")
-      .drop("__rn", "__seq", "__op")
+      .drop("__rn", "__seq", "__op", "__headers")
   }
 
   def exists(entity: String): Boolean = new java.io.File(path(entity)).exists()

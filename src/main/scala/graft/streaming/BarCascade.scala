@@ -267,4 +267,38 @@ object TimeBucket {
     )
     spark.read.parquet(path)
   }
+
+  /** Import-bars write path — `TimeBucket.Set[T](ctx, period)` →
+    * `WriteAsync(row)` (`/root/reference/src/Runtime/TimeBucket.cs:23,
+    * 751-766`): rows append into the period's materialized bar table
+    * (the reference produces into the entity's import topic; here the
+    * bucket table IS the sink, so the write is a parquet append with a
+    * schema check against the existing bars).
+    */
+  def set(
+      spark: SparkSession,
+      plan: BarCascade.CascadePlan,
+      period: Period
+  ): TimeBucketWriter = {
+    val path = plan.livePaths.getOrElse(
+      period.label,
+      throw new IllegalArgumentException(s"no materialized bars for ${period.label}")
+    )
+    new TimeBucketWriter(spark, path)
+  }
+}
+
+/** Appender returned by [[TimeBucket.set]] (`TimeBucketWriter<T>`,
+  * reference `TimeBucket.cs:751-766`).
+  */
+final class TimeBucketWriter(spark: SparkSession, path: String) {
+  def write(rows: DataFrame): Unit = {
+    val existing = spark.read.parquet(path).schema
+    require(
+      rows.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        existing.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"import rows must match the bar schema ${existing.simpleString}"
+    )
+    rows.write.mode("append").parquet(path)
+  }
 }

@@ -53,6 +53,39 @@ class ContextSpec extends SparkSpec {
     assert(names.size == 5)
   }
 
+  test("key-prefix pull restricts to the leading key components") {
+    val c = ctx
+    val set = c.eventSet(TestEntities.region)
+    val one = set.toList(Seq("2"))
+    assert(one.size == 1 && one.head.r_regionkey == 2)
+    intercept[IllegalArgumentException](set.toList(Seq("1", "2"))) // more parts than keys
+  }
+
+  test("forEach timeout bounds dispatch; zero deadline dispatches nothing") {
+    import scala.concurrent.duration._
+    val c = ctx
+    val set = c.eventSet(TestEntities.region)
+    var n = 0
+    set.forEach(_ => n += 1, 30.seconds)
+    assert(n == 5)
+    var m = 0
+    set.forEach(_ => m += 1, 0.nanos)
+    assert(m == 0)
+  }
+
+  test("forEachWithMeta surfaces topic/offset meta and empty headers for plain sets") {
+    val c = ctx
+    val set = c.eventSet(TestEntities.region)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Int, Map[String, String], Long, String)]
+    set.forEachWithMeta { (r, headers, meta) =>
+      seen += ((r.r_regionkey, headers, meta.offset, meta.topic))
+    }
+    assert(seen.size == 5)
+    assert(seen.forall(_._2.isEmpty)) // parquet sets carry no headers
+    assert(seen.map(_._3).toSeq == (0L until 5L)) // ordinal offsets
+    assert(seen.forall(_._4 == "region"))
+  }
+
   test("unregistered entity fails fast") {
     intercept[NoSuchElementException](ctx.entityModel("nope"))
   }
