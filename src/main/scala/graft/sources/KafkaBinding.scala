@@ -1,0 +1,120 @@
+package graft.sources
+
+import graft.core.EntityModel
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamReader
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Kafka source/sink wiring for topic-bound entities — the config-level
+  * analog of the reference's consumer/producer managers
+  * (`/root/reference/src/Messaging/Consumers/KafkaConsumerManager.cs`,
+  * `src/Messaging/Producers/KafkaProducerManager.cs`) and topic binding
+  * (`src/Core/Attributes/KsqlTopicAttribute.cs:6-19`).
+  *
+  * Spark-first shape: a topic-bound entity reads as
+  * `spark.readStream.format("kafka")` with the options assembled here,
+  * decodes the wire schema ([[decodeJson]]) into the entity's typed
+  * columns, and writes back through [[encodeJson]] + the sink options.
+  * The reference's value format is schema-registry Avro (subjects
+  * `{topic}-key`/`{topic}-value`, `src/Context/KsqlContext.Schema.cs:
+  * 273-281` — see [[subjects]] and [[AvroSchemaGen]]); this container
+  * ships no kafka/avro Spark jars, so the wire value here is JSON and
+  * `load()`/`start()` are exercised only in environments that have
+  * `spark-sql-kafka-0-10` on the classpath. Everything up to that point
+  * — option assembly, encode, decode, metadata columns — is real and
+  * spec-covered (KafkaBindingSpec).
+  */
+object KafkaBinding {
+
+  /** Connection/consume options (`KsqlDslOptions` → consumer config,
+    * reference `src/Configuration/KsqlDslOptions.cs`).
+    */
+  final case class KafkaOptions(
+      bootstrapServers: String,
+      startingOffsets: String = "latest",
+      maxOffsetsPerTrigger: Option[Long] = None,
+      failOnDataLoss: Boolean = true,
+      extra: Map[String, String] = Map.empty
+  )
+
+  private def boundTopic(model: EntityModel[_]): String =
+    model.topic.getOrElse(
+      throw new IllegalArgumentException(
+        s"entity '${model.name}' is not topic-bound (use .toTopic)"
+      )
+    )
+
+  /** Structured-streaming source options for a topic-bound entity.
+    * `maxOffsetsPerTrigger` is the per-batch backpressure bound — at
+    * scale this is the knob that keeps a catch-up read from flooding a
+    * job, so it is first-class rather than buried in `extra`.
+    */
+  def sourceOptions(model: EntityModel[_], opts: KafkaOptions): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> opts.bootstrapServers,
+      "subscribe" -> boundTopic(model),
+      "startingOffsets" -> opts.startingOffsets,
+      "failOnDataLoss" -> opts.failOnDataLoss.toString
+    ) ++
+      opts.maxOffsetsPerTrigger.map(n => "maxOffsetsPerTrigger" -> n.toString) ++
+      opts.extra
+
+  /** Sink options: topic + checkpoint per entity (exactly-once resume). */
+  def sinkOptions(
+      model: EntityModel[_],
+      opts: KafkaOptions,
+      checkpointRoot: String
+  ): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> opts.bootstrapServers,
+      "topic" -> boundTopic(model),
+      "checkpointLocation" -> s"$checkpointRoot/${model.name}"
+    ) ++ opts.extra
+
+  /** Configured (unloaded) reader — call `.load()` where the kafka jar
+    * is present.
+    */
+  def reader(spark: SparkSession, model: EntityModel[_], opts: KafkaOptions): DataStreamReader =
+    spark.readStream.format("kafka").options(sourceOptions(model, opts))
+
+  /** Schema-registry subject names (`{topic}-key`/`{topic}-value`,
+    * `KsqlContext.Schema.cs:273-281`).
+    */
+  def subjects(model: EntityModel[_]): (String, String) = {
+    val t = boundTopic(model)
+    (s"$t-key", s"$t-value")
+  }
+
+  /** Decode Kafka's wire schema (key/value binary + topic/partition/
+    * offset/timestamp) into the entity's typed columns, keeping the
+    * record coordinates as `__topic`/`__partition`/`__offset`/`__ts`
+    * metadata columns (the consume-side meta the reference surfaces,
+    * `EventSet.cs:229-233`).
+    */
+  def decodeJson(raw: DataFrame, model: EntityModel[_]): DataFrame =
+    raw
+      .select(
+        from_json(col("value").cast("string"), model.schema).as("__v"),
+        col("topic").as("__topic"),
+        col("partition").as("__partition"),
+        col("offset").as("__offset"),
+        col("timestamp").as("__ts")
+      )
+      .select(col("__v.*"), col("__topic"), col("__partition"), col("__offset"), col("__ts"))
+
+  /** Encode entity rows for the Kafka sink: key = the NUL-joined string
+    * key parts (the reference's composite string-key convention,
+    * mirrored by [[graft.functions.KFunctions.rowKey]]), value = JSON of
+    * every column.
+    */
+  def encodeJson(df: DataFrame, model: EntityModel[_]): DataFrame = {
+    val key =
+      if (model.hasKeys)
+        concat_ws("\u0000", model.keys.map(k => col(k).cast("string")): _*).cast("binary")
+      else lit(null).cast("binary")
+    df.select(
+      key.as("key"),
+      to_json(struct(df.columns.map(col): _*)).cast("binary").as("value")
+    )
+  }
+}
