@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -38,6 +38,15 @@ object PipelineQueries extends QueryPack {
       Dedup
         .embeddingNearDup(Tables.load(s, dir, "embeddings"), "vec_id", "embedding", "label")
         .orderBy(col("id1"), col("id2"))
+    },
+    // candidate pairs → duplicate clusters (connected components,
+    // min-label propagation) — the keep-one-per-GROUP step after any
+    // candidate generator
+    "q_dedup_clusters" -> { (s, dir) =>
+      val pairs = Dedup
+        .embeddingNearDup(Tables.load(s, dir, "embeddings"), "vec_id", "embedding", "label")
+        .select(col("id1"), col("id2"))
+      Dedup.clusters(pairs, "id1", "id2").orderBy(col("node"))
     },
     "q_ann_bruteforce" -> { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
@@ -112,6 +121,36 @@ object PipelineQueries extends QueryPack {
       Tables
         .load(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint("text").as("fingerprint"))
+        .orderBy(col("doc_id"))
+    },
+    // fixed-size word chunks with overlap (pre-tokenization step)
+    "q_chunk_docs" -> { (s, dir) =>
+      Curation
+        .chunk(Tables.load(s, dir, "documents"), "doc_id", "text", chunkWords = 64, overlapWords = 8)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+    // deterministic id-hash sampling: same rows every run/engine
+    "q_sample_hash" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      d.filter(Curation.sampleByHash(d, "doc_id", 25))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+    // PII scrub over deterministically injected email/phone/IP
+    "q_pii_scrub" -> { (s, dir) =>
+      val d = Tables
+        .load(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          concat(
+            lit("reach me: user"), col("doc_id").cast("string"),
+            lit("@data.example.com or +1 555-01"),
+            lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+            lit(" from 10.0."), (col("doc_id") % 200).cast("string"), lit(".77 :: "),
+            substring(col("text"), 1, 30)
+          ).as("raw")
+        )
+      d.select(col("doc_id"), Curation.scrubPii(col("raw")).as("clean"))
         .orderBy(col("doc_id"))
     },
     "q_multimodal_meta" -> { (s, dir) =>
@@ -212,6 +251,52 @@ object PipelineQueries extends QueryPack {
         |WHERE CAST(LEN(LIST_FILTER(a.toks, x -> LIST_CONTAINS(b.toks, x))) AS DOUBLE) /
         |      (LEN(a.toks) + LEN(b.toks) - LEN(LIST_FILTER(a.toks, x -> LIST_CONTAINS(b.toks, x)))) >= 0.2
         |ORDER BY doc1, doc2""".stripMargin,
+    // recursive transitive closure mirrors the min-label fixpoint: every
+    // node labeled with the smallest id it can reach
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 50
+        |  WHERE LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.embedding) + 1),
+        |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+        |        (SQRT(LIST_SUM(LIST_TRANSFORM(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |         SQRT(LIST_SUM(LIST_TRANSFORM(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.3),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT a AS node, MIN(b) AS label FROM reach GROUP BY a
+        |ORDER BY node""".stripMargin,
+    "q_chunk_docs" ->
+      """WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id,
+        |        UNNEST(LIST_TRANSFORM(RANGE(0, GREATEST(CAST(CEIL((LEN(toks) - 8) / 56.0) AS INT), 1)),
+        |               i -> {'chunk_idx': CAST(i AS INT), 'chunk_text': ARRAY_TO_STRING(toks[i*56+1 : i*56+64], ' ')}),
+        |               recursive := true)
+        |      FROM t)
+        |SELECT doc_id, chunk_idx, chunk_text,
+        |       CAST(LEN(STRING_SPLIT(chunk_text, ' ')) AS INT) AS chunk_words
+        |FROM c
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_sample_hash" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE CAST('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 25
+        |ORDER BY doc_id""".stripMargin,
+    "q_pii_scrub" ->
+      """WITH r AS (SELECT doc_id,
+        |  'reach me: user' || CAST(doc_id AS VARCHAR) || '@data.example.com or +1 555-01' ||
+        |  LPAD(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' from 10.0.' ||
+        |  CAST(doc_id % 200 AS VARCHAR) || '.77 :: ' || SUBSTRING(text, 1, 30) AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(raw,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+[0-9]{1,3}[- ][0-9]{3,4}[- ][0-9]{3,4}[- ]?[0-9]{0,4}', '<PHONE>', 'g'),
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS clean
+        |FROM r
+        |ORDER BY doc_id""".stripMargin,
     "q_embedding_neardup" ->
       """WITH pairs AS (
         |  SELECT a.vec_id AS id1, b.vec_id AS id2,

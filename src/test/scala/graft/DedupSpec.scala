@@ -53,6 +53,15 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("clusters: min-label propagation finds transitive duplicate groups") {
+    // chain 1-2, 2-3 plus disjoint pair 7-9: transitivity must pull 3
+    // into cluster 1 even though (1,3) is not a candidate pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc1", "doc2")
+    val got = Dedup.clusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("simhash: identical docs share a fingerprint, near dups are close in hamming") {
     val fp = Dedup.simhash(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
