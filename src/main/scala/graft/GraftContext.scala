@@ -170,6 +170,46 @@ final class EventSet[T](ctx: GraftContext, val model: EntityModel[T]) {
     while (it.hasNext && System.nanoTime < deadline) action(it.next())
   }
 
+  /** Consume-side handler guard (`EventSet.ForEachAsync` error block,
+    * `/root/reference/src/EntitySets/EventSet.cs:234-379`): the
+    * per-record action runs under the ENTITY's error policy —
+    *   - Skip: a failing record is dropped, consumption continues;
+    *   - Retry: the action re-runs up to `retries` extra attempts
+    *     (fixed backoff elided — deterministic tests), then the record
+    *     goes to `onDlq`;
+    *   - Dlq: one attempt, failures route straight to `onDlq`.
+    * `onDlq` is the DLQ producer hook (see
+    * [[graft.streaming.ErrorSink.envelope]] for the envelope shape).
+    */
+  def forEachGuarded(
+      action: T => Unit,
+      retries: Int = 2,
+      onDlq: (T, Throwable) => Unit = (_, _) => ()
+  ): Unit = {
+    import graft.core.ErrorAction
+    toDS.toLocalIterator().forEachRemaining { t =>
+      model.errorAction match {
+        case ErrorAction.Skip =>
+          try action(t)
+          catch { case _: Exception => () }
+        case ErrorAction.Retry =>
+          var attempt = 0
+          var done = false
+          while (!done) {
+            try { action(t); done = true }
+            catch {
+              case e: Exception =>
+                attempt += 1
+                if (attempt > retries) { onDlq(t, e); done = true }
+            }
+          }
+        case ErrorAction.Dlq =>
+          try action(t)
+          catch { case e: Exception => onDlq(t, e) }
+      }
+    }
+  }
+
   /** Record metadata surfaced to [[forEachWithMeta]] — the reference's
     * `(entity, headers, meta)` consume tuple (`EventSet.cs:229-233`,
     * meta = offset/timestamp).

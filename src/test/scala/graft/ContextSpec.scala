@@ -86,6 +86,41 @@ class ContextSpec extends SparkSpec {
     assert(seen.forall(_._4 == "region"))
   }
 
+  test("forEachGuarded applies the entity error policy: skip, retry-then-dlq, dlq") {
+    import graft.core.ErrorAction
+    val c = ctx
+    def boom(r: graft.sources.Region): Unit =
+      if (r.r_regionkey == 2) throw new RuntimeException("bad record") else ()
+
+    // Skip: failure swallowed, others processed
+    var ok = 0
+    c.eventSet(TestEntities.region.onError(ErrorAction.Skip))
+      .forEachGuarded(r => { boom(r); ok += 1 })
+    assert(ok == 4)
+
+    // Retry: action re-attempted, then routed to DLQ
+    var attempts = 0
+    val dlqd = scala.collection.mutable.ArrayBuffer.empty[Int]
+    c.eventSet(TestEntities.region.onError(ErrorAction.Retry))
+      .forEachGuarded(
+        r => { if (r.r_regionkey == 2) attempts += 1; boom(r) },
+        retries = 2,
+        onDlq = (r, _) => dlqd += r.r_regionkey
+      )
+    assert(attempts == 3) // 1 + 2 retries
+    assert(dlqd.toSeq == Seq(2))
+
+    // Dlq: single attempt straight to the hook
+    var tries = 0
+    val dlqd2 = scala.collection.mutable.ArrayBuffer.empty[Int]
+    c.eventSet(TestEntities.region.onError(ErrorAction.Dlq))
+      .forEachGuarded(
+        r => { if (r.r_regionkey == 2) tries += 1; boom(r) },
+        onDlq = (r, _) => dlqd2 += r.r_regionkey
+      )
+    assert(tries == 1 && dlqd2.toSeq == Seq(2))
+  }
+
   test("unregistered entity fails fast") {
     intercept[NoSuchElementException](ctx.entityModel("nope"))
   }
