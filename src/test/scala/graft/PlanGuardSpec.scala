@@ -41,6 +41,19 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("hot relational paths stay inside whole-stage codegen") {
+    // AQE wraps stages only at execution, hiding codegen from a static
+    // plan dump — disable it for this assertion so the "*(n)" codegen
+    // markers are visible in the physical plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try
+      Seq("q_filter_project", "q_groupby_agg", "q_string_funcs", "q_token_count")
+        .foreach { name =>
+          assert(physical(name).contains("*("), s"$name lost whole-stage codegen")
+        }
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("IVF corpus assignment is a fold, not a corpus-wide window sort") {
     // allowed windows: query-side nprobe ranking + final per-query top-k.
     // A third would mean the corpus × nlist assignment sort came back.
