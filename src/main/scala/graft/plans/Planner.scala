@@ -145,9 +145,17 @@ object Planner {
     */
   def windowFor(ts: Column, p: Period): Column = p match {
     case Period.Weeks(n, anchor) =>
-      // days from the epoch's Thursday to the first `anchor` day
-      val offsetDays = ((anchor.getValue - 4) % 7 + 7) % 7
-      window(ts, s"${n * 7} days", s"${n * 7} days", s"$offsetDays days")
+      // Align the window grid with Periods.floorUtc: its base is the
+      // first `anchor` day ON/BEFORE 1970-01-05 (Monday), i.e.
+      // (4 - back) days from the epoch where `back` walks from Monday to
+      // the anchor. For n=1 any week boundary is aligned and this
+      // reduces to the first-anchor-after-epoch shift; for n>1 the
+      // modulus must be the full n·7-day span or the grid lands a week
+      // off for most anchors.
+      val back = ((java.time.DayOfWeek.MONDAY.getValue - anchor.getValue) % 7 + 7) % 7
+      val span = n * 7
+      val offsetDays = (((4 - back) % span) + span) % span
+      window(ts, s"$span days", s"$span days", s"$offsetDays days")
     case Period.Months(1) =>
       struct(
         date_trunc("month", ts).as("start"),

@@ -38,6 +38,31 @@ class DslSpec extends SparkSpec {
     }
   }
 
+  test("week windowFor agrees with Periods.floorUtc for every anchor and multi-week spans") {
+    import java.time.{DayOfWeek, Instant}
+    import spark.implicits._
+    val instants = Seq(
+      "1970-01-01T00:00:00Z", "1970-01-10T07:00:00Z", "2024-02-29T23:59:59Z",
+      "2024-07-04T09:30:00Z", "2030-12-31T12:00:00Z"
+    ).map(Instant.parse)
+    for (anchor <- DayOfWeek.values.toSeq; n <- Seq(1, 2, 4)) {
+      val p = Period.Weeks(n, anchor)
+      val df = instants
+        .map(java.sql.Timestamp.from)
+        .toDF("ts")
+        .select(Planner.windowFor(col("ts"), p).as("w"), col("ts"))
+        .select(col("w.start"), col("ts"))
+      df.collect().foreach { r =>
+        val ts = r.getTimestamp(1).toInstant
+        val expected = graft.core.Periods.floorUtc(ts, p)
+        assert(
+          r.getTimestamp(0).toInstant == expected,
+          s"weeks n=$n anchor=$anchor ts=$ts"
+        )
+      }
+    }
+  }
+
   test("second join is rejected (max 2 sources, JoinLimitationEnforcer)") {
     val q = Ksql.from(orders).join(customer, col("orders.o_custkey") === col("customer.c_custkey"))
     val e = intercept[IllegalStateException] {
