@@ -105,6 +105,21 @@ object WindowQueries extends QueryPack {
       ).orderBy(col("window_start"), col("event_type"))
     },
 
+    // Multi-week tumbling (SIZE 2 WEEKS, Monday anchor): the window grid
+    // must align to the floorUtc base (first anchor on/before
+    // 1970-01-05) — this query pins the n>1 alignment end-to-end
+    "q_window_biweekly" -> { (s, dir) =>
+      Planner.batch(
+        Ksql
+          .from(events)
+          .tumbling(Seq(Period.Weeks(2)))
+          .groupBy("event_type" -> col("event_type"))
+          .select(count(lit(1)).as("cnt"))
+          .build(),
+        catalog(s, dir)
+      ).orderBy(col("window_start"), col("event_type"))
+    },
+
     // Multi-month tumbling (SIZE 3 MONTHS): epoch-anchored quarter floor
     // via the planner's add_months month-arithmetic (no fixed length)
     "q_window_quarterly" -> { (s, dir) =>
@@ -299,6 +314,16 @@ object WindowQueries extends QueryPack {
     "q_window_monthly" ->
       """SELECT CAST(DATE_TRUNC('month', ts) AS TIMESTAMP) AS window_start,
         |       CAST(DATE_TRUNC('month', ts) AS TIMESTAMP) + INTERVAL 1 MONTH AS window_end,
+        |       event_type,
+        |       COUNT(*) AS cnt
+        |FROM events
+        |GROUP BY 1, 2, 3
+        |ORDER BY window_start, event_type""".stripMargin,
+    // biweekly floor in epoch-day arithmetic: day 4 = 1970-01-05, the
+    // Monday floorUtc anchors to; buckets are multiples of 14 days
+    "q_window_biweekly" ->
+      """SELECT CAST(TO_TIMESTAMP((CAST(FLOOR((EPOCH(ts)/86400.0 - 4) / 14) AS BIGINT) * 14 + 4) * 86400) AS TIMESTAMP) AS window_start,
+        |       CAST(TO_TIMESTAMP((CAST(FLOOR((EPOCH(ts)/86400.0 - 4) / 14) AS BIGINT) * 14 + 18) * 86400) AS TIMESTAMP) AS window_end,
         |       event_type,
         |       COUNT(*) AS cnt
         |FROM events
