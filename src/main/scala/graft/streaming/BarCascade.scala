@@ -96,16 +96,21 @@ object BarCascade {
       period: Period,
       grace: FiniteDuration = 3.seconds
   ): DataFrame = {
-    val sec = period.fixedSeconds.getOrElse(
-      throw new IllegalArgumentException(
-        s"calendar period ${period.label} needs date_trunc grouping"
-      )
+    require(
+      period.fixedSeconds.isDefined,
+      // month windows have no fixed length, so append-mode sealing has no
+      // window column to watermark on; months are served by the batch
+      // planner path (q_window_monthly/quarterly), not the live cascade
+      s"calendar period ${period.label} is batch-only (no fixed window length to seal on)"
     )
     val aggs = reAggs("bucket_start")
     finerBars
       .withWatermark("bucket_start", s"${grace.toSeconds} seconds")
       .groupBy(
-        window(col("bucket_start"), s"$sec seconds").as("window") +: keys.map(col): _*
+        // windowFor, not a bare window(): week periods carry an anchor
+        // offset (a bare 7-day window is Thursday-anchored at the epoch)
+        graft.plans.Planner.windowFor(col("bucket_start"), period).as("window") +:
+          keys.map(col): _*
       )
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("bucket_start", col("window.start"))

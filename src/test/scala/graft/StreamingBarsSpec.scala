@@ -58,6 +58,26 @@ class StreamingBarsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("weekly timeframe bars anchor to the configured week day, not the epoch Thursday") {
+    // 2024-01-03 is a Wednesday; a bare 7-day window would bucket it to
+    // Thursday 2023-12-28, the Monday-anchored grid to 2024-01-01
+    val finer = Seq(
+      ("b", "X", t("2024-01-03 10:00:00"), 10.0, 14.0, 9.0, 12.0, 5L),
+      ("b", "X", t("2024-01-04 10:00:00"), 12.0, 15.0, 11.0, 13.0, 3L)
+    ).toDF("broker", "symbol", "bucket_start", "open", "high", "low", "close", "cnt")
+    val weekly = BarCascade.timeframeBars(finer, Seq("broker", "symbol"), Period.Weeks(1))
+      .collect()
+    assert(weekly.length == 1)
+    assert(weekly.head.getAs[Timestamp]("bucket_start") == t("2024-01-01 00:00:00"))
+    assert(weekly.head.getAs[Double]("open") == 10.0)
+    assert(weekly.head.getAs[Double]("close") == 13.0)
+    assert(weekly.head.getAs[Long]("cnt") == 8L)
+    // months have no fixed length → batch-only, cascade refuses
+    intercept[IllegalArgumentException] {
+      BarCascade.timeframeBars(finer, Seq("broker", "symbol"), Period.Months(1))
+    }
+  }
+
   test("full cascade: ticks → 1s rows sink → 1m live sink; TimeBucket reads") {
     implicit val sqlCtx = spark.sqlContext
     val root = Files.createTempDirectory("cascade").toString
