@@ -186,6 +186,84 @@ object Similarity {
     rows.toSeq.toDF("centroid_id", "centroid_vec")
   }
 
+  /** Deterministic Gaussian hyperplanes for random-projection LSH
+    * (seeded — reproducible across runs and engines).
+    */
+  def randomPlanes(dim: Int, planes: Int, seed: Long = 7L): Seq[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Seq.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Random-projection bucket id: bit j = sign(v · r_j). Unlike the
+    * coordinate-plane [[signBucket]], the projections mix every
+    * dimension, so recall doesn't collapse when a few dimensions
+    * dominate the variance. Pure column math (zip_with/aggregate over a
+    * literal plane), codegen-friendly, no shuffle.
+    */
+  def projectionBucket(vecCol: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex
+      .map { case (p, i) =>
+        val dot = aggregate(
+          zip_with(vecCol, lit(p), (x, r) => x.cast("double") * r),
+          lit(0.0),
+          (acc, v) => acc + v
+        )
+        when(dot > 0, lit(1L << i)).otherwise(0L)
+      }
+      .reduce(_ + _)
+
+  /** Multi-table random-projection ANN: L independent hash tables, each
+    * bucketing on `planesPerTable` seeded hyperplanes; a candidate is
+    * any corpus row sharing a bucket with the query in ANY table. The
+    * scale shape is unchanged — per-table bucket equi-joins (shuffle
+    * keyed by (table, bucket)), pair-distinct, then one ranking window —
+    * while recall improves roughly linearly in L (a true near neighbor
+    * is missed only if it disagrees with the query in EVERY table).
+    */
+  def lshTopKMulti(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      planesPerTable: Int = 4,
+      tables: Int = 8,
+      seed: Long = 7L
+  ): DataFrame = {
+    // Defaults tuned on the synthetic testdata: (4 planes, 8 tables) →
+    // recall@5 = 0.74 vs exact, (4, 16) → 0.90, where the single-table
+    // coordinate variant measures 0.04 (BASELINE.md). At larger corpus
+    // sizes raise planesPerTable (buckets ≈ 2^planes should grow with
+    // |corpus| to keep per-bucket candidates bounded) and tables to buy
+    // recall back.
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    val bucketCols = (0 until tables).map { t =>
+      projectionBucket(col(vecCol), randomPlanes(dim, planesPerTable, seed + t)).as(s"b$t")
+    }
+    def bucketed(df: DataFrame, prefix: String) = df
+      .select(col(idCol) +: col(vecCol) +: bucketCols: _*)
+      .select(
+        col(idCol),
+        col(vecCol),
+        posexplode(array((0 until tables).map(t => col(s"b$t")): _*)).as(Seq("table", "bucket"))
+      )
+      .withColumnRenamed(idCol, s"${prefix}_id")
+      .withColumnRenamed(vecCol, s"${prefix}_vec")
+    val q = bucketed(queries, "query")
+    val c = bucketed(corpus, "n")
+    val scored = c
+      .join(broadcast(q), Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("n_id"))
+      .select(
+        col("query_id"),
+        col("n_id").as("neighbor_id"),
+        round(cosine(col("query_vec"), col("n_vec")), 6).as("cos")
+      )
+      .distinct()
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Bucketed ANN: rank only within the query's sign bucket. */
   def lshTopK(
       queries: DataFrame,

@@ -24,6 +24,28 @@ class SkewAndIvfSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("ANN recall floors: multi-table random-projection LSH and IVF vs exact") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    def topSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = topSet(Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5))
+    def recall(s: Set[(Long, Long)]) = s.intersect(exact).size.toDouble / exact.size
+
+    // defaults (4 planes x 8 tables) measure 0.74 on this data; the
+    // floor is slack for robustness, but far above the 0.04 the
+    // single-table coordinate bucketing measures
+    val multi = topSet(Similarity.lshTopKMulti(q, emb, "vec_id", "embedding", 5))
+    assert(recall(multi) >= 0.6, s"multi-table LSH recall ${recall(multi)}")
+
+    // IVF with 8 deterministic cells, nprobe=2 measures 0.60
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("centroid_id"), col("embedding").as("centroid_vec"))
+    val ivf = topSet(Similarity.ivfTopK(q, emb, cents, "vec_id", "embedding", 5, nprobe = 2))
+    assert(recall(ivf) >= 0.5, s"IVF nprobe=2 recall ${recall(ivf)}")
+  }
+
   test("IVF with a single cell degenerates to exact brute-force top-k") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val oneCentroid = emb.filter($"vec_id" === 0)
