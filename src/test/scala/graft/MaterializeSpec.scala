@@ -14,6 +14,38 @@ class MaterializeSpec extends SparkSpec {
 
   private def t(s: String) = Timestamp.valueOf(s)
 
+  test("calendar-month windows stream in update mode (EMIT CHANGES)") {
+    // months have no fixed length, so the live cascade refuses them —
+    // but a push query with EMIT CHANGES (update mode) serves them:
+    // the windowFor struct is an ordinary grouping key there
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp, Double)]
+    val src = mem.toDF().toDF("k", "ts", "v")
+    val monthly = src
+      .groupBy(
+        graft.plans.Planner.windowFor($"ts", graft.core.Period.Months(1)).as("window"),
+        $"k"
+      )
+      .agg(count(lit(1)).as("cnt"))
+      .select($"window.start".as("month_start"), $"k", $"cnt")
+    val q = monthly.writeStream.format("memory").queryName("monthly_update")
+      .outputMode("update").start()
+    try {
+      mem.addData(
+        ("a", t("2024-01-05 10:00:00"), 1.0),
+        ("a", t("2024-01-28 10:00:00"), 2.0),
+        ("a", t("2024-02-02 00:00:00"), 3.0)
+      )
+      q.processAllAvailable()
+      val rows = spark.table("monthly_update")
+        .groupBy($"month_start", $"k").agg(max($"cnt").as("cnt"))
+        .as[(Timestamp, String, Long)].collect()
+        .map { case (m, k, c) => (m.toString.take(10), k) -> c }.toMap
+      assert(rows(("2024-01-01", "a")) == 2)
+      assert(rows(("2024-02-01", "a")) == 1)
+    } finally q.stop()
+  }
+
   test("live (complete/memory) and final (append/parquet) materializations serve pulls") {
     implicit val sqlCtx = spark.sqlContext
     val ctx = new GraftContext(spark, TestEntities.catalog(spark, "/root/testdata/sf0.001"))
