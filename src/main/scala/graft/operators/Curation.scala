@@ -53,6 +53,114 @@ object Curation {
       .cast("long") % 100 < percent
   }
 
+  /** Distinct hashed word n-gram shingles of a text column — the unit of
+    * overlap for decontamination (and the same shingle family MinHash
+    * uses). md5 keeps the oracle mirrorable; production callers can pass
+    * a cheaper `hashExpr` (e.g. xxhash64) exactly as MinHash does.
+    */
+  def shingleHashes(textCol: String, n: Int = 3): Column = {
+    require(n >= 1, "shingle size >= 1")
+    val toks = s"split($textCol, ' ')"
+    array_distinct(
+      expr(
+        s"transform(sequence(1, greatest(size($toks) - ${n - 1}, 1)), " +
+          s"i -> md5(cast(concat_ws(' ', slice($toks, i, $n)) as binary)))"
+      )
+    )
+  }
+
+  /** Benchmark decontamination: per corpus document, how many of its
+    * distinct word n-gram shingles appear anywhere in the evaluation
+    * set. The eval shingle set is distinct-ed and BROADCAST — benchmark
+    * suites are MBs against a 100 TB corpus, so the corpus never
+    * shuffles for the membership test; the only wide stage is the
+    * per-doc hit count (map-side-combinable), and the hit table (only
+    * contaminated docs) broadcasts back onto the corpus for the final
+    * left join. Returns (id, n_shingles, overlap, overlap_frac,
+    * contaminated).
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      flagMinOverlap: Int = 2
+  ): DataFrame = {
+    val bench = evalSet
+      .select(explode(shingleHashes(textCol, n)).as("sh"))
+      .distinct()
+    val withSh = corpus.select(col(idCol), shingleHashes(textCol, n).as("__shs"))
+    val hits = withSh
+      .select(col(idCol), explode(col("__shs")).as("sh"))
+      .join(broadcast(bench), "sh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__overlap"))
+    withSh
+      .join(broadcast(hits), Seq(idCol), "left")
+      .select(
+        col(idCol),
+        size(col("__shs")).as("n_shingles"),
+        coalesce(col("__overlap"), lit(0L)).cast("int").as("overlap"),
+        round(
+          coalesce(col("__overlap"), lit(0L)).cast("double") / size(col("__shs")),
+          6
+        ).as("overlap_frac"),
+        (coalesce(col("__overlap"), lit(0L)) >= flagMinOverlap).as("contaminated")
+      )
+  }
+
+  /** Stratified deterministic sampling: per-stratum keep-percentages
+    * (e.g. down-sample boilerplate-heavy sources, keep all of a rare
+    * one) decided by the same id-hash as [[sampleByHash]] — stable
+    * across runs/engines/partitionings, and still a narrow scan-local
+    * filter (the rate lookup is a broadcast-free literal map).
+    */
+  def sampleStratified(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      rates: Map[String, Int],
+      defaultPercent: Int
+  ): Column = {
+    require((rates.values ++ Seq(defaultPercent)).forall(p => p >= 0 && p <= 100))
+    val bucket =
+      conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long") % 100
+    val rate = rates.foldLeft(lit(defaultPercent)) { case (acc, (k, p)) =>
+      when(col(strataCol) === k, lit(p)).otherwise(acc)
+    }
+    bucket < rate
+  }
+
+  /** Per-stratum distribution statistics: count, mean, sample stddev,
+    * and interpolated percentiles. `exact = true` uses `percentile`
+    * (sort-buffered per group — fine when strata are few and the gate
+    * needs bit-exact quantiles); production at 100 TB sets it false for
+    * `approx_percentile` (t-digest-style sketch, algebraic, partial-agg
+    * friendly, bounded memory per group). One hash aggregate either way.
+    */
+  def distributionStats(
+      df: DataFrame,
+      strataCol: String,
+      valueCol: String,
+      percentiles: Seq[Double] = Seq(0.5, 0.9, 0.99),
+      exact: Boolean = true
+  ): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val pcols = percentiles.map { p =>
+      val fn = if (exact) "percentile" else "approx_percentile"
+      val name = s"p${(p * 100).toInt}"
+      round(expr(s"$fn(cast($valueCol as double), ${p}d)"), 6).as(name)
+    }
+    val aggs = Seq(
+      count(lit(1)).as("n_docs"),
+      round(avg(v), 6).as(s"mean_$valueCol"),
+      round(stddev_samp(v), 6).as(s"sd_$valueCol")
+    ) ++ pcols
+    df.groupBy(col(strataCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** PII scrubbing: replace emails / international phone numbers / IPv4
     * addresses with typed placeholder tags. Pure regexp_replace chain
     * (codegen'd, scan-speed); patterns are RE2-class so the DuckDB

@@ -70,6 +70,56 @@ object TextAnalysis {
       .withColumn("n_pieces", size(expr(s"regexp_extract_all($textCol, '[a-zA-Z]+|[0-9]+', 0)")))
       .withColumn("n_tok_approx", ceil(length(col(textCol)) / 4).cast("int"))
 
+  /** Repetition signals (the Gopher-report style repetition filters,
+    * adapted to single-line corpora): duplicate-word fraction, modal
+    * 2-gram fraction, and the longest consecutive same-word run. All
+    * three are single-pass higher-order-function folds over the token
+    * array — narrow per-row expressions, no explode, no shuffle — so at
+    * 100 TB they run at parquet-scan speed like the rest of this module
+    * (the fingerprint A/B in BASELINE.md measured the fold form beating
+    * the explode+aggregate form at this shape).
+    */
+  def dupWordFrac(textCol: String): Column =
+    round(
+      lit(1.0) - size(array_distinct(split(col(textCol), " "))).cast("double") /
+        size(split(col(textCol), " ")),
+      6
+    )
+
+  /** Count of the most frequent element in `arr` (the mode's
+    * multiplicity): sort, then fold a (prev, run, best) state — the
+    * mode of a sorted array is the longest equal-run.
+    */
+  private def modeCount(arr: String): String =
+    s"""aggregate(sort_array($arr),
+       |  named_struct('prev', '', 'run', 0, 'best', 0),
+       |  (a, x) -> named_struct(
+       |    'prev', x,
+       |    'run', IF(x = a.prev, a.run + 1, 1),
+       |    'best', GREATEST(a.best, IF(x = a.prev, a.run + 1, 1))),
+       |  a -> a.best)""".stripMargin
+
+  def topBigramFrac(textCol: String): Column = {
+    val toks = s"split($textCol, ' ')"
+    val bgs =
+      s"transform(sequence(1, greatest(size($toks) - 1, 1)), i -> concat_ws(' ', slice($toks, i, 2)))"
+    round(expr(modeCount(bgs)).cast("double") / expr(s"greatest(size($toks) - 1, 1)"), 6)
+  }
+
+  /** Longest consecutive same-word run — the fold above WITHOUT the
+    * sort, so runs are positional, not global multiplicity.
+    */
+  def maxWordRun(textCol: String): Column =
+    expr(
+      s"""aggregate(split($textCol, ' '),
+         |  named_struct('prev', '', 'run', 0, 'best', 0),
+         |  (a, x) -> named_struct(
+         |    'prev', x,
+         |    'run', IF(x = a.prev, a.run + 1, 1),
+         |    'best', GREATEST(a.best, IF(x = a.prev, a.run + 1, 1))),
+         |  a -> a.best)""".stripMargin
+    )
+
   /** Winnowing-style document fingerprint: lexicographic min of the
     * hashes of character 8-grams sampled at `stride` — robust to small
     * edits, pure column math (transform over substring windows +

@@ -153,6 +153,55 @@ object PipelineQueries extends QueryPack {
       d.select(col("doc_id"), Curation.scrubPii(col("raw")).as("clean"))
         .orderBy(col("doc_id"))
     },
+    // benchmark decontamination: doc_id % 97 == 0 stands in for the
+    // eval suite; 3-gram shingle membership against its broadcast set
+    "q_decontaminate" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      Curation
+        .decontaminate(
+          d.filter(col("doc_id") % 97 =!= 0),
+          d.filter(col("doc_id") % 97 === 0),
+          "doc_id",
+          "text",
+          n = 3,
+          flagMinOverlap = 2
+        )
+        .orderBy(col("doc_id"))
+    },
+    // Gopher-style repetition signals as single-pass array folds
+    "q_repetition" -> { (s, dir) =>
+      Tables
+        .load(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextAnalysis.dupWordFrac("text").as("dup_word_frac"),
+          TextAnalysis.topBigramFrac("text").as("top_bigram_frac"),
+          TextAnalysis.maxWordRun("text").as("max_word_run")
+        )
+        .orderBy(col("doc_id"))
+    },
+    // per-source length distribution: exact percentiles for the gate;
+    // production passes exact=false → approx_percentile sketch
+    "q_corpus_stats" -> { (s, dir) =>
+      Curation
+        .distributionStats(Tables.load(s, dir, "documents"), "source", "n_chars")
+        .orderBy(col("source"))
+    },
+    // per-stratum deterministic sampling rates (down-sample hot
+    // sources, keep rare ones)
+    "q_sample_stratified" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      d.filter(
+        Curation.sampleStratified(
+          d,
+          "doc_id",
+          "source",
+          Map("src0" -> 10, "src1" -> 50, "src2" -> 80),
+          defaultPercent = 25
+        )
+      ).select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
     "q_multimodal_meta" -> { (s, dir) =>
       val media = Tables
         .load(s, dir, "documents")
@@ -429,6 +478,61 @@ object PipelineQueries extends QueryPack {
         |       LIST_MIN(LIST_TRANSFORM(RANGE(1, GREATEST(LENGTH(text) - 6, 2), 2),
         |                i -> MD5(SUBSTRING(text, i, 8)))) AS fingerprint
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(t) - 1, 2)),
+        |                       i -> MD5(ARRAY_TO_STRING(t[i:i+2], ' ')))) AS shs
+        |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents)),
+        |bench AS (
+        |  SELECT DISTINCT UNNEST(shs) AS sh FROM sh WHERE doc_id % 97 = 0),
+        |corp AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+        |hits AS (
+        |  SELECT c.doc_id, COUNT(*) AS overlap
+        |  FROM (SELECT doc_id, UNNEST(shs) AS sh FROM corp) c
+        |  JOIN bench b ON c.sh = b.sh GROUP BY 1)
+        |SELECT corp.doc_id,
+        |       CAST(LEN(corp.shs) AS INT) AS n_shingles,
+        |       CAST(COALESCE(hits.overlap, 0) AS INT) AS overlap,
+        |       ROUND(CAST(COALESCE(hits.overlap, 0) AS DOUBLE) / LEN(corp.shs), 6) AS overlap_frac,
+        |       COALESCE(hits.overlap, 0) >= 2 AS contaminated
+        |FROM corp LEFT JOIN hits ON corp.doc_id = hits.doc_id
+        |ORDER BY corp.doc_id""".stripMargin,
+    "q_repetition" ->
+      """WITH d AS (SELECT doc_id, text, STRING_SPLIT(text, ' ') AS toks FROM documents),
+        |bg AS (SELECT doc_id, ARRAY_TO_STRING(toks[i:i+1], ' ') AS bigram
+        |       FROM d, LATERAL (SELECT UNNEST(RANGE(1, GREATEST(LEN(toks), 2))) AS i)),
+        |bgc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        |bstat AS (SELECT doc_id, MAX(c) AS maxc, SUM(c) AS tot FROM bgc GROUP BY 1),
+        |w AS (SELECT doc_id, i, toks[i] AS w
+        |      FROM d, LATERAL (SELECT UNNEST(RANGE(1, LEN(toks) + 1)) AS i)),
+        |runs AS (SELECT doc_id, w, i - ROW_NUMBER() OVER (PARTITION BY doc_id, w ORDER BY i) AS g
+        |         FROM w),
+        |rl AS (SELECT doc_id, MAX(cnt) AS max_run
+        |       FROM (SELECT doc_id, COUNT(*) AS cnt FROM runs GROUP BY doc_id, w, g)
+        |       GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       ROUND(1.0 - CAST(LEN(LIST_DISTINCT(d.toks)) AS DOUBLE) / LEN(d.toks), 6) AS dup_word_frac,
+        |       ROUND(CAST(b.maxc AS DOUBLE) / b.tot, 6) AS top_bigram_frac,
+        |       CAST(rl.max_run AS INT) AS max_word_run
+        |FROM d JOIN bstat b ON d.doc_id = b.doc_id
+        |       JOIN rl ON d.doc_id = rl.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_corpus_stats" ->
+      """SELECT source,
+        |       COUNT(*) AS n_docs,
+        |       ROUND(AVG(CAST(n_chars AS DOUBLE)), 6) AS mean_n_chars,
+        |       ROUND(STDDEV_SAMP(CAST(n_chars AS DOUBLE)), 6) AS sd_n_chars,
+        |       ROUND(QUANTILE_CONT(CAST(n_chars AS DOUBLE), 0.5), 6) AS p50,
+        |       ROUND(QUANTILE_CONT(CAST(n_chars AS DOUBLE), 0.9), 6) AS p90,
+        |       ROUND(QUANTILE_CONT(CAST(n_chars AS DOUBLE), 0.99), 6) AS p99
+        |FROM documents GROUP BY source
+        |ORDER BY source""".stripMargin,
+    "q_sample_stratified" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE CAST('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 <
+        |      CASE source WHEN 'src0' THEN 10 WHEN 'src1' THEN 50 WHEN 'src2' THEN 80 ELSE 25 END
         |ORDER BY doc_id""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id,

@@ -136,6 +136,36 @@ object RelationalQueries extends QueryPack {
       )
     },
 
+    // EventSet newest-N, distributed per-key form (EventSetLimitExtensions
+    // keeps the NEWEST records; GraftContext.latest is the client-pull
+    // variant of the same ordering)
+    "q_latest_n" -> { (s, dir) =>
+      graft.operators.TopN
+        .newestPerKey(
+          graft.sources.Tables.load(s, dir, "events"),
+          keyCol = "user_id",
+          timeCol = "ts",
+          tieCol = "event_id",
+          n = 3
+        )
+        .select(col("user_id"), col("rank"), col("event_id"), col("value"))
+        .orderBy(col("user_id"), col("rank"))
+    },
+
+    // ROWTIME / ROWKEY pseudo-columns resolved from the entity model
+    // (KsqlFunctionRegistry :146-147) — driver-checked, not just spec'd
+    "q_rowtime_key" -> { (s, dir) =>
+      graft.sources.Tables
+        .load(s, dir, "events")
+        .filter(col("event_id") < 300)
+        .select(
+          graft.functions.KFunctions.rowKey(events).as("row_key"),
+          unix_millis(graft.functions.KFunctions.rowTime(events)).as("row_time_ms"),
+          col("event_type")
+        )
+        .orderBy(col("row_key"))
+    },
+
     // CASE WHEN (C# ternary), IN / NOT IN, NULLIF/COALESCE, IS NULL
     "q_case_in_null" -> { (s, dir) =>
       Planner.batch(
@@ -323,6 +353,21 @@ object RelationalQueries extends QueryPack {
         |GROUP BY o_custkey
         |HAVING CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) > 500000.0
         |ORDER BY o_custkey""".stripMargin,
+    "q_latest_n" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, value,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rank
+        |  FROM events)
+        |SELECT user_id, CAST(rank AS INT) AS rank, event_id, value
+        |FROM r WHERE rank <= 3
+        |ORDER BY user_id, rank""".stripMargin,
+    "q_rowtime_key" ->
+      """SELECT event_id AS row_key,
+        |       CAST(EPOCH_MS(ts) AS BIGINT) AS row_time_ms,
+        |       event_type
+        |FROM events
+        |WHERE event_id < 300
+        |ORDER BY row_key""".stripMargin,
     "q_orderby_limit" ->
       """SELECT o_orderkey, o_totalprice
         |FROM orders

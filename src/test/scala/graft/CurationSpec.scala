@@ -1,0 +1,93 @@
+package graft
+
+import graft.operators.{Curation, TextAnalysis, TopN}
+import org.apache.spark.sql.functions._
+
+/** Curation-operator semantics with hand-computed expectations:
+  * repetition signals, benchmark decontamination, stratified sampling,
+  * distribution stats, and newest-N-per-key.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetition signals match hand-computed values") {
+    // "a a a b": 4 words, 2 distinct -> dup 0.5; bigrams [a a, a a, a b]
+    // -> modal 2/3; longest run of 'a' = 3
+    val df = Seq((1L, "a a a b"), (2L, "x y z w")).toDF("doc_id", "text")
+    val r = df
+      .select(
+        col("doc_id"),
+        TextAnalysis.dupWordFrac("text").as("dup"),
+        TextAnalysis.topBigramFrac("text").as("bg"),
+        TextAnalysis.maxWordRun("text").as("run")
+      )
+      .orderBy("doc_id")
+      .collect()
+    assert(r(0).getDouble(1) == 0.5)
+    assert(r(0).getDouble(2) == math.rint(2.0 / 3.0 * 1e6) / 1e6)
+    assert(r(0).getInt(3) == 3)
+    assert(r(1).getDouble(1) == 0.0)
+    assert(r(1).getDouble(2) == math.rint(1.0 / 3.0 * 1e6) / 1e6)
+    assert(r(1).getInt(3) == 1)
+  }
+
+  test("decontaminate counts shared shingles and flags above threshold") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // shares 2+ trigrams
+      (2L, "entirely unrelated words with zero benchmark overlap here")
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "the quick brown fox leaps high")).toDF("doc_id", "text")
+    val r = Curation
+      .decontaminate(corpus, eval, "doc_id", "text", n = 3, flagMinOverlap = 2)
+      .orderBy("doc_id")
+      .collect()
+    // doc 1 shares "the quick brown" and "quick brown fox"
+    assert(r(0).getAs[Int]("overlap") == 2)
+    assert(r(0).getAs[Boolean]("contaminated"))
+    assert(r(1).getAs[Int]("overlap") == 0)
+    assert(!r(1).getAs[Boolean]("contaminated"))
+  }
+
+  test("stratified sampling honors 0/100 rates and is deterministic") {
+    val df = (1L to 200L).map(i => (i, if (i % 2 == 0) "keep" else "drop")).toDF("id", "src")
+    val kept = df
+      .filter(
+        Curation.sampleStratified(df, "id", "src", Map("keep" -> 100, "drop" -> 0), 50)
+      )
+      .select("id")
+      .as[Long]
+      .collect()
+      .toSet
+    assert(kept == (1L to 200L).filter(_ % 2 == 0).toSet)
+    val r1 = df.filter(Curation.sampleStratified(df, "id", "src", Map.empty, 30)).count()
+    val r2 = df.filter(Curation.sampleStratified(df, "id", "src", Map.empty, 30)).count()
+    assert(r1 == r2) // pure function of the id, not of partitioning/run
+  }
+
+  test("distributionStats exact percentiles; approx within tolerance") {
+    val df = (1L to 1000L).map(i => (i, "s", i.toDouble)).toDF("id", "src", "v")
+    val exact = Curation.distributionStats(df, "src", "v").collect()(0)
+    assert(exact.getAs[Long]("n_docs") == 1000L)
+    assert(exact.getAs[Double]("p50") == 500.5) // interpolated median of 1..1000
+    val approx =
+      Curation.distributionStats(df, "src", "v", exact = false).collect()(0)
+    assert(math.abs(approx.getAs[Double]("p50") - 500.5) < 25.0)
+  }
+
+  test("newestPerKey keeps the n newest with deterministic tie-break") {
+    val df = Seq(
+      (1L, 100L, 10L, "a"),
+      (1L, 200L, 11L, "b"),
+      (1L, 200L, 12L, "c"), // same ts as 11 -> event_id desc wins
+      (1L, 50L, 13L, "d"),
+      (2L, 5L, 20L, "e")
+    ).toDF("user_id", "ts", "event_id", "v")
+    val r = TopN
+      .newestPerKey(df, "user_id", "ts", "event_id", n = 2)
+      .orderBy("user_id", "rank")
+      .select("event_id")
+      .as[Long]
+      .collect()
+    assert(r.toSeq == Seq(12L, 11L, 20L))
+  }
+}
