@@ -53,22 +53,6 @@ object Curation {
       .cast("long") % 100 < percent
   }
 
-  /** Distinct hashed word n-gram shingles of a text column — the unit of
-    * overlap for decontamination (and the same shingle family MinHash
-    * uses). md5 keeps the oracle mirrorable; production callers can pass
-    * a cheaper `hashExpr` (e.g. xxhash64) exactly as MinHash does.
-    */
-  def shingleHashes(textCol: String, n: Int = 3): Column = {
-    require(n >= 1, "shingle size >= 1")
-    val toks = s"split($textCol, ' ')"
-    array_distinct(
-      expr(
-        s"transform(sequence(1, greatest(size($toks) - ${n - 1}, 1)), " +
-          s"i -> md5(cast(concat_ws(' ', slice($toks, i, $n)) as binary)))"
-      )
-    )
-  }
-
   /** Benchmark decontamination: per corpus document, how many of its
     * distinct word n-gram shingles appear anywhere in the evaluation
     * set. The eval shingle set is distinct-ed and BROADCAST — benchmark
@@ -87,26 +71,39 @@ object Curation {
       n: Int = 3,
       flagMinOverlap: Int = 2
   ): DataFrame = {
+    // Shingle strings come from a MATERIALIZED token array (inlining
+    // split(text) into the transform lambda re-evaluates it per window
+    // index — O(words²) per doc, see Dedup.shinglesOf), and md5 is
+    // applied AFTER the explode as a top-level column so it runs inside
+    // whole-stage codegen instead of the interpreted lambda.
     val bench = evalSet
-      .select(explode(shingleHashes(textCol, n)).as("sh"))
+      .withColumn("__toks", split(col(textCol), " "))
+      .select(explode(Dedup.shinglesOf("__toks", n)).as("shingle"))
+      .select(md5(col("shingle").cast("binary")).as("sh"))
       .distinct()
-    val withSh = corpus.select(col(idCol), shingleHashes(textCol, n).as("__shs"))
-    val hits = withSh
-      .select(col(idCol), explode(col("__shs")).as("sh"))
-      .join(broadcast(bench), "sh")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("__overlap"))
-    withSh
-      .join(broadcast(hits), Seq(idCol), "left")
+      .withColumn("__hit", lit(true))
+    // Single pass over the corpus: the shingle transform is evaluated
+    // once, n_shingles rides along through the explode, and the
+    // membership left-join + per-doc count collapse into one broadcast
+    // probe and one map-side-combinable aggregation — no join-back.
+    corpus
+      .withColumn("__toks", split(col(textCol), " "))
+      .select(col(idCol), array_distinct(Dedup.shinglesOf("__toks", n)).as("__shs"))
       .select(
         col(idCol),
         size(col("__shs")).as("n_shingles"),
-        coalesce(col("__overlap"), lit(0L)).cast("int").as("overlap"),
-        round(
-          coalesce(col("__overlap"), lit(0L)).cast("double") / size(col("__shs")),
-          6
-        ).as("overlap_frac"),
-        (coalesce(col("__overlap"), lit(0L)) >= flagMinOverlap).as("contaminated")
+        explode(col("__shs")).as("shingle")
+      )
+      .withColumn("sh", md5(col("shingle").cast("binary")))
+      .join(broadcast(bench), Seq("sh"), "left")
+      .groupBy(col(idCol), col("n_shingles"))
+      .agg(sum(when(col("__hit"), 1L).otherwise(0L)).as("__overlap"))
+      .select(
+        col(idCol),
+        col("n_shingles"),
+        col("__overlap").cast("int").as("overlap"),
+        round(col("__overlap").cast("double") / col("n_shingles"), 6).as("overlap_frac"),
+        (col("__overlap") >= flagMinOverlap).as("contaminated")
       )
   }
 

@@ -79,10 +79,9 @@ object TextAnalysis {
     * (the fingerprint A/B in BASELINE.md measured the fold form beating
     * the explode+aggregate form at this shape).
     */
-  def dupWordFrac(textCol: String): Column =
+  def dupWordFrac(toksCol: String): Column =
     round(
-      lit(1.0) - size(array_distinct(split(col(textCol), " "))).cast("double") /
-        size(split(col(textCol), " ")),
+      lit(1.0) - size(array_distinct(col(toksCol))).cast("double") / size(col(toksCol)),
       6
     )
 
@@ -90,8 +89,8 @@ object TextAnalysis {
     * multiplicity): sort, then fold a (prev, run, best) state — the
     * mode of a sorted array is the longest equal-run.
     */
-  private def modeCount(arr: String): String =
-    s"""aggregate(sort_array($arr),
+  private def runFold(arr: String): String =
+    s"""aggregate($arr,
        |  named_struct('prev', '', 'run', 0, 'best', 0),
        |  (a, x) -> named_struct(
        |    'prev', x,
@@ -99,26 +98,35 @@ object TextAnalysis {
        |    'best', GREATEST(a.best, IF(x = a.prev, a.run + 1, 1))),
        |  a -> a.best)""".stripMargin
 
-  def topBigramFrac(textCol: String): Column = {
-    val toks = s"split($textCol, ' ')"
+  /** `toksCol` must be a MATERIALIZED array column — inlining
+    * split(text) here would re-evaluate it per transform index
+    * (O(words²) per doc; same hazard as Dedup.shinglesOf).
+    */
+  def topBigramFrac(toksCol: String): Column = {
     val bgs =
-      s"transform(sequence(1, greatest(size($toks) - 1, 1)), i -> concat_ws(' ', slice($toks, i, 2)))"
-    round(expr(modeCount(bgs)).cast("double") / expr(s"greatest(size($toks) - 1, 1)"), 6)
+      s"transform(sequence(1, greatest(size($toksCol) - 1, 1)), " +
+        s"i -> concat_ws(' ', slice($toksCol, i, 2)))"
+    round(
+      expr(runFold(s"sort_array($bgs)")).cast("double") /
+        expr(s"greatest(size($toksCol) - 1, 1)"),
+      6
+    )
   }
 
   /** Longest consecutive same-word run — the fold above WITHOUT the
     * sort, so runs are positional, not global multiplicity.
     */
-  def maxWordRun(textCol: String): Column =
-    expr(
-      s"""aggregate(split($textCol, ' '),
-         |  named_struct('prev', '', 'run', 0, 'best', 0),
-         |  (a, x) -> named_struct(
-         |    'prev', x,
-         |    'run', IF(x = a.prev, a.run + 1, 1),
-         |    'best', GREATEST(a.best, IF(x = a.prev, a.run + 1, 1))),
-         |  a -> a.best)""".stripMargin
-    )
+  def maxWordRun(toksCol: String): Column = expr(runFold(toksCol))
+
+  /** All three repetition signals off ONE materialized token array. */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("__toks", split(col(textCol), " "))
+      .select(
+        col(idCol),
+        dupWordFrac("__toks").as("dup_word_frac"),
+        topBigramFrac("__toks").as("top_bigram_frac"),
+        maxWordRun("__toks").as("max_word_run")
+      )
 
   /** Winnowing-style document fingerprint: lexicographic min of the
     * hashes of character 8-grams sampled at `stride` — robust to small

@@ -170,14 +170,8 @@ object PipelineQueries extends QueryPack {
     },
     // Gopher-style repetition signals as single-pass array folds
     "q_repetition" -> { (s, dir) =>
-      Tables
-        .load(s, dir, "documents")
-        .select(
-          col("doc_id"),
-          TextAnalysis.dupWordFrac("text").as("dup_word_frac"),
-          TextAnalysis.topBigramFrac("text").as("top_bigram_frac"),
-          TextAnalysis.maxWordRun("text").as("max_word_run")
-        )
+      TextAnalysis
+        .repetitionSignals(Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
     },
     // per-source length distribution: exact percentiles for the gate;

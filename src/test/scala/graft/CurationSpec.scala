@@ -14,13 +14,8 @@ class CurationSpec extends SparkSpec {
     // "a a a b": 4 words, 2 distinct -> dup 0.5; bigrams [a a, a a, a b]
     // -> modal 2/3; longest run of 'a' = 3
     val df = Seq((1L, "a a a b"), (2L, "x y z w")).toDF("doc_id", "text")
-    val r = df
-      .select(
-        col("doc_id"),
-        TextAnalysis.dupWordFrac("text").as("dup"),
-        TextAnalysis.topBigramFrac("text").as("bg"),
-        TextAnalysis.maxWordRun("text").as("run")
-      )
+    val r = TextAnalysis
+      .repetitionSignals(df, "doc_id", "text")
       .orderBy("doc_id")
       .collect()
     assert(r(0).getDouble(1) == 0.5)

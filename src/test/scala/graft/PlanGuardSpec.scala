@@ -61,6 +61,21 @@ class PlanGuardSpec extends SparkSpec {
     assert("Window ".r.findAllIn(plan).size <= 2, "corpus assignment must not plan a window")
   }
 
+  test("decontamination joins broadcast — the corpus never shuffles for membership") {
+    val plan = physical("q_decontaminate")
+    assert(!plan.contains("SortMergeJoin"), "bench membership must broadcast, not sort-merge")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size == 1)
+  }
+
+  test("newest-N-per-key plans a partial WindowGroupLimit before the shuffle") {
+    assert(physical("q_latest_n").contains("WindowGroupLimit"))
+  }
+
+  test("repetition signals stay scan-local (no shuffle except the final sort)") {
+    val plan = physical("q_repetition")
+    assert("Exchange".r.findAllIn(plan).size <= 1, "array-fold signals must not shuffle")
+  }
+
   test("candidate-pair operators stay equi-joins (no nested-loop)") {
     Seq("q_dedup_minhash", "q_ngram_jaccard", "q_embedding_neardup", "q_ann_lsh")
       .foreach { name =>
