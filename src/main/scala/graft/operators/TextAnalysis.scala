@@ -128,6 +128,36 @@ object TextAnalysis {
         maxWordRun("__toks").as("max_word_run")
       )
 
+  /** TF-IDF with the per-doc top term: term frequencies from one
+    * explode + hash agg; document frequencies from a second agg over
+    * the (doc, term) pairs; corpus size joined in as a broadcast
+    * one-row aggregate (no driver-side count action). The df join
+    * shuffles by term — high-cardinality, well distributed; the final
+    * per-doc argmax is `max(struct(tfidf, term))`, a partial-agg
+    * friendly fold with a deterministic tie-break (larger term wins).
+    */
+  def tfidfTopTerm(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df
+      .withColumn("__toks", split(col(textCol), " "))
+      .select(col(idCol), explode(col("__toks")).as("term"))
+    val tf = tok.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("__n"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn(
+        "tfidf",
+        round(col("tf") * log(col("__n").cast("double") / col("df")), 6)
+      )
+      .groupBy(col(idCol))
+      .agg(max(struct(col("tfidf"), col("term"))).as("__m"))
+      .select(
+        col(idCol),
+        col("__m.term").as("top_term"),
+        col("__m.tfidf").as("top_tfidf")
+      )
+  }
+
   /** Winnowing-style document fingerprint: lexicographic min of the
     * hashes of character 8-grams sampled at `stride` — robust to small
     * edits, pure column math (transform over substring windows +

@@ -196,6 +196,43 @@ object PipelineQueries extends QueryPack {
       ).select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
     },
+    // sequence packing: cumulative-token pack assignment per source
+    "q_pack_sequences" -> { (s, dir) =>
+      val d = Tables
+        .load(s, dir, "documents")
+        .withColumn("n_tok", ceil(length(col("text")) / 4).cast("int"))
+      Curation
+        .packSequences(d, "doc_id", "source", "n_tok", ctxTokens = 2048)
+        .orderBy(col("doc_id"))
+    },
+    // TF-IDF top term per document
+    "q_tfidf" -> { (s, dir) =>
+      TextAnalysis
+        .tfidfTopTerm(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    // canonical normalization ahead of exact dedup (messy input
+    // synthesized deterministically: upper-cased head + space runs)
+    "q_normalize_text" -> { (s, dir) =>
+      val raw = Tables
+        .load(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          concat(
+            upper(substring(col("text"), 1, 10)),
+            lit("  "),
+            expr("substring(text, 11)"),
+            lit("   ")
+          ).as("raw")
+        )
+      raw
+        .select(
+          col("doc_id"),
+          Curation.normalize(col("raw")).as("norm_text"),
+          md5(Curation.normalize(col("raw")).cast("binary")).as("norm_hash")
+        )
+        .orderBy(col("doc_id"))
+    },
     "q_multimodal_meta" -> { (s, dir) =>
       val media = Tables
         .load(s, dir, "documents")
@@ -527,6 +564,46 @@ object PipelineQueries extends QueryPack {
       """SELECT doc_id, source FROM documents
         |WHERE CAST('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 <
         |      CASE source WHEN 'src0' THEN 10 WHEN 'src1' THEN 50 WHEN 'src2' THEN 80 ELSE 25 END
+        |ORDER BY doc_id""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, CAST(CEIL(LENGTH(text) / 4) AS INT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tok,
+        |         SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS before_tok
+        |  FROM t)
+        |SELECT doc_id, source, n_tok,
+        |       CAST(COALESCE(before_tok, 0) // 2048 AS INT) AS pack_id,
+        |       CAST(COALESCE(before_tok, 0) % 2048 AS INT) AS pack_offset
+        |FROM c
+        |ORDER BY doc_id""".stripMargin,
+    "q_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |         ROUND(tf.tf * LN(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term DESC) AS rn
+        |  FROM scored)
+        |SELECT doc_id, term AS top_term, tfidf AS top_tfidf
+        |FROM ranked WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+    "q_normalize_text" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |         UPPER(SUBSTRING(text, 1, 10)) || '  ' || SUBSTRING(text, 11) || '   ' AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |       TRIM(REGEXP_REPLACE(LOWER(raw), ' +', ' ', 'g')) AS norm_text,
+        |       MD5(TRIM(REGEXP_REPLACE(LOWER(raw), ' +', ' ', 'g'))) AS norm_hash
+        |FROM r
         |ORDER BY doc_id""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id,

@@ -69,6 +69,77 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(approx.getAs[Double]("p50") - 500.5) < 25.0)
   }
 
+  test("packSequences assigns packs by running token sum per stratum") {
+    val df = Seq(
+      (1L, "s", 100), (2L, "s", 100), (3L, "s", 60), (4L, "s", 10),
+      (5L, "t", 250)
+    ).toDF("id", "src", "n_tok")
+    val r = Curation
+      .packSequences(df, "id", "src", "n_tok", ctxTokens = 256)
+      .orderBy("id")
+      .select("pack_id", "pack_offset")
+      .collect()
+      .map(x => (x.getInt(0), x.getInt(1)))
+    // stratum s cum-before: 0, 100, 200, 260 -> packs 0,0,0,1; t: 0
+    assert(r.toSeq == Seq((0, 0), (0, 100), (0, 200), (1, 4), (0, 0)))
+  }
+
+  test("tfidfTopTerm picks the highest-scoring term deterministically") {
+    // "rare" appears twice in doc 1 and nowhere else; "common" is in
+    // every doc (idf = ln(1) = 0)
+    val df = Seq(
+      (1L, "common rare rare"),
+      (2L, "common only two"),
+      (3L, "common three word")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis
+      .tfidfTopTerm(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect()
+    assert(r(0).getAs[String]("top_term") == "rare")
+    assert(r(0).getAs[Double]("top_tfidf") == math.rint(2 * math.log(3.0) * 1e6) / 1e6)
+  }
+
+  test("normalize lowercases, collapses spaces, trims — and is idempotent") {
+    val df = Seq((1L, "  Hello   WORLD  ")).toDF("id", "raw")
+    val once = df.select(Curation.normalize(col("raw")).as("n")).as[String].collect()(0)
+    assert(once == "hello world")
+    val twice = df
+      .select(Curation.normalize(Curation.normalize(col("raw"))).as("n"))
+      .as[String]
+      .collect()(0)
+    assert(twice == once)
+  }
+
+  test("decontaminate filter works on a stream (stateless broadcast membership)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val eval = Seq((100L, "the quick brown fox leaps high")).toDF("doc_id", "text")
+    val bench = eval
+      .withColumn("__toks", split(col("text"), " "))
+      .select(explode(graft.operators.Dedup.shinglesOf("__toks", 3)).as("shingle"))
+      .select(md5(col("shingle").cast("binary")).as("sh"))
+      .distinct()
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val streamed = in
+      .toDF()
+      .toDF("doc_id", "text")
+      .withColumn("__toks", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        explode(graft.operators.Dedup.shinglesOf("__toks", 3)).as("shingle")
+      )
+      .withColumn("sh", md5(col("shingle").cast("binary")))
+      .join(broadcast(bench), Seq("sh"), "left_semi") // contaminated shingles
+    val q = streamed.writeStream.format("memory").queryName("decon_stream").start()
+    try {
+      in.addData((1L, "the quick brown fox jumps over the lazy dog"), (2L, "nothing shared at all here"))
+      q.processAllAvailable()
+      val hits = spark.sql("SELECT doc_id, COUNT(*) AS c FROM decon_stream GROUP BY 1").collect()
+      assert(hits.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    } finally q.stop()
+  }
+
   test("newestPerKey keeps the n newest with deterministic tie-break") {
     val df = Seq(
       (1L, 100L, 10L, "a"),
