@@ -70,17 +70,26 @@ object Curation {
       idCol: String,
       textCol: String,
       n: Int = 3,
-      flagMinOverlap: Int = 2
+      flagMinOverlap: Int = 2,
+      hashFamily: String = "md5"
   ): DataFrame = {
+    // Same hash-family split as MinHash: md5 is DuckDB-mirrorable for
+    // the oracle; xxhash64 is the production family (codegen'd 64-bit
+    // mix, an 8-byte broadcast key instead of a 32-char hex string).
+    val shingleHash: Column => Column = hashFamily match {
+      case "md5"      => c => md5(c.cast("binary"))
+      case "xxhash64" => c => xxhash64(c)
+      case other      => throw new IllegalArgumentException(s"unknown hash family: $other")
+    }
     // Shingle strings come from a MATERIALIZED token array (inlining
     // split(text) into the transform lambda re-evaluates it per window
-    // index — O(words²) per doc, see Dedup.shinglesOf), and md5 is
+    // index — O(words²) per doc, see Dedup.shinglesOf), and the hash is
     // applied AFTER the explode as a top-level column so it runs inside
     // whole-stage codegen instead of the interpreted lambda.
     val bench = evalSet
       .withColumn("__toks", split(col(textCol), " "))
       .select(explode(Dedup.shinglesOf("__toks", n)).as("shingle"))
-      .select(md5(col("shingle").cast("binary")).as("sh"))
+      .select(shingleHash(col("shingle")).as("sh"))
       .distinct()
       .withColumn("__hit", lit(true))
     // Single pass over the corpus: the shingle transform is evaluated
@@ -95,7 +104,7 @@ object Curation {
         size(col("__shs")).as("n_shingles"),
         explode(col("__shs")).as("shingle")
       )
-      .withColumn("sh", md5(col("shingle").cast("binary")))
+      .withColumn("sh", shingleHash(col("shingle")))
       .join(broadcast(bench), Seq("sh"), "left")
       .groupBy(col(idCol), col("n_shingles"))
       .agg(sum(when(col("__hit"), 1L).otherwise(0L)).as("__overlap"))

@@ -1,0 +1,48 @@
+package graft.tools
+
+import graft.operators.Curation
+import graft.sources.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc A/B for oracle-vs-production hash families (BASELINE.md
+  * records the results): times decontaminate under md5 and xxhash64 at
+  * `SPARK_GRAFT_SF_DIR`. Warm-up pass first; three timed passes each.
+  */
+object FamilyBench {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession
+      .builder()
+      .master("local[32]")
+      .appName("graft-family-bench")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = Tables.load(spark, dir, "documents")
+    def run(family: String): Double = {
+      val t0 = System.nanoTime()
+      Curation
+        .decontaminate(
+          d.filter(col("doc_id") % 97 =!= 0),
+          d.filter(col("doc_id") % 97 === 0),
+          "doc_id",
+          "text",
+          hashFamily = family
+        )
+        .write
+        .format("noop")
+        .mode("overwrite")
+        .save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    Seq("md5", "xxhash64").foreach(run) // warm-up
+    Seq("md5", "xxhash64").foreach { f =>
+      val ts = (1 to 3).map(_ => run(f))
+      println(f"family=$f min=${ts.min}%.2f s runs=${ts.map(t => f"$t%.2f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}

@@ -43,6 +43,32 @@ class CurationSpec extends SparkSpec {
     assert(!r(1).getAs[Boolean]("contaminated"))
   }
 
+  test("xxhash64 production family finds the same contamination structure") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "entirely unrelated words with zero benchmark overlap here")
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "the quick brown fox leaps high")).toDF("doc_id", "text")
+    val md = Curation
+      .decontaminate(corpus, eval, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("overlap")
+      .as[Int]
+      .collect()
+      .toSeq
+    val xx = Curation
+      .decontaminate(corpus, eval, "doc_id", "text", hashFamily = "xxhash64")
+      .orderBy("doc_id")
+      .select("overlap")
+      .as[Int]
+      .collect()
+      .toSeq
+    assert(md == xx)
+    intercept[IllegalArgumentException] {
+      Curation.decontaminate(corpus, eval, "doc_id", "text", hashFamily = "fnv")
+    }
+  }
+
   test("stratified sampling honors 0/100 rates and is deterministic") {
     val df = (1L to 200L).map(i => (i, if (i % 2 == 0) "keep" else "drop")).toDF("id", "src")
     val kept = df
