@@ -81,14 +81,13 @@ object Curation {
       case "xxhash64" => c => xxhash64(c)
       case other      => throw new IllegalArgumentException(s"unknown hash family: $other")
     }
-    // Shingle strings come from a MATERIALIZED token array (inlining
-    // split(text) into the transform lambda re-evaluates it per window
-    // index — O(words²) per doc, see Dedup.shinglesOf), and the hash is
-    // applied AFTER the explode as a top-level column so it runs inside
-    // whole-stage codegen instead of the interpreted lambda.
+    // Shingles come from the native fused WordShingles expression (one
+    // split+window loop per row — see Dedup.shinglesNative; the composed
+    // transform-lambda form re-evaluated split per window index,
+    // O(words²) per doc), and the hash is applied AFTER the explode as a
+    // top-level column so it runs inside whole-stage codegen.
     val bench = evalSet
-      .withColumn("__toks", split(col(textCol), " "))
-      .select(explode(Dedup.shinglesOf("__toks", n)).as("shingle"))
+      .select(explode(Dedup.shinglesNative(col(textCol), n)).as("shingle"))
       .select(shingleHash(col("shingle")).as("sh"))
       .distinct()
       .withColumn("__hit", lit(true))
@@ -97,8 +96,7 @@ object Curation {
     // membership left-join + per-doc count collapse into one broadcast
     // probe and one map-side-combinable aggregation — no join-back.
     corpus
-      .withColumn("__toks", split(col(textCol), " "))
-      .select(col(idCol), array_distinct(Dedup.shinglesOf("__toks", n)).as("__shs"))
+      .select(col(idCol), array_distinct(Dedup.shinglesNative(col(textCol), n)).as("__shs"))
       .select(
         col(idCol),
         size(col("__shs")).as("n_shingles"),

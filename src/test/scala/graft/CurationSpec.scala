@@ -150,10 +150,10 @@ class CurationSpec extends SparkSpec {
     val streamed = in
       .toDF()
       .toDF("doc_id", "text")
-      .withColumn("__toks", split(col("text"), " "))
       .select(
         col("doc_id"),
-        explode(graft.operators.Dedup.shinglesOf("__toks", 3)).as("shingle")
+        // native WordShingles inside a streaming plan
+        explode(graft.operators.Dedup.shinglesNative(col("text"), 3)).as("shingle")
       )
       .withColumn("sh", md5(col("shingle").cast("binary")))
       .join(broadcast(bench), Seq("sh"), "left_semi") // contaminated shingles

@@ -42,6 +42,23 @@ class DedupSpec extends SparkSpec {
     assert(capped.count() == 0)
   }
 
+  test("native WordShingles is byte-identical to the composed split+transform form") {
+    import org.apache.spark.sql.functions.{col, split}
+    // edge shapes: empty string, single word, double spaces (empty
+    // tokens), leading/trailing spaces, short-of-n docs
+    val texts = Seq(
+      "", "one", "one two", "a b  c", " leading", "trailing ",
+      "exactly three words", "four words in total",
+      base, "x " * 50 + "y"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    for (n <- Seq(1, 2, 3, 5)) {
+      val df = texts.toDF("id", "text").withColumn("__toks", split(col("text"), " "))
+      val composed = df.select(col("id"), Dedup.shinglesOf("__toks", n).as("s"))
+      val native = df.select(col("id"), Dedup.shinglesNative(col("text"), n).as("s"))
+      assert(native.except(composed).isEmpty && composed.except(native).isEmpty, s"n=$n differs")
+    }
+  }
+
   test("xxhash64 production family detects the same duplicate structure") {
     val pairs = Dedup.minhashCandidates(docs, "doc_id", "text", hashFamily = "xxhash64")
       .as[(Long, Long)].collect().toSet
