@@ -158,6 +158,31 @@ object TextAnalysis {
       )
   }
 
+  /** Unigram-LM quality score: average negative log-likelihood of each
+    * document's words under the corpus's own unigram distribution (the
+    * statistical stand-in for KenLM-style perplexity filtering — docs
+    * full of corpus-atypical tokens score high). Same scale shape as
+    * [[tfidfTopTerm]]: one explode, a term-frequency agg, the corpus
+    * total as a broadcast one-row aggregate, a term-keyed join, and a
+    * map-side-combinable per-doc average. No smoothing needed: every
+    * scored word is in the corpus by construction.
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df
+      .withColumn("__toks", split(col(textCol), " "))
+      .select(col(idCol), explode(col("__toks")).as("term"))
+    val freq = tok.groupBy(col("term")).agg(count(lit(1)).as("__c"))
+    val total = tok.agg(count(lit(1)).as("__t"))
+    tok
+      .join(freq, "term")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("int").as("n_words"),
+        round(avg(-log(col("__c").cast("double") / col("__t"))), 6).as("avg_neg_logprob")
+      )
+  }
+
   /** Winnowing-style document fingerprint: lexicographic min of the
     * hashes of character 8-grams sampled at `stride` — robust to small
     * edits, pure column math (transform over substring windows +

@@ -211,6 +211,12 @@ object PipelineQueries extends QueryPack {
         .tfidfTopTerm(Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
     },
+    // unigram-LM negative log-likelihood (perplexity-style filter)
+    "q_unigram_logprob" -> { (s, dir) =>
+      TextAnalysis
+        .unigramLogProb(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
     // canonical normalization ahead of exact dedup (messy input
     // synthesized deterministically: upper-cased head + space runs)
     "q_normalize_text" -> { (s, dir) =>
@@ -595,6 +601,17 @@ object PipelineQueries extends QueryPack {
         |SELECT doc_id, term AS top_term, tfidf AS top_tfidf
         |FROM ranked WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
+    "q_unigram_logprob" ->
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents),
+        |freq AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS t FROM tok)
+        |SELECT tok.doc_id,
+        |       CAST(COUNT(*) AS INT) AS n_words,
+        |       ROUND(AVG(-LN(CAST(freq.c AS DOUBLE) / tot.t)), 6) AS avg_neg_logprob
+        |FROM tok JOIN freq ON tok.term = freq.term CROSS JOIN tot
+        |GROUP BY tok.doc_id
+        |ORDER BY tok.doc_id""".stripMargin,
     "q_normalize_text" ->
       """WITH r AS (
         |  SELECT doc_id,

@@ -126,6 +126,24 @@ class CurationSpec extends SparkSpec {
     assert(r(0).getAs[Double]("top_tfidf") == math.rint(2 * math.log(3.0) * 1e6) / 1e6)
   }
 
+  test("unigramLogProb scores corpus-atypical docs higher") {
+    // corpus: "common" appears 4/6 tokens, "rare"/"odd" once each
+    val df = Seq(
+      (1L, "common common common"),
+      (2L, "common rare odd")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis
+      .unigramLogProb(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect()
+    val pCommon = 4.0 / 6.0
+    val pRare = 1.0 / 6.0
+    assert(r(0).getAs[Double]("avg_neg_logprob") == math.rint(-math.log(pCommon) * 1e6) / 1e6)
+    val exp2 = (-math.log(pCommon) - 2 * math.log(pRare)) / 3.0
+    assert(math.abs(r(1).getAs[Double]("avg_neg_logprob") - exp2) < 1e-6)
+    assert(r(1).getAs[Double]("avg_neg_logprob") > r(0).getAs[Double]("avg_neg_logprob"))
+  }
+
   test("normalize lowercases, collapses spaces, trims — and is idempotent") {
     val df = Seq((1L, "  Hello   WORLD  ")).toDF("id", "raw")
     val once = df.select(Curation.normalize(col("raw")).as("n")).as[String].collect()(0)
