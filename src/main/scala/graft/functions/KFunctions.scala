@@ -152,6 +152,21 @@ object KFunctions {
   def histogramEntries(valueCol: Column, countCol: Column): Column =
     map_from_entries(sort_array(collect_list(struct(valueCol, countCol))))
 
+  /** HISTOGRAM (:90) as the engine's native ONE-shuffle aggregate
+    * ([[HistogramAgg]]): string in, key-sorted MAP<STRING,BIGINT> out,
+    * capped at ksqlDB's 1000 distinct entries. Unlike the composite
+    * forms above this needs no pre-grouping pass — map-side partials
+    * carry ≤ maxKeys entries per group, so it is the 100 TB path.
+    */
+  def histogram(c: Column, maxKeys: Int = HistogramAgg.DefaultMaxKeys): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      HistogramAgg(
+        org.apache.spark.sql.graftbridge.ColumnBridge
+          .catalystExpression(c.cast(StringType)),
+        maxKeys
+      ).toAggregateExpression()
+    )
+
   // ---- registry with context flags (parity validation) ----
   final case class FunctionSpec(
       name: String,

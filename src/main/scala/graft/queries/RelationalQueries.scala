@@ -310,6 +310,22 @@ object RelationalQueries extends QueryPack {
           ).as("hist")
         )
         .orderBy(col("event_type"))
+    },
+
+    // HISTOGRAM via the native one-shuffle HistogramAgg (the 100 TB
+    // path): no pre-grouping pass — bucket per row, count straight into
+    // a capped map. to_json of the key-sorted map is the scalar output.
+    "q_histogram_native" -> { (s, dir) =>
+      graft.sources.Tables
+        .load(s, dir, "events")
+        .select(
+          col("event_type"),
+          (floor(col("value") / 50) * 50).cast("long").as("bucket")
+        )
+        .groupBy(col("event_type"))
+        .agg(graft.functions.KFunctions.histogram(col("bucket")).as("hmap"))
+        .select(col("event_type"), to_json(col("hmap")).as("hist"))
+        .orderBy(col("event_type"))
     }
   )
 
@@ -426,6 +442,18 @@ object RelationalQueries extends QueryPack {
         |  FROM events GROUP BY 1, 2)
         |SELECT event_type,
         |       ARRAY_TO_STRING(LIST_SORT(LIST(CAST(bucket AS VARCHAR) || ':' || CAST(cnt AS VARCHAR))), '|') AS hist
+        |FROM b GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    // JSON object rendered with keys in binary order — identical to
+    // Spark's to_json over HistogramAgg's key-sorted map
+    "q_histogram_native" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |         CAST(CAST(FLOOR(value / 50) * 50 AS BIGINT) AS VARCHAR) AS bucket,
+        |         COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type,
+        |       '{' || STRING_AGG('"' || bucket || '":' || CAST(cnt AS VARCHAR), ',' ORDER BY bucket) || '}' AS hist
         |FROM b GROUP BY event_type
         |ORDER BY event_type""".stripMargin
   )

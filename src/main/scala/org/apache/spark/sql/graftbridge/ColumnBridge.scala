@@ -24,4 +24,35 @@ object ColumnBridge {
   /** Column → catalyst Expression (unresolved). */
   def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  /** Column → catalyst Expression via the full ColumnNode converter.
+    * `ExpressionUtils.expression` only unwraps `ExpressionColumnNode`s;
+    * a *composed* Column (e.g. `get_json_object(...)`) stays a
+    * `ColumnNodeExpression`, which Dataset analysis converts but the
+    * SQL `FunctionRegistry` builder path never does — it reaches
+    * codegen unevaluable. This runs the same converter Dataset
+    * analysis uses, yielding catalyst `UnresolvedFunction`s the
+    * analyzer resolves normally.
+    */
+  def catalystExpression(
+      c: Column
+  ): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Apply an extensions injector's `injectFunction` registrations to a
+    * live session — the same `registerFunctions` call session
+    * construction runs on `BaseSessionStateBuilder.functionRegistry`.
+    * Exists because `getOrCreate` returns a pre-existing session
+    * without applying `withExtensions`, and the extensions-carrying
+    * SparkSession constructor is fully private: tests of an injector
+    * (e.g. `graft.GraftExtensions`) exercise the inject path here.
+    */
+  def applyInjectedFunctions(
+      configure: org.apache.spark.sql.SparkSessionExtensions => Unit,
+      spark: org.apache.spark.sql.SparkSession
+  ): Unit = {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    configure(ext)
+    ext.registerFunctions(spark.sessionState.functionRegistry)
+  }
 }
