@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{
 }
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DoubleType, StringType}
+import org.apache.spark.sql.types.StringType
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 
 /** `SparkSessionExtensions` injector for the KSQL function dialect —
@@ -116,12 +116,13 @@ object GraftExtensions {
       MinBy(exprs(0), exprs(1)).toAggregateExpression()),
     desc("COUNT_DISTINCT")(exprs =>
       Count(exprs).toAggregateExpression(isDistinct = true)),
+    // typed like ksqlDB's: ARRAY<input type> out, no numeric coercion
     desc("TOPK")(exprs =>
-      BoundedTopK(Cast(exprs(0), DoubleType), constInt(exprs(1), "TOPK", "k"))
+      BoundedTopK(exprs(0), constInt(exprs(1), "TOPK", "k"))
         .toAggregateExpression()),
     desc("TOPKDISTINCT")(exprs =>
       BoundedTopK(
-        Cast(exprs(0), DoubleType),
+        exprs(0),
         constInt(exprs(1), "TOPKDISTINCT", "k"),
         distinct = true
       ).toAggregateExpression()),

@@ -265,7 +265,9 @@ object RelationalQueries extends QueryPack {
             .groupBy("event_type" -> col("event_type"))
             .select(
               expr("bounded_topk(value, 3)").as("topv"),
-              graft.functions.KFunctions.topKDistinct(col("user_id"), 3).as("topu")
+              // typed heap on strings too (TOPKDISTINCT(VARCHAR)) — the
+              // collect_set composite would buffer whole groups
+              expr("bounded_topk_distinct(user_id, 3)").as("topu")
             )
             .build(),
           catalog(s, dir)

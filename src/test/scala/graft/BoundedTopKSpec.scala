@@ -37,6 +37,22 @@ class BoundedTopKSpec extends SparkSpec {
     assert(top == Seq(99990.0, 99989.0, 99988.0))
   }
 
+  test("typed inputs: strings and longs keep their type (ksqlDB TOPK semantics)") {
+    BoundedTopK.register(spark)
+    // strings exercise the length-prefixed serde + UTF8String ownership
+    // across partial buffers; repartition forces serialize/merge
+    val s = Seq("pear", "apple", "quince", "fig", "pear").toDF("v").repartition(3)
+      .agg(expr("bounded_topk_distinct(v, 3)")).head.getSeq[String](0)
+    assert(s == Seq("quince", "pear", "fig"))
+    val l = spark.range(0, 1000).toDF("v").repartition(4)
+      .agg(expr("bounded_topk(v, 2)")).head.getSeq[Long](0)
+    assert(l == Seq(999L, 998L))
+    // unorderable input types are rejected at analysis
+    intercept[Exception] {
+      Seq(Array(1.0)).toDF("v").agg(expr("bounded_topk(v, 2)")).collect()
+    }
+  }
+
   test("k must be positive; nulls are ignored") {
     BoundedTopK.register(spark)
     intercept[Exception] {

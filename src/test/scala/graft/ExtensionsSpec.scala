@@ -74,13 +74,16 @@ class ExtensionsSpec extends SparkSpec {
              |       EARLIEST_BY_OFFSET(v, off) AS first_v,
              |       COUNT_DISTINCT(k) AS nk,
              |       TOPK(v, 2) AS top2,
-             |       TOPKDISTINCT(v, 2) AS top2d
+             |       TOPKDISTINCT(v, 2) AS top2d,
+             |       TOPKDISTINCT(k, 2) AS top2s
              |FROM t_ext""".stripMargin)
       .head
     assert(row.getDouble(0) == 20.0 && row.getDouble(1) == 10.0)
     assert(row.getLong(2) == 3)
     assert(row.getSeq[Double](3) == Seq(30.0, 20.0))
     assert(row.getSeq[Double](4) == Seq(30.0, 20.0))
+    // ksqlDB-typed: VARCHAR in → ARRAY<VARCHAR> out, no numeric coercion
+    assert(row.getSeq[String](5) == Seq("c", "b"))
   }
 
   test("HISTOGRAM matches the two-shuffle composite and sorts keys") {
