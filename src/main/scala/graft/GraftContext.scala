@@ -26,6 +26,12 @@ final class GraftContext(
     resolve: String => DataFrame
 ) {
 
+  // the reference's startup registers its function surface with ksqlDB;
+  // here context construction injects the KSQL SQL dialect into the
+  // session registry so `spark.sql("... UCASE(x) ... TOPK(v, 3)")`
+  // works against registered entities out of the box
+  GraftExtensions.registerAll(spark)
+
   private val entities = TrieMap.empty[String, EntityModel[_]]
   private val derived = TrieMap.empty[String, QueryModel]
 

@@ -15,8 +15,9 @@ import java.util.PriorityQueue
 /** TOPK as a bounded min-heap `TypedImperativeAggregate` — the scale
   * path for the reference's TOPK/TOPKDISTINCT
   * (`KsqlFunctionRegistry.cs:91-92`). Like ksqlDB's, it is typed over
-  * the orderable scalar inputs (INT/BIGINT/FLOAT/DOUBLE/VARCHAR/
-  * TIMESTAMP/DATE) and returns `ARRAY<input type>` sorted descending.
+  * the orderable scalar inputs (INT/BIGINT/FLOAT/DOUBLE/DECIMAL/
+  * VARCHAR/TIMESTAMP/DATE) and returns `ARRAY<input type>` sorted
+  * descending.
   *
   * The composite form (`slice(sort_array(collect_list(x)))`,
   * [[KFunctions.topK]]) buffers EVERY group element before sorting —
@@ -46,6 +47,7 @@ case class BoundedTopK(
       case IntegerType | LongType | FloatType | DoubleType | StringType |
           TimestampType | DateType =>
         TypeCheckResult.TypeCheckSuccess
+      case _: DecimalType => TypeCheckResult.TypeCheckSuccess
       case other =>
         TypeCheckResult.TypeCheckFailure(
           s"$prettyName requires an orderable scalar input, got ${other.sql}"
@@ -133,6 +135,20 @@ case class BoundedTopK(
       bb.putInt(buf.size)
       buf.forEach(v => bb.putDouble(v.asInstanceOf[Double]))
       bb.array()
+    case _: DecimalType =>
+      // length-prefixed unscaled BigInteger bytes; scale/precision are
+      // fixed by the declared type, so only the magnitude travels
+      var bytes = 4
+      val staged = new java.util.ArrayList[Array[Byte]](buf.size)
+      buf.forEach { v =>
+        val b = v.asInstanceOf[Decimal].toJavaBigDecimal.unscaledValue.toByteArray
+        staged.add(b)
+        bytes += 4 + b.length
+      }
+      val bb = ByteBuffer.allocate(bytes)
+      bb.putInt(staged.size)
+      staged.forEach { b => bb.putInt(b.length); bb.put(b) }
+      bb.array()
     case other => throw new IllegalStateException(s"unreachable: $other")
   }
 
@@ -158,6 +174,20 @@ case class BoundedTopK(
         while (i < n) { buf.add(bb.getFloat); i += 1 }
       case DoubleType =>
         while (i < n) { buf.add(bb.getDouble); i += 1 }
+      case d: DecimalType =>
+        while (i < n) {
+          val len = bb.getInt
+          val b = new Array[Byte](len)
+          bb.get(b)
+          buf.add(
+            Decimal(
+              new java.math.BigDecimal(new java.math.BigInteger(b), d.scale),
+              d.precision,
+              d.scale
+            )
+          )
+          i += 1
+        }
       case other => throw new IllegalStateException(s"unreachable: $other")
     }
     buf

@@ -47,6 +47,12 @@ class BoundedTopKSpec extends SparkSpec {
     val l = spark.range(0, 1000).toDF("v").repartition(4)
       .agg(expr("bounded_topk(v, 2)")).head.getSeq[Long](0)
     assert(l == Seq(999L, 998L))
+    // decimals exercise the unscaled-BigInteger serde (incl. negatives)
+    val d = Seq("3.14", "-2.72", "9.99", "0.01").map(new java.math.BigDecimal(_))
+      .toDF("v").repartition(3)
+      .agg(expr("bounded_topk(v, 3)")).head.getSeq[java.math.BigDecimal](0)
+    // the product encoder widens to DECIMAL(38,18) — compare canonically
+    assert(d.map(_.stripTrailingZeros.toPlainString) == Seq("9.99", "3.14", "0.01"))
     // unorderable input types are rejected at analysis
     intercept[Exception] {
       Seq(Array(1.0)).toDF("v").agg(expr("bounded_topk(v, 2)")).collect()

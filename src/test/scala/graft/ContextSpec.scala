@@ -121,6 +121,14 @@ class ContextSpec extends SparkSpec {
     assert(tries == 1 && dlqd2.toSeq == Seq(2))
   }
 
+  test("context construction injects the SQL dialect into the session") {
+    ctx // constructing the context registers GraftExtensions.dialect
+    assert(spark.sql("SELECT UCASE('graft')").head.getString(0) == "GRAFT")
+    // SQL numeric literals are DECIMAL — TOPK keeps the type, like ksqlDB
+    assert(spark.sql("SELECT TOPK(x, 1) FROM VALUES (2.0), (5.0) AS t(x)")
+      .head.getSeq[java.math.BigDecimal](0) == Seq(new java.math.BigDecimal("5.0")))
+  }
+
   test("unregistered entity fails fast") {
     intercept[NoSuchElementException](ctx.entityModel("nope"))
   }
