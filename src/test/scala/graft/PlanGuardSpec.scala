@@ -41,6 +41,20 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("typed imperative aggregates run two-phase with bounded map-side partials") {
+    Seq(
+      "q_histogram_native" -> "partial_ksql_histogram",
+      "q_topk" -> "partial_bounded_topk"
+    ).foreach { case (q, marker) =>
+      val plan = physical(q)
+      assert(plan.contains(marker), s"$q lost map-side partial aggregation")
+      assert(
+        "ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+        s"$q should aggregate in two phases"
+      )
+    }
+  }
+
   test("hot relational paths stay inside whole-stage codegen") {
     // AQE wraps stages only at execution, hiding codegen from a static
     // plan dump — disable it for this assertion so the "*(n)" codegen
