@@ -209,6 +209,53 @@ object Curation {
   def normalize(text: Column): Column =
     trim(regexp_replace(lower(text), " +", " "))
 
+  /** End-to-end curation in ONE plan: language gate → quality gate →
+    * PII scrub → canonical normalize → exact dedup keeping the
+    * smallest id. A 100 TB pipeline runs these as one job, not five:
+    * every per-document signal (lang argmax, quality, scrub, norm,
+    * content hash) is computed in a single codegen'd scan pass, and
+    * the ONLY wide stage is the dedup groupBy on the 128-bit content
+    * hash — gates run before the shuffle, so filtered-out documents
+    * never ship. `carry` columns ride with the canonical (smallest-id)
+    * document via `min_by`.
+    */
+  def curate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      keepLang: String = "en",
+      minQuality: Double = 0.5,
+      carry: Seq[String] = Nil
+  ): DataFrame = {
+    val t = col(textCol)
+    val scored = docs
+      .select(
+        Seq(
+          col(idCol),
+          t.as("__text"),
+          TextAnalysis.langId(t).as("__lang"),
+          TextAnalysis.qualityScore(t).as("quality")
+        ) ++ carry.map(col): _*
+      )
+      .filter(col("__lang") === keepLang && col("quality") >= minQuality)
+      .withColumn("__norm", normalize(scrubPii(col("__text"))))
+    scored
+      .groupBy(md5(col("__norm").cast("binary")).as("content_hash"))
+      .agg(
+        min(col(idCol)).as("canonical_id"),
+        count(lit(1)).as("dup_count"),
+        // hash-aggregable struct argmin (built-in min_by on a struct
+        // falls back to SortAggregate — a corpus-wide per-partition sort)
+        graft.functions.MinByObject
+          .minBy(struct(("quality" +: carry).map(col): _*), col(idCol))
+          .as("__c")
+      )
+      .select(
+        Seq(col("content_hash"), col("canonical_id"), col("dup_count")) ++
+          ("quality" +: carry).map(c => col(s"__c.$c").as(c)): _*
+      )
+  }
+
   /** PII scrubbing: replace emails / international phone numbers / IPv4
     * addresses with typed placeholder tags. Pure regexp_replace chain
     * (codegen'd, scan-speed); patterns are RE2-class so the DuckDB

@@ -239,6 +239,30 @@ object PipelineQueries extends QueryPack {
         )
         .orderBy(col("doc_id"))
     },
+    // the integrated curation job: lang gate → quality gate → PII scrub
+    // → normalize → exact dedup → per-source stats, all one plan. Every
+    // 5th doc gets a normalized-equal variant (uppercased prefix,
+    // id+1e6) so the dedup stage observably folds.
+    "q_curation_pipeline" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val variants = d
+        .filter(col("doc_id") % 5 === 0)
+        .select(
+          (col("doc_id") + 1000000L).as("doc_id"),
+          concat(upper(substring(col("text"), 1, 10)), expr("substring(text, 11)")).as("text"),
+          col("lang"), col("source"), col("n_chars")
+        )
+      Curation
+        .curate(d.unionByName(variants), "doc_id", "text", carry = Seq("source"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("docs_kept"),
+          sum(col("dup_count")).cast("long").as("docs_in"),
+          sum(col("quality").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .cast("double").as("sum_quality")
+        )
+        .orderBy(col("source"))
+    },
     "q_multimodal_meta" -> { (s, dir) =>
       val media = Tables
         .load(s, dir, "documents")
@@ -622,6 +646,49 @@ object PipelineQueries extends QueryPack {
         |       MD5(TRIM(REGEXP_REPLACE(LOWER(raw), ' +', ' ', 'g'))) AS norm_hash
         |FROM r
         |ORDER BY doc_id""".stripMargin,
+    "q_curation_pipeline" ->
+      """WITH inp AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, UPPER(SUBSTRING(text, 1, 10)) || SUBSTRING(text, 11), source
+        |  FROM documents WHERE doc_id % 5 = 0
+        |),
+        |scored AS (
+        |  SELECT doc_id, text, source,
+        |         RIGHT(GREATEST(
+        |           LPAD(CAST(LEN(LIST_FILTER(LIST_DISTINCT(STRING_SPLIT(text,' ')), x -> LIST_CONTAINS(['the','a','and','of','to'], x))) AS VARCHAR), 3, '0') || 'en',
+        |           LPAD(CAST(LEN(LIST_FILTER(LIST_DISTINCT(STRING_SPLIT(text,' ')), x -> LIST_CONTAINS(['el','la','los','que','y'], x))) AS VARCHAR), 3, '0') || 'es',
+        |           LPAD(CAST(LEN(LIST_FILTER(LIST_DISTINCT(STRING_SPLIT(text,' ')), x -> LIST_CONTAINS(['le','la','les','et','des'], x))) AS VARCHAR), 3, '0') || 'fr',
+        |           LPAD(CAST(LEN(LIST_FILTER(LIST_DISTINCT(STRING_SPLIT(text,' ')), x -> LIST_CONTAINS(['de5','shi4','le5','zai4','he2'], x))) AS VARCHAR), 3, '0') || 'zh'
+        |         ), 2) AS predicted_lang,
+        |         ROUND(
+        |           (CASE WHEN CAST(LEN(STRING_SPLIT(text,' ')) AS DOUBLE) >= 20 AND CAST(LEN(STRING_SPLIT(text,' ')) AS DOUBLE) <= 10000 THEN 1.0
+        |                 WHEN CAST(LEN(STRING_SPLIT(text,' ')) AS DOUBLE) >= 5 THEN 0.5 ELSE 0.0 END) * 0.3 +
+        |           (CASE WHEN (CAST(LENGTH(text) AS DOUBLE) - (CAST(LEN(STRING_SPLIT(text,' ')) AS DOUBLE) - 1)) / CAST(LEN(STRING_SPLIT(text,' ')) AS DOUBLE) >= 3
+        |                  AND (CAST(LENGTH(text) AS DOUBLE) - (CAST(LEN(STRING_SPLIT(text,' ')) AS DOUBLE) - 1)) / CAST(LEN(STRING_SPLIT(text,' ')) AS DOUBLE) <= 10 THEN 1.0 ELSE 0.5 END) * 0.2 +
+        |           CAST(LEN(LIST_FILTER(LIST_DISTINCT(STRING_SPLIT(text,' ')), x -> LIST_CONTAINS(['the','a','and','of','to'], x))) AS DOUBLE) / 5.0 * 0.2 +
+        |           (CAST(LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) + 1.0) / (CAST(LENGTH(text) AS DOUBLE) + 1.0) * 0.3, 6) AS quality
+        |  FROM inp
+        |),
+        |kept AS (
+        |  SELECT doc_id, source, quality,
+        |         TRIM(REGEXP_REPLACE(LOWER(
+        |           REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(text,
+        |             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |             '\+[0-9]{1,3}[- ][0-9]{3,4}[- ][0-9]{3,4}[- ]?[0-9]{0,4}', '<PHONE>', 'g'),
+        |             '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g')
+        |         ), ' +', ' ', 'g')) AS norm
+        |  FROM scored
+        |  WHERE predicted_lang = 'en' AND quality >= 0.5
+        |),
+        |dedup AS (
+        |  SELECT MD5(norm) AS content_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count,
+        |         MIN_BY(source, doc_id) AS source, MIN_BY(quality, doc_id) AS quality
+        |  FROM kept GROUP BY 1
+        |)
+        |SELECT source, COUNT(*) AS docs_kept, CAST(SUM(dup_count) AS BIGINT) AS docs_in,
+        |       CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality
+        |FROM dedup GROUP BY source ORDER BY source""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id,
         |       'text/plain' AS media_type,

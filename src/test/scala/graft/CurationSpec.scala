@@ -184,6 +184,52 @@ class CurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curate gates, scrubs, dedups by normalized content, carries canonical metadata") {
+    val docs = Seq(
+      // en, long enough to clear the quality gate; 11 is the normalized
+      // duplicate of 10 (case + whitespace noise) and must fold into it
+      (10L, "the quick brown fox and the lazy dog walk to a river of calm water every day", "s1"),
+      (11L, "The QUICK brown fox and the lazy dog walk  to a river of calm water every day", "s2"),
+      // es-marked text: language gate drops it
+      (12L, "el rio que corre y la casa de los padres el rio que corre y la casa", "s3"),
+      // en but too short: quality gate drops it
+      (13L, "the a of", "s4")
+    ).toDF("doc_id", "text", "src")
+
+    val out = Curation
+      .curate(docs, "doc_id", "text", carry = Seq("src"))
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("canonical_id") == 10L)
+    assert(r.getAs[Long]("dup_count") == 2L)
+    assert(r.getAs[String]("src") == "s1") // carried from the canonical doc
+  }
+
+  test("MinByObject keeps hash aggregation for struct carries and honors null orderings") {
+    import graft.functions.MinByObject
+    val df = Seq(
+      (Some(3L), "c", 1.0),
+      (Some(1L), "a", 9.0),
+      (None: Option[Long], "z", 0.0), // null ordering ignored
+      (Some(2L), "b", 5.0)
+    ).toDF("ord", "s", "d").repartition(3) // force partial serde + merge
+    val row = df
+      .agg(
+        MinByObject.minBy(struct($"s", $"d"), $"ord").as("lo"),
+        MinByObject.maxBy($"s", $"ord").as("hi")
+      )
+      .head
+    assert(row.getStruct(0).getString(0) == "a" && row.getStruct(0).getDouble(1) == 9.0)
+    assert(row.getString(1) == "c")
+    // plan shape: the whole point — no SortAggregate fallback
+    val plan = df
+      .groupBy($"d")
+      .agg(MinByObject.minBy(struct($"s"), $"ord"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") && !plan.contains("SortAggregate"))
+  }
+
   test("newestPerKey keeps the n newest with deterministic tie-break") {
     val df = Seq(
       (1L, 100L, 10L, "a"),
