@@ -3,6 +3,7 @@ import org.apache.spark.sql.SparkSession
 object Explain {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions","4")
       .config("spark.sql.adaptive.enabled","true")
       .config("spark.sql.session.timeZone","UTC")

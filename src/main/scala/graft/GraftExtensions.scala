@@ -31,8 +31,13 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
   * (INSTR, IFNULL, NULLIF, ABS...) are not re-registered.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.dialect.foreach(ext.injectFunction)
+    // plan hygiene at 100 TB: min_by/max_by with struct/string carries
+    // would drag whole aggregates into SortAggregate — rewrite to the
+    // typed imperative form (ObjectHashAggregate) post-analysis
+    ext.injectOptimizerRule(_ => graft.plans.RewriteArgExtremum)
+  }
 }
 
 object GraftExtensions {

@@ -100,6 +100,38 @@ class ExtensionsSpec extends SparkSpec {
     assert(agg == composite)
   }
 
+  test("optimizer rule rewrites struct/string-carry min_by/max_by to the object-hash form") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark
+    // optimizer rules attach only at session construction — build a
+    // sibling session (same SparkContext) with the extensions applied
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+    try {
+      import s2.implicits._
+      val df = Seq((1L, "a", 2.0), (2L, "b", 1.0)).toDF("o", "s", "d")
+      val agg = df.agg(
+        expr("min_by(named_struct('s', s), o)").as("lo"),
+        expr("max_by(s, o)").as("hi"),
+        expr("min_by(d, o)").as("num") // mutable carry: must NOT rewrite
+      )
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("min_by_object") && plan.contains("max_by_object"))
+      assert(!plan.contains("SortAggregate"), s"SortAggregate fallback survived:\n$plan")
+      assert(plan.contains("min_by(d"), "numeric min_by should stay declarative")
+      val row = agg.head
+      assert(row.getStruct(0).getString(0) == "a")
+      assert(row.getString(1) == "b")
+      assert(row.getDouble(2) == 2.0)
+    } finally {
+      // s2 shares the SparkContext — never stop it; just restore the
+      // shared spec session as active/default
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("HistogramAgg skips nulls and drops unseen keys past the cap") {
     val df = Seq(Some("a"), None, Some("b"), Some("a"), Some("c"), Some("b"))
       .toDF("v")
