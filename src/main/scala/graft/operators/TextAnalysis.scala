@@ -150,7 +150,13 @@ object TextAnalysis {
         round(col("tf") * log(col("__n").cast("double") / col("df")), 6)
       )
       .groupBy(col(idCol))
-      .agg(max(struct(col("tfidf"), col("term"))).as("__m"))
+      // typed-imperative argmax: built-in max(struct) is not
+      // hash-aggregable and would sort every (doc, term) row
+      .agg(
+        graft.functions.MinByObject
+          .maxBy(struct(col("tfidf"), col("term")), struct(col("tfidf"), col("term")))
+          .as("__m")
+      )
       .select(
         col(idCol),
         col("__m.term").as("top_term"),

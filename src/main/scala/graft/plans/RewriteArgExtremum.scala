@@ -1,13 +1,16 @@
 package graft.plans
 
 import graft.functions.MinByObject
-import org.apache.spark.sql.catalyst.expressions.UnsafeRow
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, MaxBy, MinBy}
+import org.apache.spark.sql.catalyst.expressions.{RowOrdering, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{
+  AggregateExpression, Max, MaxBy, Min, MinBy
+}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 
-/** Rewrite `min_by`/`max_by` with a non-mutable carried value (struct,
-  * string, array, …) to [[MinByObject]].
+/** Rewrite `min_by`/`max_by` — and plain `min`/`max` — with a
+  * non-mutable carried value (struct, string, array, …) to
+  * [[MinByObject]].
   *
   * The built-in declarative `MinBy`/`MaxBy` put the carried value into
   * the aggregation buffer; when that value's type is not mutable in an
@@ -29,15 +32,29 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 object RewriteArgExtremum extends Rule[LogicalPlan] {
 
+  // the carried value only needs to dodge the mutable-buffer check; the
+  // ordering side's orderability was already validated during analysis
+  private def carryHitsFallback(
+      e: org.apache.spark.sql.catalyst.expressions.Expression
+  ): Boolean = e.resolved && !UnsafeRow.isMutable(e.dataType)
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case agg: Aggregate =>
       agg.transformExpressions {
         case ae @ AggregateExpression(MinBy(v, o), _, false, _, _)
-            if v.resolved && !UnsafeRow.isMutable(v.dataType) =>
+            if carryHitsFallback(v) =>
           ae.copy(aggregateFunction = MinByObject(v, o))
         case ae @ AggregateExpression(MaxBy(v, o), _, false, _, _)
-            if v.resolved && !UnsafeRow.isMutable(v.dataType) =>
+            if carryHitsFallback(v) =>
           ae.copy(aggregateFunction = MinByObject(v, o, reverse = true))
+        // min/max ordered by their own value: same interpreted ordering,
+        // same null-skip semantics
+        case ae @ AggregateExpression(Min(c), _, false, _, _)
+            if carryHitsFallback(c) && RowOrdering.isOrderable(c.dataType) =>
+          ae.copy(aggregateFunction = MinByObject(c, c))
+        case ae @ AggregateExpression(Max(c), _, false, _, _)
+            if carryHitsFallback(c) && RowOrdering.isOrderable(c.dataType) =>
+          ae.copy(aggregateFunction = MinByObject(c, c, reverse = true))
       }
   }
 }

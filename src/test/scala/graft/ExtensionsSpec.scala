@@ -114,7 +114,9 @@ class ExtensionsSpec extends SparkSpec {
       val agg = df.agg(
         expr("min_by(named_struct('s', s), o)").as("lo"),
         expr("max_by(s, o)").as("hi"),
-        expr("min_by(d, o)").as("num") // mutable carry: must NOT rewrite
+        expr("min_by(d, o)").as("num"), // mutable carry: must NOT rewrite
+        expr("max(named_struct('d', d, 's', s))").as("mx"), // plain max(struct)
+        min($"s").as("mn") // plain min(string)
       )
       val plan = agg.queryExecution.executedPlan.toString
       assert(plan.contains("min_by_object") && plan.contains("max_by_object"))
@@ -124,6 +126,8 @@ class ExtensionsSpec extends SparkSpec {
       assert(row.getStruct(0).getString(0) == "a")
       assert(row.getString(1) == "b")
       assert(row.getDouble(2) == 2.0)
+      assert(row.getStruct(3).getDouble(0) == 2.0 && row.getStruct(3).getString(1) == "a")
+      assert(row.getString(4) == "a")
     } finally {
       // s2 shares the SparkContext — never stop it; just restore the
       // shared spec session as active/default

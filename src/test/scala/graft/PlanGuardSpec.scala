@@ -28,15 +28,21 @@ class PlanGuardSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2)
   }
 
-  test("no query plans a cartesian product") {
+  test("no query plans a cartesian product or a sort-aggregate fallback") {
     // The ANN brute-force queries intentionally use a broadcast
     // nested-loop against the tiny query set; CartesianProduct (both
-    // sides unbroadcast) is never acceptable.
+    // sides unbroadcast) is never acceptable. SortAggregate means some
+    // aggregate buffer type kicked the whole Aggregate off the hash
+    // path (see RewriteArgExtremum) — also never acceptable here.
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val plan = physical(name)
       assert(
         !plan.contains("CartesianProduct"),
         s"$name plans a CartesianProduct"
+      )
+      assert(
+        !plan.contains("SortAggregate"),
+        s"$name fell back to SortAggregate"
       )
     }
   }
