@@ -230,6 +230,36 @@ class CurationSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate") && !plan.contains("SortAggregate"))
   }
 
+  test("MinByObject is value-equivalent to built-in min_by/max_by on unique orderings") {
+    import graft.functions.MinByObject
+    // unique orderings (tie behavior is nondeterministic in BOTH forms,
+    // so ties are excluded from the equivalence claim); several random
+    // draws with grouped keys and partial-merge pressure
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { _ =>
+      val rows = rnd.shuffle((0 until 400).toList).map { ord =>
+        (ord.toLong, s"k${ord % 7}", s"v${rnd.nextInt(100000)}", rnd.nextDouble())
+      }
+      val df = rows.toDF("ord", "key", "s", "d").repartition(5)
+      val got = df
+        .groupBy($"key")
+        .agg(
+          MinByObject.minBy(struct($"s", $"d"), $"ord").as("lo"),
+          MinByObject.maxBy($"s", $"ord").as("hi")
+        )
+        .collect()
+        .map(r => r.getString(0) -> (r.getStruct(1).getString(0), r.getString(2)))
+        .toMap
+      val want = df
+        .groupBy($"key")
+        .agg(min_by(struct($"s", $"d"), $"ord").as("lo"), max_by($"s", $"ord").as("hi"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getStruct(1).getString(0), r.getString(2)))
+        .toMap
+      assert(got == want)
+    }
+  }
+
   test("newestPerKey keeps the n newest with deterministic tie-break") {
     val df = Seq(
       (1L, 100L, 10L, "a"),
