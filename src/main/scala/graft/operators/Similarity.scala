@@ -93,23 +93,17 @@ object Similarity {
     * [[trainCentroidsKMeans]] for real cells, or any deterministic
     * subset for reproducible tests.
     */
-  def ivfTopK(
-      queries: DataFrame,
-      corpus: DataFrame,
-      centroids: DataFrame,
-      idCol: String,
-      vecCol: String,
-      k: Int,
-      nprobe: Int = 1
-  ): DataFrame = {
-    // Corpus assignment is a per-row argmax folded over the centroid set
-    // in ONE expression: the (tiny) centroid array rides in on a
-    // constant-key broadcast hash join, so there is no corpus × nlist row
-    // blow-up, no shuffle, and no window sort over the corpus — at
-    // nlist=1024 the old join+row_number shape multiplied corpus rows
-    // 1024× through a shuffle just to pick a max. Ties break to the
-    // smallest centroid_id (array sorted by id, strict > keeps the
-    // first), matching the former ORDER BY __ccos DESC, centroid_id.
+  /** Nearest-centroid cell assignment as a per-row argmax folded over
+    * the centroid set in ONE expression: the (tiny) centroid array
+    * rides in on a constant-key broadcast hash join, so there is no
+    * corpus × nlist row blow-up, no shuffle, and no window sort over
+    * the corpus — at nlist=1024 a join+row_number shape would multiply
+    * corpus rows 1024× through a shuffle just to pick a max. Ties
+    * break to the smallest centroid_id (array sorted by id, strict >
+    * keeps the first). Adds a `cell` column; also the blocking key for
+    * [[graft.operators.Dedup.embeddingNearDup]] semantic blocking.
+    */
+  def assignCells(df: DataFrame, centroids: DataFrame, vecCol: String): DataFrame = {
     val centArr = centroids
       .agg(collect_list(struct(col("centroid_id"), col("centroid_vec"))).as("__cents"))
       .select(sort_array(col("__cents")).as("__cents"), lit(1).as("__one"))
@@ -124,11 +118,23 @@ object Similarity {
         ).otherwise(acc)
       }
     ).getField("cell")
-    val corpusCells = corpus
-      .select(col(idCol), col(vecCol), lit(1).as("__one"))
+    df.withColumn("__one", lit(1))
       .join(broadcast(centArr), Seq("__one"))
       .withColumn("cell", nearestCell)
       .drop("__one", "__cents")
+  }
+
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int = 1
+  ): DataFrame = {
+    val corpusCells = assignCells(
+      corpus.select(col(idCol), col(vecCol)), centroids, vecCol)
 
     // Query-side nprobe ranking keeps the window — the query set is small
     // and needs the n-best cells, not just the argmax.

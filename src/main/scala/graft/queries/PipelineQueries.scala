@@ -39,6 +39,26 @@ object PipelineQueries extends QueryPack {
         .embeddingNearDup(Tables.load(s, dir, "embeddings"), "vec_id", "embedding", "label")
         .orderBy(col("id1"), col("id2"))
     },
+    // semantic blocking: nearest-centroid cells (the IVF assignment
+    // fold, no shuffle) as the near-dup blocking key instead of the
+    // label — recalls cross-label near-dups the label block misses
+    "q_embedding_neardup_ivf" -> { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val cents = emb
+        .filter(col("vec_id") < 8)
+        .select(
+          col("vec_id").cast("int").as("centroid_id"),
+          col("embedding").as("centroid_vec")
+        )
+      Dedup
+        .embeddingNearDup(
+          Similarity.assignCells(emb.select(col("vec_id"), col("embedding")), cents, "embedding"),
+          "vec_id",
+          "embedding",
+          "cell"
+        )
+        .orderBy(col("id1"), col("id2"))
+    },
     // candidate pairs → duplicate clusters (connected components,
     // min-label propagation) — the keep-one-per-GROUP step after any
     // candidate generator
@@ -416,6 +436,29 @@ object PipelineQueries extends QueryPack {
         |          SQRT(LIST_SUM(LIST_TRANSFORM(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
         |  FROM embeddings a JOIN embeddings b
         |    ON a.label = b.label AND b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 50)
+        |SELECT id1, id2, cos FROM pairs WHERE cos >= 0.3
+        |ORDER BY id1, id2""".stripMargin,
+    "q_embedding_neardup_ivf" ->
+      """WITH centroids AS (
+        |  SELECT CAST(vec_id AS INT) AS centroid_id, embedding AS cvec
+        |  FROM embeddings WHERE vec_id < 8),
+        |assign AS (
+        |  SELECT e.vec_id, e.embedding, c.centroid_id,
+        |         ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |           LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(e.embedding) + 1),
+        |             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE))) /
+        |           (SQRT(LIST_SUM(LIST_TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |            SQRT(LIST_SUM(LIST_TRANSFORM(c.cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC, c.centroid_id) AS rn
+        |  FROM embeddings e CROSS JOIN centroids c),
+        |cells AS (SELECT vec_id, embedding, centroid_id AS cell FROM assign WHERE rn = 1),
+        |pairs AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |         LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.embedding) + 1),
+        |           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+        |         (SQRT(LIST_SUM(LIST_TRANSFORM(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |          SQRT(LIST_SUM(LIST_TRANSFORM(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |  FROM cells a JOIN cells b
+        |    ON a.cell = b.cell AND b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 50)
         |SELECT id1, id2, cos FROM pairs WHERE cos >= 0.3
         |ORDER BY id1, id2""".stripMargin,
     "q_ann_bruteforce" ->
