@@ -115,6 +115,70 @@ object Curation {
       )
   }
 
+  /** Bloom-filter decontamination — the shape for when the eval-suite
+    * shingle set outgrows an exact broadcast (at 100 TB an eval corpus
+    * can carry 10⁹ distinct shingles; an exact set is tens of GB, a
+    * 1% bloom is ~1.2 GB and a 64-bit hash universe). One aggregation
+    * builds the sketch; the probe is the codegen'd native
+    * `might_contain` over a binary literal — the corpus never
+    * shuffles, exactly like [[decontaminate]].
+    *
+    * The single-row sketch collect is a broadcast boundary (the same
+    * role as Spark's own runtime-filter subquery), not a row
+    * iteration. Guarantees: NO false negatives (every exact
+    * contamination is flagged), false positives bounded by `fpp` —
+    * `overlap_est` is an upper bound on the exact overlap, so the
+    * conservative direction for decontamination (over-drop, never
+    * under-drop). Deterministic: the sketch layout depends only on
+    * (expectedItems, fpp) and the inserted values.
+    */
+  def decontaminateBloom(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      flagMinOverlap: Int = 2,
+      expectedItems: Long = 4000000L,
+      fpp: Double = 0.01
+  ): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+
+    val evalHashes = evalSet
+      .select(explode(Dedup.shinglesNative(col(textCol), n)).as("shingle"))
+      .select(xxhash64(col("shingle")).as("sh"))
+    val bloom = evalHashes.stat.bloomFilter("sh", expectedItems, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val hit = ColumnBridge.column(
+      BloomFilterMightContain(
+        Literal(bytes, BinaryType),
+        ColumnBridge.catalystExpression(xxhash64(col("shingle")))
+      )
+    )
+    corpus
+      .select(col(idCol), array_distinct(Dedup.shinglesNative(col(textCol), n)).as("__shs"))
+      .select(
+        col(idCol),
+        size(col("__shs")).as("n_shingles"),
+        explode(col("__shs")).as("shingle")
+      )
+      .groupBy(col(idCol), col("n_shingles"))
+      .agg(sum(when(hit, 1L).otherwise(0L)).as("__overlap"))
+      .select(
+        col(idCol),
+        col("n_shingles"),
+        col("__overlap").cast("int").as("overlap_est"),
+        round(col("__overlap").cast("double") / col("n_shingles"), 6).as("overlap_frac_est"),
+        (col("__overlap") >= flagMinOverlap).as("contaminated")
+      )
+  }
+
   /** Stratified deterministic sampling: per-stratum keep-percentages
     * (e.g. down-sample boilerplate-heavy sources, keep all of a rare
     * one) decided by the same id-hash as [[sampleByHash]] — stable

@@ -43,6 +43,35 @@ class CurationSpec extends SparkSpec {
     assert(!r(1).getAs[Boolean]("contaminated"))
   }
 
+  test("bloom decontamination has no false negatives and bounded overestimate") {
+    val docs = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+    val corpus = docs.filter($"doc_id" % 97 =!= 0)
+    val eval = docs.filter($"doc_id" % 97 === 0)
+    val exact = Curation
+      .decontaminate(corpus, eval, "doc_id", "text", n = 3, flagMinOverlap = 2)
+      .select($"doc_id", $"overlap", $"contaminated")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2)))
+      .toMap
+    val bloom = Curation
+      .decontaminateBloom(corpus, eval, "doc_id", "text", n = 3, flagMinOverlap = 2)
+      .select($"doc_id", $"overlap_est", $"contaminated")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2)))
+      .toMap
+    assert(bloom.keySet == exact.keySet)
+    exact.foreach { case (id, (ov, flagged)) =>
+      val (est, flaggedB) = bloom(id)
+      assert(est >= ov, s"doc $id: bloom under-counted ($est < $ov) — false negative")
+      if (flagged) assert(flaggedB, s"doc $id: exact contamination missed by bloom")
+    }
+    // at fpp=1% the fleet-wide overestimate should be tiny
+    val extra = exact.keys.map(id => bloom(id)._1 - exact(id)._1).sum
+    val total = exact.values.map(_._1).sum.max(1)
+    assert(extra <= math.max(5, total / 10), s"implausible bloom overestimate: +$extra on $total")
+  }
+
   test("xxhash64 production family finds the same contamination structure") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
