@@ -137,10 +137,18 @@ object GraftExtensions {
 
   /** Register the dialect into an already-built session (the
     * `withExtensions`-less path — e.g. a shared test session or a
-    * notebook session the user didn't configure).
+    * notebook session the user didn't configure). Optimizer rules
+    * can't be injected post-construction, but the live-session
+    * `experimental.extraOptimizations` hook carries the plan-hygiene
+    * rewrite to the same place.
     */
-  def registerAll(spark: SparkSession): Unit =
+  def registerAll(spark: SparkSession): Unit = {
     dialect.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RewriteArgExtremum)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RewriteArgExtremum
+    }
+  }
 }

@@ -25,10 +25,17 @@ class ExtensionsSpec extends SparkSpec {
     assert(sql1("SELECT LEN('graft')") == 5)
   }
 
-  test("registerAll covers an existing session") {
+  test("registerAll covers an existing session, including the extremum rewrite") {
     val s2 = spark.newSession()
     GraftExtensions.registerAll(s2)
     assert(s2.sql("SELECT UCASE('x')").head.getString(0) == "X")
+    // live-session rule injection via experimental.extraOptimizations
+    val plan = s2
+      .sql("SELECT max(named_struct('a', 'v')) FROM VALUES (1) AS t(x)")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("max_by_object") && !plan.contains("SortAggregate"))
+    GraftExtensions.registerAll(s2) // idempotent: no duplicate rule
+    assert(s2.experimental.extraOptimizations.count(_ == graft.plans.RewriteArgExtremum) == 1)
   }
 
   test("DATEADD is parser-owned with reference semantics (unquoted units)") {
