@@ -226,6 +226,26 @@ object FunctionQueries extends QueryPack {
       )
     },
 
+    // the SQL surface itself under the driver gate: the query text runs
+    // through spark.sql with the GraftExtensions dialect (UCASE/LEN/
+    // COUNT_DISTINCT/LATEST_BY_OFFSET/TOPK), not the DSL
+    "q_sql_dialect" -> { (s, dir) =>
+      graft.GraftExtensions.registerAll(s) // idempotent; covers non-extension sessions
+      graft.sources.Tables.load(s, dir, "events").createOrReplaceTempView("events_sql")
+      s.sql(
+        """SELECT event_type,
+          |       UCASE(SUBSTRING(event_type, 1, 3)) AS prefix_uc,
+          |       LEN(event_type) AS etype_len,
+          |       COUNT_DISTINCT(user_id) AS nu,
+          |       LATEST_BY_OFFSET(value, event_id) AS last_v,
+          |       TOPK(value, 3)[0] AS top1,
+          |       TOPK(value, 3)[2] AS top3
+          |FROM events_sql
+          |GROUP BY event_type
+          |ORDER BY event_type""".stripMargin
+      )
+    },
+
     "q_geo_funcs" -> { (s, dir) =>
       // deterministic synthetic coordinates from keys; real haversine
       // column math (GEO_DISTANCE registry :137) — no UDF
@@ -363,6 +383,17 @@ object FunctionQueries extends QueryPack {
         |       SHA256(c_name) AS name_sha256
         |FROM customer
         |ORDER BY c_custkey""".stripMargin,
+    "q_sql_dialect" ->
+      """SELECT event_type,
+        |       UPPER(SUBSTRING(event_type, 1, 3)) AS prefix_uc,
+        |       CAST(LENGTH(event_type) AS INT) AS etype_len,
+        |       COUNT(DISTINCT user_id) AS nu,
+        |       MAX_BY(value, event_id) AS last_v,
+        |       LIST_SORT(LIST(value), 'DESC')[1] AS top1,
+        |       LIST_SORT(LIST(value), 'DESC')[3] AS top3
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q_geo_funcs" ->
       """WITH c AS (
         |  SELECT c_custkey,
