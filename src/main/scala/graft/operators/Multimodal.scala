@@ -46,6 +46,41 @@ object Multimodal {
       )
     )
 
+  // -- real header sniffing (no codec required) ----------------------
+
+  private def byteAt(payload: org.apache.spark.sql.Column, pos: Int) =
+    conv(hex(substring(payload, pos, 1)), 16, 10).cast("int")
+  private def be32(p: org.apache.spark.sql.Column, pos: Int) =
+    byteAt(p, pos) * 16777216 + byteAt(p, pos + 1) * 65536 +
+      byteAt(p, pos + 2) * 256 + byteAt(p, pos + 3)
+  private def le32(p: org.apache.spark.sql.Column, pos: Int) =
+    byteAt(p, pos + 3) * 16777216 + byteAt(p, pos + 2) * 65536 +
+      byteAt(p, pos + 1) * 256 + byteAt(p, pos)
+  private def le16(p: org.apache.spark.sql.Column, pos: Int) =
+    byteAt(p, pos + 1) * 256 + byteAt(p, pos)
+
+  /** REAL image-dimension extraction from fixed-offset headers — the
+    * dimension/format filter a pipeline runs over billions of images
+    * BEFORE any decode: pure byte arithmetic on the binary column
+    * (substring/hex/conv — codegen'd, scan speed, payload never leaves
+    * the scan). PNG (IHDR big-endian at 17/21), BMP (BITMAPINFOHEADER
+    * little-endian at 19/23), GIF (logical screen little-endian u16 at
+    * 7/9). JPEG dims live in a variable-offset SOF segment — that scan
+    * belongs in the partition-local decode kernel, not column math, so
+    * JPEG reports format "unknown" here. Returns struct(format, width,
+    * height); non-image bytes → ("unknown", null, null).
+    */
+  def headerDims(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val nullInt = lit(null).cast("int")
+    when(hex(substring(payload, 1, 4)) === "89504E47",
+      struct(lit("png").as("format"), be32(payload, 17).as("width"), be32(payload, 21).as("height")))
+      .when(hex(substring(payload, 1, 2)) === "424D",
+        struct(lit("bmp").as("format"), le32(payload, 19).as("width"), le32(payload, 23).as("height")))
+      .when(hex(substring(payload, 1, 4)) === "47494638",
+        struct(lit("gif").as("format"), le16(payload, 7).as("width"), le16(payload, 9).as("height")))
+      .otherwise(struct(lit("unknown").as("format"), nullInt.as("width"), nullInt.as("height")))
+  }
+
   /** Deterministic fake decode: features derived from payload bytes.
     * STUB — replace with a real codec kernel; signature and batch shape
     * are the real contract.

@@ -22,6 +22,33 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getAs[String]("sha256").length == 64)
   }
 
+  test("headerDims parses real PNG/BMP/GIF headers with codegen'd byte math") {
+    def be32(v: Int) = Array[Byte](
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def le32(v: Int) = be32(v).reverse
+    def le16(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+
+    // real format layouts: PNG signature + IHDR chunk header, BMP
+    // BITMAPFILEHEADER+INFOHEADER prefix, GIF89a logical screen
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      be32(13) ++ "IHDR".getBytes ++ be32(640) ++ be32(480)
+    val bmp = "BM".getBytes ++ Array.fill[Byte](16)(0) ++ le32(1024) ++ le32(768)
+    val gif = "GIF89a".getBytes ++ le16(320) ++ le16(200)
+    val junk = "just text".getBytes
+
+    val rows = Seq((1L, png), (2L, bmp), (3L, gif), (4L, junk))
+      .toDF("id", "payload")
+      .select($"id", Multimodal.headerDims($"payload").as("d"))
+      .orderBy($"id")
+      .collect()
+      .map(r => (r.getLong(0), r.getStruct(1).getString(0),
+        Option(r.getStruct(1).get(1)), Option(r.getStruct(1).get(2))))
+    assert(rows(0) == ((1L, "png", Some(640), Some(480))))
+    assert(rows(1) == ((2L, "bmp", Some(1024), Some(768))))
+    assert(rows(2) == ((3L, "gif", Some(320), Some(200))))
+    assert(rows(3) == ((4L, "unknown", None, None)))
+  }
+
   test("decodeFeatures appends the feature struct deterministically") {
     val out1 = Multimodal.decodeFeatures(media, "payload")
       .select("id", "features.*").collect().sortBy(_.getLong(0))
