@@ -136,6 +136,38 @@ object TextAnalysis {
     * per-doc argmax is `max(struct(tfidf, term))`, a partial-agg
     * friendly fold with a deterministic tie-break (larger term wins).
     */
+  /** Corpus vocabulary with coverage — the first step of tokenizer/BPE
+    * training: token counts, frequency rank, and cumulative corpus
+    * coverage for the top-K tokens. Scale shape: the count is one hash
+    * aggregate over exploded tokens; top-K goes through
+    * `TakeOrderedAndProject` (per-partition partial top-K, only K rows
+    * ever reach one place); the rank/coverage window then runs over
+    * those K rows only — bounded by construction, never by corpus
+    * size. The corpus total rides in as a broadcast one-row aggregate.
+    */
+  def vocabulary(df: DataFrame, textCol: String, topK: Int): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val counts = df
+      .select(explode(split(col(textCol), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("tot"))
+    val top = counts.orderBy(col("cnt").desc, col("token")).limit(topK)
+    val order = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("token"))
+    top
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(order))
+      .withColumn(
+        "cum_frac",
+        round(
+          sum(col("cnt")).over(order.rowsBetween(Long.MinValue, 0)).cast("double") / col("tot"),
+          6
+        )
+      )
+      .select(col("token"), col("cnt"), col("rank"), col("cum_frac"))
+  }
+
   def tfidfTopTerm(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df
       .withColumn("__toks", split(col(textCol), " "))

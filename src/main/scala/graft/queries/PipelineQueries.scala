@@ -239,6 +239,12 @@ object PipelineQueries extends QueryPack {
     },
     // canonical normalization ahead of exact dedup (messy input
     // synthesized deterministically: upper-cased head + space runs)
+    // tokenizer-training prep: top-K vocabulary with corpus coverage
+    "q_vocabulary" -> { (s, dir) =>
+      TextAnalysis
+        .vocabulary(Tables.load(s, dir, "documents"), "text", topK = 100)
+        .orderBy(col("rank"))
+    },
     "q_normalize_text" -> { (s, dir) =>
       val raw = Tables
         .load(s, dir, "documents")
@@ -679,6 +685,15 @@ object PipelineQueries extends QueryPack {
         |FROM tok JOIN freq ON tok.term = freq.term CROSS JOIN tot
         |GROUP BY tok.doc_id
         |ORDER BY tok.doc_id""".stripMargin,
+    "q_vocabulary" ->
+      """WITH tok AS (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents),
+        |counts AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+        |total AS (SELECT SUM(cnt) AS tot FROM counts),
+        |top AS (SELECT token, cnt FROM counts ORDER BY cnt DESC, token LIMIT 100)
+        |SELECT token, cnt,
+        |       CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS INT) AS rank,
+        |       ROUND(CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token ROWS UNBOUNDED PRECEDING) AS DOUBLE) / (SELECT tot FROM total), 6) AS cum_frac
+        |FROM top ORDER BY rank""".stripMargin,
     "q_normalize_text" ->
       """WITH r AS (
         |  SELECT doc_id,
