@@ -48,10 +48,18 @@ object Curation {
     * re-executions (a lineage re-run samples the SAME rows), which is
     * what makes held-out splits reproducible. Narrow map, no shuffle.
     */
+  /** The shared sampling bucket: first 8 hex digits of md5(id) mod 100.
+    * [[sampleByHash]] and [[sampleStratified]] MUST use this same
+    * expression (the docs promise one id-hash decides both, and the
+    * DuckDB oracles mirror it byte for byte).
+    */
+  private def hashBucket(idCol: String): Column =
+    conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % 100
+
   def sampleByHash(df: DataFrame, idCol: String, percent: Int): Column = {
     require(percent >= 0 && percent <= 100, "percent in [0,100]")
-    conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8), 16, 10)
-      .cast("long") % 100 < percent
+    hashBucket(idCol) < percent
   }
 
   /** Benchmark decontamination: per corpus document, how many of its
@@ -193,13 +201,10 @@ object Curation {
       defaultPercent: Int
   ): Column = {
     require((rates.values ++ Seq(defaultPercent)).forall(p => p >= 0 && p <= 100))
-    val bucket =
-      conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8), 16, 10)
-        .cast("long") % 100
     val rate = rates.foldLeft(lit(defaultPercent)) { case (acc, (k, p)) =>
       when(col(strataCol) === k, lit(p)).otherwise(acc)
     }
-    bucket < rate
+    hashBucket(idCol) < rate
   }
 
   /** Per-stratum distribution statistics: count, mean, sample stddev,

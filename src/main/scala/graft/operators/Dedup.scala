@@ -246,7 +246,15 @@ object Dedup {
     * common source), so a handful of rounds suffices at any scale. The
     * iterate-until-fixpoint loop is driver-COORDINATED but never
     * driver-MATERIALIZED: the convergence check ships one count, and
-    * `localCheckpoint` truncates lineage each round so plans stay flat.
+    * `localCheckpoint` truncates lineage each round so plans stay flat;
+    * each round's superseded checkpoint is unpersisted immediately
+    * (not left for the ContextCleaner).
+    *
+    * Non-convergence is an ERROR, not a silent partial answer: labels
+    * stopped mid-propagation would deduplicate wrongly downstream.
+    * Chain-shaped components (id-banded candidate generators pair only
+    * nearby ids, so a near-dup run across the id space forms a path)
+    * can exceed a small diameter — raise `maxIter` for such graphs.
     */
   def clusters(pairs: DataFrame, id1: String = "doc1", id2: String = "doc2", maxIter: Int = 20): DataFrame = {
     // materialize the edge list once — it is re-read every round, and
@@ -280,9 +288,18 @@ object Dedup {
         )
         .localCheckpoint()
       converged = updated.filter(col("__changed")).isEmpty
+      org.apache.spark.sql.graftbridge.ColumnBridge.unpersistLocalCheckpoint(labels)
       labels = updated.drop("__changed")
       i += 1
     }
+    if (!converged) {
+      org.apache.spark.sql.graftbridge.ColumnBridge.unpersistLocalCheckpoint(edges)
+      throw new IllegalStateException(
+        s"label propagation did not converge in $maxIter rounds — graph diameter " +
+          s"exceeds maxIter; raise maxIter (partial labels would deduplicate wrongly)"
+      )
+    }
+    org.apache.spark.sql.graftbridge.ColumnBridge.unpersistLocalCheckpoint(edges)
     labels
   }
 

@@ -48,16 +48,26 @@ object Multimodal {
 
   // -- real header sniffing (no codec required) ----------------------
 
+  // LongType arithmetic: a dimension field with its top byte >= 0x80
+  // (e.g. a top-down BMP's negative height) would overflow IntegerType,
+  // which under Spark 4's default ANSI mode kills the whole scan
   private def byteAt(payload: org.apache.spark.sql.Column, pos: Int) =
-    conv(hex(substring(payload, pos, 1)), 16, 10).cast("int")
+    conv(hex(substring(payload, pos, 1)), 16, 10).cast("long")
   private def be32(p: org.apache.spark.sql.Column, pos: Int) =
-    byteAt(p, pos) * 16777216 + byteAt(p, pos + 1) * 65536 +
-      byteAt(p, pos + 2) * 256 + byteAt(p, pos + 3)
+    byteAt(p, pos) * 16777216L + byteAt(p, pos + 1) * 65536L +
+      byteAt(p, pos + 2) * 256L + byteAt(p, pos + 3)
   private def le32(p: org.apache.spark.sql.Column, pos: Int) =
-    byteAt(p, pos + 3) * 16777216 + byteAt(p, pos + 2) * 65536 +
-      byteAt(p, pos + 1) * 256 + byteAt(p, pos)
+    byteAt(p, pos + 3) * 16777216L + byteAt(p, pos + 2) * 65536L +
+      byteAt(p, pos + 1) * 256L + byteAt(p, pos)
+  /** Signed little-endian 32-bit (BMP dims are signed; a negative
+    * height means a top-down DIB whose magnitude is the height).
+    */
+  private def le32s(p: org.apache.spark.sql.Column, pos: Int) = {
+    val u = le32(p, pos)
+    when(u > Int.MaxValue.toLong, u - 4294967296L).otherwise(u)
+  }
   private def le16(p: org.apache.spark.sql.Column, pos: Int) =
-    byteAt(p, pos + 1) * 256 + byteAt(p, pos)
+    byteAt(p, pos + 1) * 256L + byteAt(p, pos)
 
   /** REAL image-dimension extraction from fixed-offset headers — the
     * dimension/format filter a pipeline runs over billions of images
@@ -72,12 +82,21 @@ object Multimodal {
     */
   def headerDims(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val nullInt = lit(null).cast("int")
+    // corrupt headers must yield null dims, not an ANSI cast overflow
+    def dim(v: org.apache.spark.sql.Column) =
+      when(v.between(0, Int.MaxValue.toLong), v).otherwise(lit(null)).cast("int")
     when(hex(substring(payload, 1, 4)) === "89504E47",
-      struct(lit("png").as("format"), be32(payload, 17).as("width"), be32(payload, 21).as("height")))
+      struct(lit("png").as("format"),
+        dim(be32(payload, 17)).as("width"),
+        dim(be32(payload, 21)).as("height")))
       .when(hex(substring(payload, 1, 2)) === "424D",
-        struct(lit("bmp").as("format"), le32(payload, 19).as("width"), le32(payload, 23).as("height")))
+        struct(lit("bmp").as("format"),
+          dim(le32s(payload, 19)).as("width"),
+          dim(abs(le32s(payload, 23))).as("height")))
       .when(hex(substring(payload, 1, 4)) === "47494638",
-        struct(lit("gif").as("format"), le16(payload, 7).as("width"), le16(payload, 9).as("height")))
+        struct(lit("gif").as("format"),
+          dim(le16(payload, 7)).as("width"),
+          dim(le16(payload, 9)).as("height")))
       .otherwise(struct(lit("unknown").as("format"), nullInt.as("width"), nullInt.as("height")))
   }
 

@@ -231,6 +231,7 @@ object Similarity {
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
+      dim: Int,
       k: Int,
       planesPerTable: Int = 4,
       tables: Int = 8,
@@ -241,8 +242,11 @@ object Similarity {
     // coordinate variant measures 0.04 (BASELINE.md). At larger corpus
     // sizes raise planesPerTable (buckets ≈ 2^planes should grow with
     // |corpus| to keep per-bucket candidates bounded) and tables to buy
-    // recall back.
-    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    // recall back. `dim` is the embedding dimensionality — static
+    // pipeline config, passed in rather than probed with a driver-side
+    // first() (which would launch a job at plan-construction time and
+    // break composition over streaming frames).
+    require(dim > 0, "embedding dimensionality must be positive")
     val bucketCols = (0 until tables).map { t =>
       projectionBucket(col(vecCol), randomPlanes(dim, planesPerTable, seed + t)).as(s"b$t")
     }

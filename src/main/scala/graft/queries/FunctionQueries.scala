@@ -238,8 +238,8 @@ object FunctionQueries extends QueryPack {
           |       LEN(event_type) AS etype_len,
           |       COUNT_DISTINCT(user_id) AS nu,
           |       LATEST_BY_OFFSET(value, event_id) AS last_v,
-          |       TOPK(value, 3)[0] AS top1,
-          |       TOPK(value, 3)[2] AS top3
+          |       get(TOPK(value, 3), 0) AS top1,
+          |       get(TOPK(value, 3), 2) AS top3
           |FROM events_sql
           |GROUP BY event_type
           |ORDER BY event_type""".stripMargin

@@ -39,6 +39,20 @@ object ColumnBridge {
   ): org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** Release the blocks behind a `localCheckpoint()`ed DataFrame.
+    * `Dataset.unpersist` only reaches cache-manager entries; a local
+    * checkpoint lives as a persisted RDD inside a `LogicalRDD` leaf,
+    * which otherwise stays pinned until the ContextCleaner notices the
+    * RDD is unreachable (GC-timing dependent). Iterative drivers (label
+    * propagation) call this when a round's frame is superseded.
+    */
+  def unpersistLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ =>
+    }
+
   /** Apply an extensions injector's `injectFunction` registrations to a
     * live session — the same `registerFunctions` call session
     * construction runs on `BaseSessionStateBuilder.functionRegistry`.

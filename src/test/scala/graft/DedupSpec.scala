@@ -79,6 +79,16 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("clusters: a chain deeper than maxIter raises instead of returning partial labels") {
+    // path 0-1-2-...-12 has diameter 12; min-label needs ~12 rounds
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("doc1", "doc2")
+    val err = intercept[IllegalStateException](Dedup.clusters(chain, maxIter = 3))
+    assert(err.getMessage.contains("did not converge"))
+    // and with enough rounds the same chain fully resolves to label 0
+    val ok = Dedup.clusters(chain, maxIter = 20).as[(Long, Long)].collect().toMap
+    assert(ok.values.toSet == Set(0L) && ok.size == 13)
+  }
+
   test("simhash: identical docs share a fingerprint, near dups are close in hamming") {
     val fp = Dedup.simhash(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap

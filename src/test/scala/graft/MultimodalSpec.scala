@@ -47,6 +47,21 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(1) == ((2L, "bmp", Some(1024), Some(768))))
     assert(rows(2) == ((3L, "gif", Some(320), Some(200))))
     assert(rows(3) == ((4L, "unknown", None, None)))
+
+    // top-down BMP: negative (two's-complement) height whose MSB is
+    // 0xFF — must parse as |height|, not die in ANSI int overflow
+    val topDown = "BM".getBytes ++ Array.fill[Byte](16)(0) ++ le32(800) ++ le32(-600)
+    // corrupt PNG claiming width > Int.MaxValue — null dims, no crash
+    val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      be32(13) ++ "IHDR".getBytes ++ Array[Byte](0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte) ++ be32(10)
+    val edge = Seq((1L, topDown), (2L, corrupt))
+      .toDF("id", "payload")
+      .select($"id", Multimodal.headerDims($"payload").as("d"))
+      .orderBy($"id")
+      .collect()
+      .map(r => (r.getStruct(1).getString(0), Option(r.getStruct(1).get(1)), Option(r.getStruct(1).get(2))))
+    assert(edge(0) == (("bmp", Some(800), Some(600))))
+    assert(edge(1) == (("png", None, Some(10))))
   }
 
   test("decodeFeatures appends the feature struct deterministically") {

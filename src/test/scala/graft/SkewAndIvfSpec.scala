@@ -36,7 +36,7 @@ class SkewAndIvfSpec extends SparkSpec {
     // defaults (4 planes x 8 tables) measure 0.74 on this data; the
     // floor is slack for robustness, but far above the 0.04 the
     // single-table coordinate bucketing measures
-    val multi = topSet(Similarity.lshTopKMulti(q, emb, "vec_id", "embedding", 5))
+    val multi = topSet(Similarity.lshTopKMulti(q, emb, "vec_id", "embedding", dim = 64, k = 5))
     assert(recall(multi) >= 0.6, s"multi-table LSH recall ${recall(multi)}")
 
     // IVF with 8 deterministic cells, nprobe=2 measures 0.60
