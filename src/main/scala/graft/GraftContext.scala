@@ -151,10 +151,14 @@ final class EventSet[T](ctx: GraftContext, val model: EntityModel[T]) {
       pkFilter.nonEmpty && pkFilter.size <= model.keys.size,
       s"pkFilter must name 1..${model.keys.size} leading key parts"
     )
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, lit}
+    // cast the LITERAL to the key column's type: casting the column to
+    // string would block parquet filter pushdown (UnwrapCast does not
+    // unwrap to-string comparisons), turning the prefix pull into a
+    // full scan
     val cond = model.keys
       .zip(pkFilter)
-      .map { case (k, v) => col(k).cast("string") === v }
+      .map { case (k, v) => col(k) === lit(v).cast(model.schema(k).dataType) }
       .reduce(_ && _)
     toDS.filter(cond).collect().toSeq
   }

@@ -103,25 +103,47 @@ object Curation {
     // once, n_shingles rides along through the explode, and the
     // membership left-join + per-doc count collapse into one broadcast
     // probe and one map-side-combinable aggregation — no join-back.
-    corpus
-      .select(col(idCol), array_distinct(Dedup.shinglesNative(col(textCol), n)).as("__shs"))
-      .select(
-        col(idCol),
-        size(col("__shs")).as("n_shingles"),
-        explode(col("__shs")).as("shingle")
-      )
-      .withColumn("sh", shingleHash(col("shingle")))
-      .join(broadcast(bench), Seq("sh"), "left")
+    shingleOverlap(corpus, idCol, textCol, n, flagMinOverlap, "overlap", "overlap_frac") {
+      exploded =>
+        exploded
+          .withColumn("sh", shingleHash(col("shingle")))
+          .join(broadcast(bench), Seq("sh"), "left")
+    }
+  }
+
+  /** Shared corpus side of both decontamination variants: one shingle
+    * pass (distinct shingles, n_shingles riding the explode), a per-doc
+    * hit count, and the flag. `probe` attaches a boolean `__hit` column
+    * to the exploded (id, n_shingles, shingle) frame — exact broadcast
+    * membership or a bloom might_contain.
+    */
+  private def shingleOverlap(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      flagMinOverlap: Int,
+      overlapCol: String,
+      fracCol: String
+  )(probe: DataFrame => DataFrame): DataFrame =
+    probe(
+      corpus
+        .select(col(idCol), array_distinct(Dedup.shinglesNative(col(textCol), n)).as("__shs"))
+        .select(
+          col(idCol),
+          size(col("__shs")).as("n_shingles"),
+          explode(col("__shs")).as("shingle")
+        )
+    )
       .groupBy(col(idCol), col("n_shingles"))
       .agg(sum(when(col("__hit"), 1L).otherwise(0L)).as("__overlap"))
       .select(
         col(idCol),
         col("n_shingles"),
-        col("__overlap").cast("int").as("overlap"),
-        round(col("__overlap").cast("double") / col("n_shingles"), 6).as("overlap_frac"),
+        col("__overlap").cast("int").as(overlapCol),
+        round(col("__overlap").cast("double") / col("n_shingles"), 6).as(fracCol),
         (col("__overlap") >= flagMinOverlap).as("contaminated")
       )
-  }
 
   /** Bloom-filter decontamination — the shape for when the eval-suite
     * shingle set outgrows an exact broadcast (at 100 TB an eval corpus
@@ -169,22 +191,9 @@ object Curation {
         ColumnBridge.catalystExpression(xxhash64(col("shingle")))
       )
     )
-    corpus
-      .select(col(idCol), array_distinct(Dedup.shinglesNative(col(textCol), n)).as("__shs"))
-      .select(
-        col(idCol),
-        size(col("__shs")).as("n_shingles"),
-        explode(col("__shs")).as("shingle")
-      )
-      .groupBy(col(idCol), col("n_shingles"))
-      .agg(sum(when(hit, 1L).otherwise(0L)).as("__overlap"))
-      .select(
-        col(idCol),
-        col("n_shingles"),
-        col("__overlap").cast("int").as("overlap_est"),
-        round(col("__overlap").cast("double") / col("n_shingles"), 6).as("overlap_frac_est"),
-        (col("__overlap") >= flagMinOverlap).as("contaminated")
-      )
+    shingleOverlap(corpus, idCol, textCol, n, flagMinOverlap, "overlap_est", "overlap_frac_est") {
+      exploded => exploded.withColumn("__hit", hit)
+    }
   }
 
   /** Stratified deterministic sampling: per-stratum keep-percentages

@@ -269,9 +269,13 @@ object Dedup {
       .distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
-    var i = 0
+    // `maxIter` bounds label-CHANGING rounds: a diameter-d component
+    // needs d changing rounds, and the zero-change confirmation round
+    // after the last change is free — so maxIter = 20 fully resolves
+    // diameter-20 chains (not 19)
+    var changedRounds = 0
     var converged = false
-    while (!converged && i < maxIter) {
+    while (!converged && changedRounds <= maxIter) {
       val nbrMin = edges
         .join(labels, edges("b") === labels("node"))
         .groupBy(edges("a").as("n2"))
@@ -290,13 +294,14 @@ object Dedup {
       converged = updated.filter(col("__changed")).isEmpty
       org.apache.spark.sql.graftbridge.ColumnBridge.unpersistLocalCheckpoint(labels)
       labels = updated.drop("__changed")
-      i += 1
+      if (!converged) changedRounds += 1
     }
     if (!converged) {
       org.apache.spark.sql.graftbridge.ColumnBridge.unpersistLocalCheckpoint(edges)
       throw new IllegalStateException(
-        s"label propagation did not converge in $maxIter rounds — graph diameter " +
-          s"exceeds maxIter; raise maxIter (partial labels would deduplicate wrongly)"
+        s"label propagation still changing after $maxIter rounds — the pair graph " +
+          s"has a component of diameter > $maxIter; raise maxIter to at least the " +
+          s"expected diameter (partial labels would deduplicate wrongly)"
       )
     }
     org.apache.spark.sql.graftbridge.ColumnBridge.unpersistLocalCheckpoint(edges)

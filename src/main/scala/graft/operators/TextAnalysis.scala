@@ -210,7 +210,9 @@ object TextAnalysis {
       .withColumn("__toks", split(col(textCol), " "))
       .select(col(idCol), explode(col("__toks")).as("term"))
     val freq = tok.groupBy(col("term")).agg(count(lit(1)).as("__c"))
-    val total = tok.agg(count(lit(1)).as("__t"))
+    // corpus token total from the (tiny) term-frequency aggregate — a
+    // tok.agg(count) branch would re-scan and re-explode every document
+    val total = freq.agg(sum(col("__c")).as("__t"))
     tok
       .join(freq, "term")
       .crossJoin(broadcast(total))

@@ -39,13 +39,25 @@ object Lake {
       timeCol: String,
       fromInclusive: String,
       toExclusive: String
-  ): DataFrame =
+  ): DataFrame = {
+    // a toExclusive with a time-of-day component (e.g. '...-10 12:00')
+    // needs the partial final day's PARTITION (inclusive day bound, the
+    // row-level timeCol bound enforces the exclusivity); a midnight-
+    // exact bound excludes that day entirely
+    val toLdt = java.time.LocalDateTime.parse(
+      if (toExclusive.length == 10) s"${toExclusive}T00:00:00"
+      else toExclusive.replace(' ', 'T')
+    )
+    val midnightExact = toLdt.toLocalTime == java.time.LocalTime.MIDNIGHT
+    val dayUpper =
+      if (midnightExact) col("day") < to_date(lit(toExclusive))
+      else col("day") <= to_date(lit(toExclusive))
     spark.read
       .parquet(path)
       .filter(
-        col("day") >= to_date(lit(fromInclusive)) &&
-          col("day") < to_date(lit(toExclusive)) &&
+        col("day") >= to_date(lit(fromInclusive)) && dayUpper &&
           col(timeCol) >= lit(fromInclusive).cast("timestamp") &&
           col(timeCol) < lit(toExclusive).cast("timestamp")
       )
+  }
 }

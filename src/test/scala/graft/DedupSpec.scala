@@ -83,9 +83,10 @@ class DedupSpec extends SparkSpec {
     // path 0-1-2-...-12 has diameter 12; min-label needs ~12 rounds
     val chain = (0L until 12L).map(i => (i, i + 1)).toDF("doc1", "doc2")
     val err = intercept[IllegalStateException](Dedup.clusters(chain, maxIter = 3))
-    assert(err.getMessage.contains("did not converge"))
-    // and with enough rounds the same chain fully resolves to label 0
-    val ok = Dedup.clusters(chain, maxIter = 20).as[(Long, Long)].collect().toMap
+    assert(err.getMessage.contains("still changing"))
+    // diameter == maxIter resolves exactly (the confirmation round is
+    // free — maxIter bounds CHANGING rounds, not total rounds)
+    val ok = Dedup.clusters(chain, maxIter = 12).as[(Long, Long)].collect().toMap
     assert(ok.values.toSet == Set(0L) && ok.size == 13)
   }
 

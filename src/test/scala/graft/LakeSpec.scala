@@ -45,5 +45,21 @@ class LakeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       .filter(col("ts") >= lit(from).cast("timestamp") && col("ts") < lit(to).cast("timestamp"))
       .count()
     assert(got == expected)
+
+    // a toExclusive WITH a time-of-day component must include the
+    // partial final day's partition (a `day <` bound would silently
+    // drop its morning rows)
+    val toPartial = s"$to 12:00:00"
+    val partial = Lake.readRange(spark, dir, "ts", from, toPartial)
+    val gotPartial = partial.collect().length
+    val expectedPartial = ev
+      .filter(col("ts") >= lit(from).cast("timestamp") &&
+        col("ts") < lit(toPartial).cast("timestamp"))
+      .count()
+    assert(gotPartial == expectedPartial && gotPartial > got)
+    val partialScan = collectWithSubqueries(partial.queryExecution.executedPlan) {
+      case s: FileSourceScanExec => s
+    }.head
+    assert(partialScan.metrics("numPartitions").value == 3)
   }
 }
