@@ -70,4 +70,43 @@ final class ChangelogStore(spark: SparkSession, root: String) {
   }
 
   def exists(entity: String): Boolean = new java.io.File(path(entity)).exists()
+
+  /** Log compaction — the maintenance op Kafka runs on compacted
+    * topics: rewrite the changelog so it holds exactly one live record
+    * per key (tombstoned keys vanish), bounding log size by the keyed
+    * working set instead of total produce history. Without it an
+    * upsert-heavy entity's log (and every `snapshot` window read over
+    * it) grows with writes forever. The rewrite goes through a temp
+    * directory then an atomic-enough swap; sequence numbering restarts
+    * above the surviving maximum so later produces still order after
+    * compacted rows.
+    */
+  def compact(entity: String, keys: Seq[String]): Unit = {
+    val keep = {
+      val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__seq").desc)
+      log(entity)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1 && col("__op") === "u")
+        .drop("__rn")
+    }
+    val dir = new java.io.File(path(entity))
+    val tmp = new java.io.File(dir.getParent, s"${dir.getName}__compacting")
+    keep.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val maxSeq = spark.read.parquet(tmp.getAbsolutePath)
+      .agg(org.apache.spark.sql.functions.max(col("__seq"))).head
+    // point the sequence above everything that survived
+    if (!maxSeq.isNullAt(0)) {
+      val next = maxSeq.getLong(0) / 1000000 + 1
+      var cur = seq.get()
+      while (cur < next && !seq.compareAndSet(cur, next)) cur = seq.get()
+    }
+    // swap: remove the old log, move the compacted one into place
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmTree)
+      f.delete(): Unit
+    }
+    rmTree(dir)
+    if (!tmp.renameTo(dir))
+      throw new java.io.IOException(s"compaction swap failed for '$entity'")
+  }
 }

@@ -80,6 +80,31 @@ class ChangelogStoreSpec extends SparkSpec {
     }
   }
 
+  test("compaction bounds the log to one live record per key and later produces still win") {
+    val root = Files.createTempDirectory("store_compact").toString
+    val store = new ChangelogStore(spark, root)
+
+    // produce history: 3 upserts for X, 1 for Y, Y tombstoned
+    store.add("q2", Seq(("b", "X", 1.0)).toDF("broker", "symbol", "price"))
+    store.add("q2", Seq(("b", "X", 2.0), ("b", "Y", 9.0)).toDF("broker", "symbol", "price"))
+    store.add("q2", Seq(("b", "X", 3.0)).toDF("broker", "symbol", "price"))
+    store.remove("q2", Seq(("b", "Y", 0.0)).toDF("broker", "symbol", "price"))
+    assert(store.log("q2").count() == 5)
+
+    store.compact("q2", Seq("broker", "symbol"))
+    // exactly the live working set remains in the LOG itself
+    assert(store.log("q2").count() == 1)
+    val snap0 = store.snapshot("q2", Seq("broker", "symbol"))
+      .select("broker", "symbol", "price").as[(String, String, Double)].collect().toSet
+    assert(snap0 == Set(("b", "X", 3.0)))
+
+    // produces after compaction order after the surviving rows
+    store.add("q2", Seq(("b", "X", 4.0)).toDF("broker", "symbol", "price"))
+    val snap1 = store.snapshot("q2", Seq("broker", "symbol"))
+      .select("broker", "symbol", "price").as[(String, String, Double)].collect().toSet
+    assert(snap1 == Set(("b", "X", 4.0)))
+  }
+
   test("re-adding after a tombstone resurrects the key") {
     val root = Files.createTempDirectory("store").toString
     val store = new ChangelogStore(spark, root)
