@@ -155,10 +155,12 @@ final class EventSet[T](ctx: GraftContext, val model: EntityModel[T]) {
     // cast the LITERAL to the key column's type: casting the column to
     // string would block parquet filter pushdown (UnwrapCast does not
     // unwrap to-string comparisons), turning the prefix pull into a
-    // full scan
+    // full scan. try_cast, because a non-parseable prefix must match
+    // nothing (the reference's string prefix scan returns empty), not
+    // raise an ANSI cast error
     val cond = model.keys
       .zip(pkFilter)
-      .map { case (k, v) => col(k) === lit(v).cast(model.schema(k).dataType) }
+      .map { case (k, v) => col(k) === lit(v).try_cast(model.schema(k).dataType) }
       .reduce(_ && _)
     toDS.filter(cond).collect().toSeq
   }
@@ -238,7 +240,11 @@ final class EventSet[T](ctx: GraftContext, val model: EntityModel[T]) {
     */
   def forEachWithMeta(action: (T, Map[String, String], RecordMeta) => Unit): Unit = {
     import org.apache.spark.sql.functions._
-    val df = ctx.set(model.name)
+    val df0 = ctx.set(model.name)
+    // a log-backed set carries tombstones (__op = "d"); consumers see
+    // LIVE records only — dispatching a delete as an upsert would
+    // resurrect the key on replay
+    val df = if (df0.columns.contains("__op")) df0.filter(col("__op") === "u") else df0
     val hasHeaders = df.columns.contains("__headers")
     val hasSeq = df.columns.contains("__seq")
     val tk = model.timeKey.filter(df.columns.contains)
@@ -268,7 +274,10 @@ final class EventSet[T](ctx: GraftContext, val model: EntityModel[T]) {
       .zipWithIndex
       .foreach { case ((entity, headers, seq, ts), i) =>
         val offset = if (seq >= 0) seq else i.toLong
-        action(entity, headers, RecordMeta(model.name, offset, Option(ts)))
+        // record coordinate = the BOUND topic (EventSet.cs:229-233);
+        // the entity name is only the fallback for unbound entities
+        action(entity, headers,
+          RecordMeta(model.topic.getOrElse(model.name), offset, Option(ts)))
       }
   }
 

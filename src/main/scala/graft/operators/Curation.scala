@@ -232,9 +232,14 @@ object Curation {
   ): DataFrame = {
     val v = col(valueCol).cast("double")
     val pcols = percentiles.map { p =>
-      val fn = if (exact) "percentile" else "approx_percentile"
-      val name = s"p${(p * 100).toInt}"
-      round(expr(s"$fn(cast($valueCol as double), ${p}d)"), 6).as(name)
+      // typed API (no string splicing — valueCol may need quoting) and
+      // a collision-free name: p97, p97_5, p99_9 ...
+      val pc =
+        if (exact) percentile(v, lit(p))
+        else percentile_approx(v, lit(p), lit(10000))
+      val name = "p" + BigDecimal(p * 100).underlying.stripTrailingZeros.toPlainString
+        .replace(".", "_").replace("-", "m")
+      round(pc, 6).as(name)
     }
     val aggs = Seq(
       count(lit(1)).as("n_docs"),
@@ -274,7 +279,10 @@ object Curation {
       col(idCol),
       col(strataCol),
       col(tokCol),
-      (col("__before") / ctxTokens).cast("int").as("pack_id"),
+      // integral DIV keeps pack ids exact as longs: double division
+      // cast to int overflows (ANSI error) past ctxTokens×Int.MaxValue
+      // cumulative tokens and drifts silently past 2^53
+      expr(s"__before DIV $ctxTokens").as("pack_id"),
       (col("__before") % ctxTokens).cast("int").as("pack_offset")
     )
   }

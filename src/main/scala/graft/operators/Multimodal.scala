@@ -89,10 +89,24 @@ object Multimodal {
       struct(lit("png").as("format"),
         dim(be32(payload, 17)).as("width"),
         dim(be32(payload, 21)).as("height")))
-      .when(hex(substring(payload, 1, 2)) === "424D",
+      // BMP dims depend on the DIB header variant: the 4-byte size
+      // field at offset 15 (1-based) is 12 for BITMAPCOREHEADER (u16
+      // dims at 19/21) and 40/52/56/108/124 for the INFOHEADER family
+      // (signed 32-bit dims at 19/23). Parsing INFOHEADER offsets on a
+      // CORE bitmap would combine width+height into plausible garbage.
+      .when(
+        hex(substring(payload, 1, 2)) === "424D" && le32(payload, 15) === 12,
+        struct(lit("bmp").as("format"),
+          dim(le16(payload, 19)).as("width"),
+          dim(le16(payload, 21)).as("height")))
+      .when(
+        hex(substring(payload, 1, 2)) === "424D" &&
+          le32(payload, 15).isin(40L, 52L, 56L, 108L, 124L),
         struct(lit("bmp").as("format"),
           dim(le32s(payload, 19)).as("width"),
           dim(abs(le32s(payload, 23))).as("height")))
+      .when(hex(substring(payload, 1, 2)) === "424D",
+        struct(lit("bmp").as("format"), nullInt.as("width"), nullInt.as("height")))
       .when(hex(substring(payload, 1, 4)) === "47494638",
         struct(lit("gif").as("format"),
           dim(le16(payload, 7)).as("width"),

@@ -654,7 +654,7 @@ object PipelineQueries extends QueryPack {
         |                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS before_tok
         |  FROM t)
         |SELECT doc_id, source, n_tok,
-        |       CAST(COALESCE(before_tok, 0) // 2048 AS INT) AS pack_id,
+        |       CAST(COALESCE(before_tok, 0) // 2048 AS BIGINT) AS pack_id,
         |       CAST(COALESCE(before_tok, 0) % 2048 AS INT) AS pack_offset
         |FROM c
         |ORDER BY doc_id""".stripMargin,

@@ -57,8 +57,15 @@ final class ChangelogStore(spark: SparkSession, root: String) {
       .withColumn("__headers", map().cast("map<string,string>"))
       .write.mode("append").parquet(path(entity))
 
-  /** Raw changelog (the "topic"): every produce in order. */
-  def log(entity: String): DataFrame = spark.read.parquet(path(entity))
+  /** Raw changelog (the "topic"): every produce in order. mergeSchema,
+    * because log files can carry different column sets across versions
+    * (e.g. pre-/post-`__headers`) — without it one footer's schema wins
+    * and columns the other files DO have read back as absent, silently
+    * dropping recorded headers (and compaction would then rewrite the
+    * log without them, permanently).
+    */
+  def log(entity: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path(entity))
 
   /** Compacted view: latest row per key, tombstones removed. */
   def snapshot(entity: String, keys: Seq[String]): DataFrame = {

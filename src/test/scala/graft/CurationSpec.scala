@@ -134,9 +134,9 @@ class CurationSpec extends SparkSpec {
       .orderBy("id")
       .select("pack_id", "pack_offset")
       .collect()
-      .map(x => (x.getInt(0), x.getInt(1)))
+      .map(x => (x.getLong(0), x.getInt(1))) // pack_id is LONG (exact integral DIV)
     // stratum s cum-before: 0, 100, 200, 260 -> packs 0,0,0,1; t: 0
-    assert(r.toSeq == Seq((0, 0), (0, 100), (0, 200), (1, 4), (0, 0)))
+    assert(r.toSeq == Seq((0L, 0), (0L, 100), (0L, 200), (1L, 4), (0L, 0)))
   }
 
   test("tfidfTopTerm picks the highest-scoring term deterministically") {

@@ -32,7 +32,10 @@ class MultimodalSpec extends SparkSpec {
     // BITMAPFILEHEADER+INFOHEADER prefix, GIF89a logical screen
     val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
       be32(13) ++ "IHDR".getBytes ++ be32(640) ++ be32(480)
-    val bmp = "BM".getBytes ++ Array.fill[Byte](16)(0) ++ le32(1024) ++ le32(768)
+    // 14-byte BITMAPFILEHEADER, then the DIB header: size field first
+    def bmpInfo(w: Int, h: Int) =
+      "BM".getBytes ++ Array.fill[Byte](12)(0) ++ le32(40) ++ le32(w) ++ le32(h)
+    val bmp = bmpInfo(1024, 768)
     val gif = "GIF89a".getBytes ++ le16(320) ++ le16(200)
     val junk = "just text".getBytes
 
@@ -50,11 +53,15 @@ class MultimodalSpec extends SparkSpec {
 
     // top-down BMP: negative (two's-complement) height whose MSB is
     // 0xFF — must parse as |height|, not die in ANSI int overflow
-    val topDown = "BM".getBytes ++ Array.fill[Byte](16)(0) ++ le32(800) ++ le32(-600)
+    val topDown = bmpInfo(800, -600)
     // corrupt PNG claiming width > Int.MaxValue — null dims, no crash
     val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
       be32(13) ++ "IHDR".getBytes ++ Array[Byte](0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte) ++ be32(10)
-    val edge = Seq((1L, topDown), (2L, corrupt))
+    // OS/2 BITMAPCOREHEADER: size field 12, u16 dims right after
+    val core = "BM".getBytes ++ Array.fill[Byte](12)(0) ++ le32(12) ++ le16(64) ++ le16(48)
+    // unrecognized DIB variant: format identified, dims null
+    val oddDib = "BM".getBytes ++ Array.fill[Byte](12)(0) ++ le32(64) ++ le32(5) ++ le32(7)
+    val edge = Seq((1L, topDown), (2L, corrupt), (3L, core), (4L, oddDib))
       .toDF("id", "payload")
       .select($"id", Multimodal.headerDims($"payload").as("d"))
       .orderBy($"id")
@@ -62,6 +69,8 @@ class MultimodalSpec extends SparkSpec {
       .map(r => (r.getStruct(1).getString(0), Option(r.getStruct(1).get(1)), Option(r.getStruct(1).get(2))))
     assert(edge(0) == (("bmp", Some(800), Some(600))))
     assert(edge(1) == (("png", None, Some(10))))
+    assert(edge(2) == (("bmp", Some(64), Some(48))))
+    assert(edge(3) == (("bmp", None, None)))
   }
 
   test("decodeFeatures appends the feature struct deterministically") {
