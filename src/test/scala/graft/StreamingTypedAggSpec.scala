@@ -15,6 +15,44 @@ case class PageHit(user: String, page: String, score: Double)
 class StreamingTypedAggSpec extends SparkSpec {
   import spark.implicits._
 
+  test("session windows seal in streaming append mode once the watermark passes the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, String)]
+    val agg = mem
+      .toDF()
+      .toDF("ts", "user")
+      .withWatermark("ts", "0 seconds")
+      .groupBy(session_window($"ts", "10 seconds").as("w"), $"user")
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start".as("start"), $"w.end".as("end"), $"user", $"n")
+
+    val q = agg.writeStream
+      .format("memory").queryName("sessions_stream").outputMode("append").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      // two bursts 30s apart: one session of 3, then one of 1
+      mem.addData(
+        (t("2024-01-01 00:00:00"), "u"),
+        (t("2024-01-01 00:00:04"), "u"),
+        (t("2024-01-01 00:00:08"), "u"),
+        (t("2024-01-01 00:00:40"), "u")
+      )
+      q.processAllAvailable()
+      // advance the watermark far past both sessions to seal them
+      mem.addData((t("2024-01-01 00:10:00"), "u"))
+      q.processAllAvailable()
+
+      val rows = spark.table("sessions_stream")
+        .orderBy($"start")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(3)))
+      assert(rows.length >= 2)
+      // merged session: events at 0/4/8s with a 10s gap → [0, 18s), 3 events
+      assert(rows(0) == ((t("2024-01-01 00:00:00"), t("2024-01-01 00:00:18"), 3L)))
+      assert(rows(1) == ((t("2024-01-01 00:00:40"), t("2024-01-01 00:00:50"), 1L)))
+    } finally q.stop()
+  }
+
   test("bounded_topk and histogram aggregate across micro-batches in update mode") {
     implicit val sqlCtx = spark.sqlContext
     BoundedTopK.register(spark)
