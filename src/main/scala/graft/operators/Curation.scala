@@ -111,6 +111,34 @@ object Curation {
     }
   }
 
+  /** Streaming face of [[curate]]: the same stateless gates + scrub +
+    * normalize per record, then first-arrival-wins exact dedup on the
+    * content hash via `dropDuplicatesWithinWatermark` — state holds
+    * only hashes inside the watermark delay, so a continuous ingest
+    * dedups against its recent window with bounded state (cross-window
+    * dedup belongs to the batch [[curate]] over the landed corpus).
+    * Emits the curated record (id, quality, content hash + passthrough
+    * columns), not per-hash groups: streaming can't re-aggregate
+    * carries the way the batch groupBy does.
+    */
+  def curateStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String,
+      dedupDelay: String,
+      keepLang: String = "en",
+      minQuality: Double = 0.5
+  ): DataFrame =
+    docs
+      .withColumn("__lang", TextAnalysis.langId(col(textCol)))
+      .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
+      .filter(col("__lang") === keepLang && col("quality") >= minQuality)
+      .withColumn("content_hash", md5(normalize(scrubPii(col(textCol))).cast("binary")))
+      .drop("__lang")
+      .withWatermark(tsCol, dedupDelay)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Shared corpus side of both decontamination variants: one shingle
     * pass (distinct shingles, n_shingles riding the explode), a per-doc
     * hit count, and the flag. `probe` attaches a boolean `__hit` column

@@ -53,6 +53,32 @@ class StreamingTypedAggSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curateStream gates, hashes, and dedups first-arrival-wins on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String)]
+    val curated = graft.operators.Curation.curateStream(
+      mem.toDF().toDF("doc_id", "ts", "text"),
+      "doc_id", "text", "ts", dedupDelay = "1 minute"
+    )
+    val q = curated.writeStream
+      .format("memory").queryName("curated_stream").outputMode("append").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      val good = "the quick brown fox and the lazy dog walk to a river of calm water every day"
+      mem.addData(
+        (1L, t("2024-01-01 00:00:00"), good),
+        // normalized duplicate inside the watermark window: dropped
+        (2L, t("2024-01-01 00:00:10"), good.toUpperCase),
+        // quality gate drops it
+        (3L, t("2024-01-01 00:00:20"), "the a of")
+      )
+      q.processAllAvailable()
+      val ids = spark.table("curated_stream").select($"doc_id").as[Long].collect().toSet
+      assert(ids == Set(1L)) // first arrival wins; dup and low-quality dropped
+    } finally q.stop()
+  }
+
   test("bounded_topk and histogram aggregate across micro-batches in update mode") {
     implicit val sqlCtx = spark.sqlContext
     BoundedTopK.register(spark)
