@@ -41,13 +41,6 @@ object Curation {
       .withColumn("chunk_words", size(split(col("chunk_text"), " ")))
   }
 
-  /** Deterministic fraction sampling keyed on the document id: keep the
-    * row when the first 8 hex digits of md5(id) land under the
-    * threshold. Unlike `df.sample`, the decision is a pure function of
-    * the id — stable across runs, engines, partitionings, and
-    * re-executions (a lineage re-run samples the SAME rows), which is
-    * what makes held-out splits reproducible. Narrow map, no shuffle.
-    */
   /** The shared sampling bucket: first 8 hex digits of md5(id) mod 100.
     * [[sampleByHash]] and [[sampleStratified]] MUST use this same
     * expression (the docs promise one id-hash decides both, and the
@@ -57,7 +50,14 @@ object Curation {
     conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8), 16, 10)
       .cast("long") % 100
 
-  def sampleByHash(df: DataFrame, idCol: String, percent: Int): Column = {
+  /** Deterministic fraction sampling keyed on the document id: keep the
+    * row when the first 8 hex digits of md5(id) land under the
+    * threshold. Unlike `df.sample`, the decision is a pure function of
+    * the id — stable across runs, engines, partitionings, and
+    * re-executions (a lineage re-run samples the SAME rows), which is
+    * what makes held-out splits reproducible. Narrow map, no shuffle.
+    */
+  def sampleByHash(idCol: String, percent: Int): Column = {
     require(percent >= 0 && percent <= 100, "percent in [0,100]")
     hashBucket(idCol) < percent
   }
@@ -134,7 +134,11 @@ object Curation {
       .withColumn("__lang", TextAnalysis.langId(col(textCol)))
       .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
       .filter(col("__lang") === keepLang && col("quality") >= minQuality)
-      .withColumn("content_hash", md5(normalize(scrubPii(col(textCol))).cast("binary")))
+      // replace the text with its SCRUBBED form — the raw column would
+      // carry the PII this stage exists to remove (and the survivor of
+      // a dedup group would ship it into the curated corpus)
+      .withColumn(textCol, scrubPii(col(textCol)))
+      .withColumn("content_hash", md5(normalize(col(textCol)).cast("binary")))
       .drop("__lang")
       .withWatermark(tsCol, dedupDelay)
       .dropDuplicatesWithinWatermark("content_hash")
@@ -181,7 +185,12 @@ object Curation {
     * `might_contain` over a binary literal — the corpus never
     * shuffles, exactly like [[decontaminate]].
     *
-    * The single-row sketch collect is a broadcast boundary (the same
+    * NOTE: CALLING this runs the eval-set job immediately — the sketch
+    * must exist before the probe plan can embed it as a literal, so
+    * unlike the exact [[decontaminate]] this operator is eager over
+    * `evalSet` (the corpus side stays lazy) and `evalSet` must be a
+    * batch frame. The single-row sketch collect is a broadcast
+    * boundary (the same
     * role as Spark's own runtime-filter subquery), not a row
     * iteration. Guarantees: NO false negatives (every exact
     * contamination is flagged), false positives bounded by `fpp` —
@@ -231,7 +240,6 @@ object Curation {
     * filter (the rate lookup is a broadcast-free literal map).
     */
   def sampleStratified(
-      df: DataFrame,
       idCol: String,
       strataCol: String,
       rates: Map[String, Int],
@@ -352,7 +360,11 @@ object Curation {
         ) ++ carry.map(col): _*
       )
       .filter(col("__lang") === keepLang && col("quality") >= minQuality)
-      .withColumn("__norm", normalize(scrubPii(col("__text"))))
+      // the SCRUBBED text is the curated output text — emitting the raw
+      // text would ship the PII the pipeline claims to remove; the
+      // canonical form (lowercased/collapsed) exists only for hashing
+      .withColumn("clean_text", scrubPii(col("__text")))
+      .withColumn("__norm", normalize(col("clean_text")))
     scored
       .groupBy(md5(col("__norm").cast("binary")).as("content_hash"))
       .agg(
@@ -361,12 +373,12 @@ object Curation {
         // hash-aggregable struct argmin (built-in min_by on a struct
         // falls back to SortAggregate — a corpus-wide per-partition sort)
         graft.functions.MinByObject
-          .minBy(struct(("quality" +: carry).map(col): _*), col(idCol))
+          .minBy(struct(("quality" +: "clean_text" +: carry).map(col): _*), col(idCol))
           .as("__c")
       )
       .select(
         Seq(col("content_hash"), col("canonical_id"), col("dup_count")) ++
-          ("quality" +: carry).map(c => col(s"__c.$c").as(c)): _*
+          ("quality" +: "clean_text" +: carry).map(c => col(s"__c.$c").as(c)): _*
       )
   }
 

@@ -208,7 +208,7 @@ object Dedup {
       tok0.join(keep, Seq("t"), "left_semi")
     }
     val sizes = tok.groupBy(col(idCol)).agg(count(lit(1)).as("n")).withColumnRenamed(idCol, "__sid")
-    val banded = tok.withColumn("__band", (col(idCol) / window).cast("long"))
+    val banded = tok.withColumn("__band", expr(s"`$idCol` DIV ${window}L")) // integral: double division drifts past 2^53 (64-bit hash ids) and drops band pairs
     val fanout = banded.withColumn("__band", explode(array(col("__band"), col("__band") + 1)))
     val common = fanout
       .alias("a")
@@ -327,7 +327,7 @@ object Dedup {
     // a.id+window] always lands in one shared (block, band) bucket.
     // Without this the join keys on the block alone (few distinct
     // values ⇒ one giant partition per block at 100 TB).
-    val banded = df.withColumn("__band", (col(idCol) / window).cast("long"))
+    val banded = df.withColumn("__band", expr(s"`$idCol` DIV ${window}L")) // integral: double division drifts past 2^53 (64-bit hash ids) and drops band pairs
     val fanout = banded.withColumn("__band", explode(array(col("__band"), col("__band") + 1)))
     val joined = fanout
       .alias("a")

@@ -152,7 +152,7 @@ object PipelineQueries extends QueryPack {
     // deterministic id-hash sampling: same rows every run/engine
     "q_sample_hash" -> { (s, dir) =>
       val d = Tables.load(s, dir, "documents")
-      d.filter(Curation.sampleByHash(d, "doc_id", 25))
+      d.filter(Curation.sampleByHash("doc_id", 25))
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
     },
@@ -207,7 +207,6 @@ object PipelineQueries extends QueryPack {
       val d = Tables.load(s, dir, "documents")
       d.filter(
         Curation.sampleStratified(
-          d,
           "doc_id",
           "source",
           Map("src0" -> 10, "src1" -> 50, "src2" -> 80),

@@ -107,13 +107,24 @@ final class ChangelogStore(spark: SparkSession, root: String) {
       var cur = seq.get()
       while (cur < next && !seq.compareAndSet(cur, next)) cur = seq.get()
     }
-    // swap: remove the old log, move the compacted one into place
-    def rmTree(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmTree)
-      f.delete(): Unit
+    // crash-safe swap: move the live log ASIDE, move the compacted one
+    // in, only then delete the old data. A failure between the two
+    // renames leaves the old log recoverable at __precompact (deleting
+    // first would lose the entity on a crash or failed rename).
+    val old = new java.io.File(dir.getParent, s"${dir.getName}__precompact")
+    def rmTree(f: java.io.File): Boolean = {
+      val childrenOk =
+        if (f.isDirectory) f.listFiles().forall(rmTree) else true
+      childrenOk && f.delete()
     }
-    rmTree(dir)
-    if (!tmp.renameTo(dir))
-      throw new java.io.IOException(s"compaction swap failed for '$entity'")
+    if (old.exists() && !rmTree(old))
+      throw new java.io.IOException(s"cannot clear stale '$old' for '$entity'")
+    if (!dir.renameTo(old))
+      throw new java.io.IOException(s"compaction swap failed for '$entity' (log untouched)")
+    if (!tmp.renameTo(dir)) {
+      old.renameTo(dir) // restore
+      throw new java.io.IOException(s"compaction swap failed for '$entity' (log restored)")
+    }
+    rmTree(old): Unit
   }
 }

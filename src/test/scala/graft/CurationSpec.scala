@@ -102,15 +102,15 @@ class CurationSpec extends SparkSpec {
     val df = (1L to 200L).map(i => (i, if (i % 2 == 0) "keep" else "drop")).toDF("id", "src")
     val kept = df
       .filter(
-        Curation.sampleStratified(df, "id", "src", Map("keep" -> 100, "drop" -> 0), 50)
+        Curation.sampleStratified("id", "src", Map("keep" -> 100, "drop" -> 0), 50)
       )
       .select("id")
       .as[Long]
       .collect()
       .toSet
     assert(kept == (1L to 200L).filter(_ % 2 == 0).toSet)
-    val r1 = df.filter(Curation.sampleStratified(df, "id", "src", Map.empty, 30)).count()
-    val r2 = df.filter(Curation.sampleStratified(df, "id", "src", Map.empty, 30)).count()
+    val r1 = df.filter(Curation.sampleStratified("id", "src", Map.empty, 30)).count()
+    val r2 = df.filter(Curation.sampleStratified("id", "src", Map.empty, 30)).count()
     assert(r1 == r2) // pure function of the id, not of partitioning/run
   }
 
@@ -233,6 +233,8 @@ class CurationSpec extends SparkSpec {
     assert(r.getAs[Long]("canonical_id") == 10L)
     assert(r.getAs[Long]("dup_count") == 2L)
     assert(r.getAs[String]("src") == "s1") // carried from the canonical doc
+    // the output text is the canonical doc's SCRUBBED text
+    assert(r.getAs[String]("clean_text").startsWith("the quick brown fox"))
   }
 
   test("MinByObject keeps hash aggregation for struct carries and honors null orderings") {
