@@ -268,7 +268,7 @@ final class EventSet[T](ctx: GraftContext, val model: EntityModel[T]) {
       org.apache.spark.sql.Encoders.TIMESTAMP
     )
     ordered
-      .select(struct(dataCols: _*).as("_1"), headersC.as("_2"), seqC.as("_3"), tsC.as("_4"))
+      .select(struct(dataCols.toIndexedSeq: _*).as("_1"), headersC.as("_2"), seqC.as("_3"), tsC.as("_4"))
       .as(tupEnc)
       .collect()
       .zipWithIndex

@@ -21,7 +21,7 @@ object AvroSchemaGen {
     val fields = m.schema.fields
       .filterNot(f => m.ignored.contains(f.name))
       .map(f => fieldJson(m, f))
-    record(s"${m.name}_value", fields)
+    record(s"${m.name}_value", fields.toIndexedSeq)
   }
 
   def keySchema(m: EntityModel[_]): String = {

@@ -100,7 +100,7 @@ final class ChangelogStore(spark: SparkSession, root: String) {
     val tmp = new java.io.File(dir.getParent, s"${dir.getName}__compacting")
     keep.write.mode("overwrite").parquet(tmp.getAbsolutePath)
     val maxSeq = spark.read.parquet(tmp.getAbsolutePath)
-      .agg(org.apache.spark.sql.functions.max(col("__seq"))).head
+      .agg(org.apache.spark.sql.functions.max(col("__seq"))).head()
     // point the sequence above everything that survived
     if (!maxSeq.isNullAt(0)) {
       val next = maxSeq.getLong(0) / 1000000 + 1

@@ -114,7 +114,7 @@ object KafkaBinding {
       else lit(null).cast("binary")
     df.select(
       key.as("key"),
-      to_json(struct(df.columns.map(col): _*)).cast("binary").as("value")
+      to_json(struct(df.columns.toIndexedSeq.map(col): _*)).cast("binary").as("value")
     )
   }
 }
