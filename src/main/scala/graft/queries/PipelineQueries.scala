@@ -270,15 +270,23 @@ object PipelineQueries extends QueryPack {
     // id+1e6) so the dedup stage observably folds.
     "q_curation_pipeline" -> { (s, dir) =>
       val d = Tables.load(s, dir, "documents")
-      val variants = d
-        .filter(col("doc_id") % 5 === 0)
+      // base row + (for every 5th doc) its variant from ONE scan — a
+      // union of d with a derived frame would read the parquet twice
+      val base = struct(col("doc_id"), col("text"), col("source"))
+      val variant = struct(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        concat(upper(substring(col("text"), 1, 10)), expr("substring(text, 11)")).as("text"),
+        col("source")
+      )
+      val input = d
         .select(
-          (col("doc_id") + 1000000L).as("doc_id"),
-          concat(upper(substring(col("text"), 1, 10)), expr("substring(text, 11)")).as("text"),
-          col("lang"), col("source"), col("n_chars")
+          explode(
+            when(col("doc_id") % 5 === 0, array(base, variant)).otherwise(array(base))
+          ).as("r")
         )
+        .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"), col("r.source").as("source"))
       Curation
-        .curate(d.unionByName(variants), "doc_id", "text", carry = Seq("source"))
+        .curate(input, "doc_id", "text", carry = Seq("source"))
         .groupBy(col("source"))
         .agg(
           count(lit(1)).as("docs_kept"),
