@@ -167,9 +167,14 @@ final class EventSet[T](ctx: GraftContext, val model: EntityModel[T]) {
 
   /** `ForEachAsync(action)` — push-style consumption. Batch form
     * iterates the snapshot; streaming form is `writeStream.foreachBatch`
-    * over the same dataset.
+    * over the same dataset. `toLocalIterator` bounds driver memory to one
+    * partition at a time (`ForEachAsync` streams record-by-record,
+    * `EventSet.cs:214-307`) while keeping the dataset's ordering contract.
     */
-  def forEach(action: T => Unit): Unit = toDS.collect().foreach(action)
+  def forEach(action: T => Unit): Unit = {
+    val it = toDS.toLocalIterator()
+    while (it.hasNext) action(it.next())
+  }
 
   /** `ForEachAsync(action, timeout)` (`EventSet.cs:214-229`): dispatch
     * stops when the deadline passes — the batch analog of cancelling the
@@ -267,18 +272,23 @@ final class EventSet[T](ctx: GraftContext, val model: EntityModel[T]) {
       org.apache.spark.sql.Encoders.scalaLong,
       org.apache.spark.sql.Encoders.TIMESTAMP
     )
-    ordered
+    // toLocalIterator: one partition on the driver at a time (the reference
+    // dispatches record-by-record, EventSet.cs:214-307) — same ordering as
+    // collect() because `ordered` pins a total order upstream
+    val it = ordered
       .select(struct(dataCols.toIndexedSeq: _*).as("_1"), headersC.as("_2"), seqC.as("_3"), tsC.as("_4"))
       .as(tupEnc)
-      .collect()
-      .zipWithIndex
-      .foreach { case ((entity, headers, seq, ts), i) =>
-        val offset = if (seq >= 0) seq else i.toLong
-        // record coordinate = the BOUND topic (EventSet.cs:229-233);
-        // the entity name is only the fallback for unbound entities
-        action(entity, headers,
-          RecordMeta(model.topic.getOrElse(model.name), offset, Option(ts)))
-      }
+      .toLocalIterator()
+    var i = 0L
+    while (it.hasNext) {
+      val (entity, headers, seq, ts) = it.next()
+      val offset = if (seq >= 0) seq else i
+      // record coordinate = the BOUND topic (EventSet.cs:229-233);
+      // the entity name is only the fallback for unbound entities
+      action(entity, headers,
+        RecordMeta(model.topic.getOrElse(model.name), offset, Option(ts)))
+      i += 1
+    }
   }
 
   /** `Map` — client-side transform producing a new in-memory set

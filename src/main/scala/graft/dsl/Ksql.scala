@@ -116,10 +116,8 @@ final case class QueryStage(model: QueryModel, joined: Boolean = false) {
       grace: Option[FiniteDuration] = None
   ): QueryStage = {
     require(model.timeKey.isDefined, "Hopping requires an entity time key")
-    require(
-      size.toSeconds % advanceBy.toSeconds == 0,
-      "hop size must be a multiple of advanceBy"
-    )
+    // any SIZE/ADVANCE pair is legal (`KsqlQueryable.cs:100-123` and ksqlDB
+    // accept non-divisible advances; Spark's window(size, slide) does too)
     copy(model = model.copy(hopping = Some(HoppingSpec(size, advanceBy, grace))))
   }
 

@@ -153,7 +153,15 @@ object TextAnalysis {
       .agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum(col("cnt")).as("tot"))
     val top = counts.orderBy(col("cnt").desc, col("token")).limit(topK)
+    // single-partition window is INTENTIONAL and bounded: it runs over the
+    // topK rows post-limit, never over the corpus. Partitioning by the
+    // constant `tot` column declares that explicitly — one partition,
+    // same result, and no "No Partition Defined" WARN (which reads as a
+    // scale bug in every bench log). A literal key would NOT work: the
+    // optimizer folds foldable partition expressions away, re-emptying
+    // the partition spec.
     val order = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tot"))
       .orderBy(col("cnt").desc, col("token"))
     top
       .crossJoin(broadcast(total))
@@ -229,12 +237,29 @@ object TextAnalysis {
     * array_min). Stride 2 halves the hash count with negligible
     * fingerprint-collision impact (min-sampling keeps the extremum
     * property over the sampled family).
+    *
+    * `hashFamily`: "md5" is the oracle form (DuckDB computes the same
+    * digest); "xxhash64" is the production family — the fingerprint is
+    * then the numeric min of 64-bit hashes, ~an order of magnitude
+    * cheaper per gram (same escape hatch minhash and decontaminate
+    * expose; A/B in BASELINE.md).
     */
-  def fingerprint(textColName: String, gram: Int = 8, stride: Int = 2): Column =
-    array_min(
-      expr(
-        s"transform(sequence(1, greatest(length($textColName) - ${gram - 1}, 1), $stride), " +
-          s"i -> md5(cast(substring($textColName, i, $gram) AS BINARY)))"
-      )
-    )
+  def fingerprint(
+      textColName: String,
+      gram: Int = 8,
+      stride: Int = 2,
+      hashFamily: String = "md5"
+  ): Column = {
+    val grams =
+      s"transform(sequence(1, greatest(length($textColName) - ${gram - 1}, 1), $stride), " +
+        s"i -> HASH_FN)"
+    hashFamily match {
+      case "md5" =>
+        array_min(expr(grams.replace("HASH_FN", s"md5(cast(substring($textColName, i, $gram) AS BINARY))")))
+      case "xxhash64" =>
+        array_min(expr(grams.replace("HASH_FN", s"xxhash64(substring($textColName, i, $gram))")))
+      case other =>
+        throw new IllegalArgumentException(s"unknown hashFamily '$other' (md5 | xxhash64)")
+    }
+  }
 }

@@ -32,6 +32,20 @@ object Planner {
     */
   val DefaultJoinGraceSeconds = 30L
 
+  /** A multi-timeframe Tumbling spec reaching the single-query path would
+    * silently plan only the first timeframe — the fan-out belongs to
+    * [[DerivationPlanner]], so refuse loudly instead of truncating the spec.
+    */
+  private def soleTimeframe(t: graft.dsl.TumblingSpec): Period = {
+    if (t.timeframes.size != 1)
+      throw new IllegalStateException(
+        s"Tumbling with ${t.timeframes.size} timeframes (${t.timeframes.mkString(", ")}) " +
+          "cannot be planned as a single query; use DerivationPlanner / the " +
+          "cascade API for multi-timeframe fan-out"
+      )
+    t.timeframes.head
+  }
+
   /** Batch (pull-query) lowering. `catalog` resolves entity name → DataFrame. */
   def batch(model: QueryModel, catalog: String => DataFrame): DataFrame = {
     val base = sourceWithJoin(model, catalog, streaming = false)
@@ -50,8 +64,7 @@ object Planner {
         val keyCols = model.groupByNames.zip(model.groupBy).map { case (n, c) => c.as(n) }
         val windowCol: Seq[Column] = (model.tumbling, model.hopping) match {
           case (Some(t), _) =>
-            val p = t.timeframes.head
-            Seq(windowFor(col(model.timeKey.get), p).as("window"))
+            Seq(windowFor(col(model.timeKey.get), soleTimeframe(t)).as("window"))
           case (_, Some(h)) =>
             Seq(
               window(
@@ -110,7 +123,7 @@ object Planner {
       val keyCols = model.groupByNames.zip(model.groupBy).map { case (n, c) => c.as(n) }
       val windowCol: Seq[Column] = (model.tumbling, model.hopping) match {
         case (Some(t), _) =>
-          Seq(windowFor(col(model.timeKey.get), t.timeframes.head).as("window"))
+          Seq(windowFor(col(model.timeKey.get), soleTimeframe(t)).as("window"))
         case (_, Some(h)) =>
           Seq(
             window(

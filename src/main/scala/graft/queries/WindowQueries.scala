@@ -51,6 +51,21 @@ object WindowQueries extends QueryPack {
       ).orderBy(col("window_start"), col("event_type"))
     },
 
+    // Hopping window with a NON-divisible advance (size 5m, advance 2m) —
+    // the reference accepts any SIZE/ADVANCE pair (`KsqlQueryable.cs:100-123`);
+    // events near a 2m boundary fall in 3 windows, others in 2
+    "q_window_hopping_nondiv" -> { (s, dir) =>
+      Planner.batch(
+        Ksql
+          .from(events)
+          .hopping(5.minutes, 2.minutes)
+          .groupBy("event_type" -> col("event_type"))
+          .select(count(lit(1)).as("cnt"))
+          .build(),
+        catalog(s, dir)
+      ).orderBy(col("window_start"), col("event_type"))
+    },
+
     // 1-second OHLC bars — the RowMonitor hub aggregation
     // (`src/Runtime/RowMonitor.cs:39-50`), batch form
     "q_bars_1s" -> { (s, dir) =>
@@ -277,6 +292,15 @@ object WindowQueries extends QueryPack {
         |       event_type,
         |       COUNT(*) AS cnt
         |FROM events CROSS JOIN (VALUES (0), (1)) t(k)
+        |GROUP BY 1, 2, 3
+        |ORDER BY window_start, event_type""".stripMargin,
+    "q_window_hopping_nondiv" ->
+      """SELECT TIME_BUCKET(INTERVAL '2 minutes', ts) - k * INTERVAL '2 minutes' AS window_start,
+        |       TIME_BUCKET(INTERVAL '2 minutes', ts) - k * INTERVAL '2 minutes' + INTERVAL '5 minutes' AS window_end,
+        |       event_type,
+        |       COUNT(*) AS cnt
+        |FROM events CROSS JOIN (VALUES (0), (1), (2)) t(k)
+        |WHERE TIME_BUCKET(INTERVAL '2 minutes', ts) - k * INTERVAL '2 minutes' + INTERVAL '5 minutes' > ts
         |GROUP BY 1, 2, 3
         |ORDER BY window_start, event_type""".stripMargin,
     "q_bars_1s" ->

@@ -53,6 +53,17 @@ class ContextSpec extends SparkSpec {
     assert(names.size == 5)
   }
 
+  test("forEach streams via toLocalIterator with the dataset's order (bounded driver memory)") {
+    val c = ctx
+    val set = c.eventSet(TestEntities.region)
+    // iteration order must match the dataset's own row order, same as the
+    // old collect() dispatch — toLocalIterator preserves partition order
+    val expected = set.toDS.collect().toSeq
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Any]
+    set.forEach(r => seen += r)
+    assert(seen.toSeq == expected)
+  }
+
   test("key-prefix pull restricts to the leading key components") {
     val c = ctx
     val set = c.eventSet(TestEntities.region)

@@ -99,6 +99,27 @@ class DslSpec extends SparkSpec {
       Seq(Period.Minutes(1), Period.Minutes(5), Period.Hours(1)))
   }
 
+  test("hopping accepts a non-divisible SIZE/ADVANCE pair (KsqlQueryable.cs:100-123)") {
+    import scala.concurrent.duration._
+    val q = Ksql.from(events).hopping(5.minutes, 2.minutes)
+    assert(q.model.hopping.get.size == 5.minutes)
+    assert(q.model.hopping.get.advanceBy == 2.minutes)
+  }
+
+  test("multi-timeframe tumbling on the single-query path throws instead of truncating") {
+    val m = Ksql
+      .from(events)
+      .tumbling(Seq(Period.Minutes(1), Period.Minutes(5)))
+      .groupBy("event_type" -> col("event_type"))
+      .select(count(lit(1)).as("cnt"))
+      .build()
+    val cat = (_: String) => spark.range(0).toDF()
+    val eb = intercept[IllegalStateException](Planner.batch(m, cat))
+    assert(eb.getMessage.contains("DerivationPlanner"))
+    val es = intercept[IllegalStateException](Planner.streaming(m, cat))
+    assert(es.getMessage.contains("DerivationPlanner"))
+  }
+
   test("aggregates are rejected in WHERE and GROUP BY keys") {
     intercept[IllegalStateException] {
       Ksql.from(orders).where(sum(col("o_totalprice")) > 10)
