@@ -273,8 +273,11 @@ final class EventSet[T](ctx: GraftContext, val model: EntityModel[T]) {
       org.apache.spark.sql.Encoders.TIMESTAMP
     )
     // toLocalIterator: one partition on the driver at a time (the reference
-    // dispatches record-by-record, EventSet.cs:214-307) — same ordering as
-    // collect() because `ordered` pins a total order upstream
+    // dispatches record-by-record, EventSet.cs:214-307). Ordering matches
+    // the old collect() path: total when __seq exists; by the time key
+    // (ties in partition order) when only a time key exists; bare partition
+    // order otherwise — so fallback offsets `i` are only stable across runs
+    // when __seq or a unique time key pins a total order
     val it = ordered
       .select(struct(dataCols.toIndexedSeq: _*).as("_1"), headersC.as("_2"), seqC.as("_3"), tsC.as("_4"))
       .as(tupEnc)

@@ -116,8 +116,12 @@ final case class QueryStage(model: QueryModel, joined: Boolean = false) {
       grace: Option[FiniteDuration] = None
   ): QueryStage = {
     require(model.timeKey.isDefined, "Hopping requires an entity time key")
-    // any SIZE/ADVANCE pair is legal (`KsqlQueryable.cs:100-123` and ksqlDB
-    // accept non-divisible advances; Spark's window(size, slide) does too)
+    // non-divisible SIZE/ADVANCE pairs are legal (`KsqlQueryable.cs:100-123`
+    // and ksqlDB accept them; Spark's window(size, slide) does too), but
+    // advance > size is rejected everywhere downstream (ksqlDB, Kafka
+    // Streams, and Spark's analysis-time PARAMETER_CONSTRAINT_VIOLATION) —
+    // fail here with a readable message instead
+    require(advanceBy <= size, "advanceBy must not exceed the window size")
     copy(model = model.copy(hopping = Some(HoppingSpec(size, advanceBy, grace))))
   }
 

@@ -79,15 +79,14 @@ object Curation {
       textCol: String,
       n: Int = 3,
       flagMinOverlap: Int = 2,
-      hashFamily: String = "md5"
+      hashFamily: HashFamily = HashFamily.Md5
   ): DataFrame = {
     // Same hash-family split as MinHash: md5 is DuckDB-mirrorable for
     // the oracle; xxhash64 is the production family (codegen'd 64-bit
     // mix, an 8-byte broadcast key instead of a 32-char hex string).
     val shingleHash: Column => Column = hashFamily match {
-      case "md5"      => c => md5(c.cast("binary"))
-      case "xxhash64" => c => xxhash64(c)
-      case other      => throw new IllegalArgumentException(s"unknown hash family: $other")
+      case HashFamily.Md5      => c => md5(c.cast("binary"))
+      case HashFamily.XxHash64 => c => xxhash64(c)
     }
     // Shingles come from the native fused WordShingles expression (one
     // split+window loop per row — see Dedup.shinglesNative; the composed

@@ -69,11 +69,11 @@ object Dedup {
     * any band bucket are candidates.
     *
     * `hashFamily`:
-    *   - "md5" (default): base hash = md5, h1/h2 from its hex halves —
-    *     exactly mirrorable in the DuckDB oracle.
-    *   - "xxhash64": h_j = xxhash64(shingle, j) — the production family
-    *     (codegen'd 64-bit mix, no hex round-trip); same plan shape,
-    *     not oracle-mirrorable.
+    *   - [[HashFamily.Md5]] (default): base hash = md5, h1/h2 from its
+    *     hex halves — exactly mirrorable in the DuckDB oracle.
+    *   - [[HashFamily.XxHash64]]: h_j = xxhash64(shingle, j) — the
+    *     production family (codegen'd 64-bit mix, no hex round-trip);
+    *     same plan shape, not oracle-mirrorable.
     *
     * Scale: explode(shingles) is linear; the signature agg shuffles by
     * doc id; the candidate join shuffles by (band_idx, band_hash) — a
@@ -88,33 +88,35 @@ object Dedup {
       bands: Int = 4,
       shingleSize: Int = 3,
       maxBucketSize: Option[Int] = None,
-      hashFamily: String = "md5"
+      hashFamily: HashFamily = HashFamily.Md5
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
     val sh = df
       .select(col(idCol), explode(shinglesNative(col(textCol), shingleSize)).as("shingle"))
     val hashed = hashFamily match {
-      case "md5" =>
+      case HashFamily.Md5 =>
         sh.withColumn("__hx", md5(col("shingle").cast("binary")))
           .withColumn("__h1", conv(substring(col("__hx"), 1, 8), 16, 10).cast("long"))
           .withColumn("__h2", conv(substring(col("__hx"), 9, 8), 16, 10).cast("long"))
-      case "xxhash64" => sh
-      case other      => throw new IllegalArgumentException(s"unknown hash family: $other")
+      case HashFamily.XxHash64 => sh
     }
     val hashCols = (1 to numHashes).map { j =>
-      val hj =
-        if (hashFamily == "md5")
+      val hj = hashFamily match {
+        case HashFamily.Md5 =>
           (col("__h1") + lit(j.toLong) * col("__h2")) % lit(4294967296L)
-        else xxhash64(col("shingle"), lit(j))
+        case HashFamily.XxHash64 => xxhash64(col("shingle"), lit(j))
+      }
       min(hj).as(s"h$j")
     }
     val sig = hashed.groupBy(col(idCol)).agg(hashCols.head, hashCols.tail: _*)
     val bandArray = array((0 until bands).map { b =>
       val bandCols = (1 to rows).map(r => col(s"h${b * rows + r}"))
-      if (hashFamily == "md5")
-        md5(concat_ws("|", bandCols.map(_.cast("string")): _*).cast("binary"))
-      else xxhash64(bandCols: _*).cast("string")
+      hashFamily match {
+        case HashFamily.Md5 =>
+          md5(concat_ws("|", bandCols.map(_.cast("string")): _*).cast("binary"))
+        case HashFamily.XxHash64 => xxhash64(bandCols: _*).cast("string")
+      }
     }: _*)
     val banded0 = sig.select(col(idCol), posexplode(bandArray).as(Seq("band_idx", "band_hash")))
     // Hot-bucket cap: a bucket with b members yields b² candidate pairs,

@@ -238,28 +238,30 @@ object TextAnalysis {
     * fingerprint-collision impact (min-sampling keeps the extremum
     * property over the sampled family).
     *
-    * `hashFamily`: "md5" is the oracle form (DuckDB computes the same
-    * digest); "xxhash64" is the production family — the fingerprint is
-    * then the numeric min of 64-bit hashes, ~an order of magnitude
-    * cheaper per gram (same escape hatch minhash and decontaminate
-    * expose; A/B in BASELINE.md).
+    * `hashFamily`: [[HashFamily.Md5]] is the oracle form (DuckDB
+    * computes the same digest) and yields a hex-string fingerprint;
+    * [[HashFamily.XxHash64]] is the production family — the fingerprint
+    * is then the numeric min of 64-bit hashes (a bigint), ~an order of
+    * magnitude cheaper per gram (same escape hatch minhash and
+    * decontaminate expose; A/B in BASELINE.md). The result TYPE differs
+    * between families, which is exactly why the selector is a sealed
+    * type: mixing families across a producer/consumer pair is a
+    * compile-visible mismatch, not a silently empty join.
     */
   def fingerprint(
       textColName: String,
       gram: Int = 8,
       stride: Int = 2,
-      hashFamily: String = "md5"
+      hashFamily: HashFamily = HashFamily.Md5
   ): Column = {
     val grams =
       s"transform(sequence(1, greatest(length($textColName) - ${gram - 1}, 1), $stride), " +
         s"i -> HASH_FN)"
     hashFamily match {
-      case "md5" =>
+      case HashFamily.Md5 =>
         array_min(expr(grams.replace("HASH_FN", s"md5(cast(substring($textColName, i, $gram) AS BINARY))")))
-      case "xxhash64" =>
+      case HashFamily.XxHash64 =>
         array_min(expr(grams.replace("HASH_FN", s"xxhash64(substring($textColName, i, $gram))")))
-      case other =>
-        throw new IllegalArgumentException(s"unknown hashFamily '$other' (md5 | xxhash64)")
     }
   }
 }

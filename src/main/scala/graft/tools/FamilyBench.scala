@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.operators.Curation
+import graft.operators.{Curation, HashFamily}
 import graft.sources.Tables
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -22,7 +22,8 @@ object FamilyBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = Tables.load(spark, dir, "documents")
-    def run(family: String): Double = {
+    val families = Seq("md5" -> HashFamily.Md5, "xxhash64" -> HashFamily.XxHash64)
+    def run(family: HashFamily): Double = {
       val t0 = System.nanoTime()
       Curation
         .decontaminate(
@@ -38,10 +39,10 @@ object FamilyBench {
         .save()
       (System.nanoTime() - t0) / 1e9
     }
-    Seq("md5", "xxhash64").foreach(run) // warm-up
-    Seq("md5", "xxhash64").foreach { f =>
+    families.foreach { case (_, f) => run(f) } // warm-up
+    families.foreach { case (name, f) =>
       val ts = (1 to 3).map(_ => run(f))
-      println(f"family=$f min=${ts.min}%.2f s runs=${ts.map(t => f"$t%.2f").mkString(",")}")
+      println(f"family=$name min=${ts.min}%.2f s runs=${ts.map(t => f"$t%.2f").mkString(",")}")
     }
     spark.stop()
   }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Curation, TextAnalysis, TopN}
+import graft.operators.{Curation, HashFamily, TextAnalysis, TopN}
 import org.apache.spark.sql.functions._
 
 /** Curation-operator semantics with hand-computed expectations:
@@ -86,16 +86,15 @@ class CurationSpec extends SparkSpec {
       .collect()
       .toSeq
     val xx = Curation
-      .decontaminate(corpus, eval, "doc_id", "text", hashFamily = "xxhash64")
+      .decontaminate(corpus, eval, "doc_id", "text", hashFamily = HashFamily.XxHash64)
       .orderBy("doc_id")
       .select("overlap")
       .as[Int]
       .collect()
       .toSeq
     assert(md == xx)
-    intercept[IllegalArgumentException] {
-      Curation.decontaminate(corpus, eval, "doc_id", "text", hashFamily = "fnv")
-    }
+    // an unknown family is a compile error now (sealed HashFamily), not
+    // a runtime IllegalArgumentException — no negative case to test
   }
 
   test("stratified sampling honors 0/100 rates and is deterministic") {

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, HashFamily}
 import org.apache.spark.sql.functions._
 
 /** Dedup operator properties beyond the oracle queries: duplicate
@@ -60,14 +60,12 @@ class DedupSpec extends SparkSpec {
   }
 
   test("xxhash64 production family detects the same duplicate structure") {
-    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text", hashFamily = "xxhash64")
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text", hashFamily = HashFamily.XxHash64)
       .as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)))
     assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
-    intercept[IllegalArgumentException] {
-      Dedup.minhashCandidates(docs, "doc_id", "text", hashFamily = "fnv")
-    }
+    // an unknown family is a compile error now (sealed HashFamily)
   }
 
   test("clusters: min-label propagation finds transitive duplicate groups") {

@@ -106,6 +106,14 @@ class DslSpec extends SparkSpec {
     assert(q.model.hopping.get.advanceBy == 2.minutes)
   }
 
+  test("hopping rejects advance > size (illegal in ksqlDB/Kafka Streams/Spark alike)") {
+    import scala.concurrent.duration._
+    val e = intercept[IllegalArgumentException] {
+      Ksql.from(events).hopping(2.minutes, 5.minutes)
+    }
+    assert(e.getMessage.contains("advanceBy"))
+  }
+
   test("multi-timeframe tumbling on the single-query path throws instead of truncating") {
     val m = Ksql
       .from(events)
