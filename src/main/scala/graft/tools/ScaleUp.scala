@@ -1,0 +1,139 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthetic scale multiplier: reads a testdata sf directory and writes a
+  * K× copy for data-bound benchmarking (the sf0.1 suite is setup-dominated —
+  * 100× data costs only 1.42× wall, see BASELINE.md — so scale claims need a
+  * dataset where data, not fixed overhead, dominates).
+  *
+  * `runMain graft.tools.ScaleUp <srcDir> <dstDir> <factor> [docFactor]`
+  *
+  * Replication is workload-shape-preserving, not naive copying:
+  *
+  *   - facts (`orders`+`lineitem`, key-consistently; `events`) replicate
+  *     with primary keys offset by `replica * (max+1)` — joins keep their
+  *     selectivity, dims stay dims (realistic: facts grow faster).
+  *   - `documents` replicate with offset doc_ids and a per-replica
+  *     character rotation over a 10-letter alphabet (`translate`), so
+  *     replicas share no shingles: the duplicate/near-duplicate structure
+  *     scales LINEARLY (same clusters ×K) instead of quadratically
+  *     (every doc suddenly having K twins would inflate LSH buckets by K
+  *     and candidate pairs by K² — a different workload, not a bigger one).
+  *   - `embeddings` replicate with offset vec_ids and a per-replica
+  *     deterministic sign flip per dimension: cosine WITHIN a replica is
+  *     exactly preserved (signs cancel), cosine ACROSS replicas is
+  *     decorrelated — ANN/near-dup structure again scales linearly.
+  *   - dims (`region nation customer supplier part`) copy as-is.
+  *
+  * `events.ts` stays a raw INT64 nanos column so `Tables.load`'s
+  * nanosAsLong path keeps reading the scaled directory unchanged.
+  */
+object ScaleUp {
+
+  private val alphabet = "aeiousnrtl" // high-frequency letters; rotation != identity for 1..9
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val dst = args(1)
+    val factor = args(2).toInt
+    val docFactor = if (args.length > 3) args(3).toInt else factor
+    require(factor >= 1 && docFactor >= 1, "factors must be >= 1")
+    require(docFactor <= alphabet.length, s"docFactor > ${alphabet.length} would repeat a rotation (exact cross-replica dups)")
+
+    val spark = SparkSession
+      .builder()
+      .appName("graft-scaleup")
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+
+    // replicate df K times with a __r replica-index column to derive offsets from
+    def replicated(df: DataFrame, k: Int): DataFrame =
+      df.withColumn("__r", explode(sequence(lit(0), lit(k - 1))))
+
+    def maxOf(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).head().getLong(0)
+
+    // dims copy as-is
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      write(spark.read.parquet(s"$src/$t.parquet"), t)
+    }
+
+    // orders + lineitem share the orderkey offset so the join keeps shape
+    val orders = spark.read.parquet(s"$src/orders.parquet")
+    val lineitem = spark.read.parquet(s"$src/lineitem.parquet")
+    val oStride = maxOf(orders, "o_orderkey") + 1
+    write(
+      replicated(orders, factor)
+        .withColumn("o_orderkey", col("o_orderkey") + col("__r") * oStride)
+        .drop("__r"),
+      "orders"
+    )
+    write(
+      replicated(lineitem, factor)
+        .withColumn("l_orderkey", col("l_orderkey") + col("__r") * oStride)
+        .drop("__r"),
+      "lineitem"
+    )
+
+    // events: raw INT64 nanos in, raw INT64 nanos out (Tables.load contract);
+    // same timestamps across replicas = a denser stream, not a longer one
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$src/events.parquet")
+    val eStride = maxOf(events, "event_id") + 1
+    write(
+      replicated(events, factor)
+        .withColumn("event_id", col("event_id") + col("__r") * eStride)
+        .drop("__r"),
+      "events"
+    )
+
+    // documents: per-replica character rotation breaks cross-replica
+    // shingle overlap; length (and so n_chars) is preserved by translate
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val dStride = maxOf(docs, "doc_id") + 1
+    val rotations = (0 until docFactor).map { r =>
+      val to = alphabet.drop(r) + alphabet.take(r)
+      r -> to
+    }
+    val translated = rotations
+      .map { case (r, to) => (col("__r") === r, translate(col("text"), alphabet, to)) }
+      .foldRight(col("text")) { case ((cond, v), acc) => when(cond, v).otherwise(acc) }
+    write(
+      replicated(docs, docFactor)
+        .withColumn("text", translated)
+        .withColumn("doc_id", col("doc_id") + col("__r") * dStride)
+        .drop("__r"),
+      "documents"
+    )
+
+    // embeddings: per-(replica, dim) deterministic sign flip — intra-replica
+    // cosine exact (signs cancel pairwise), cross-replica decorrelated
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val vStride = maxOf(emb, "vec_id") + 1
+    val flipped = transform(
+      col("embedding"),
+      (x, d) =>
+        (x * when(pmod(xxhash64(col("__r"), d), lit(2)) === 0, lit(1.0f)).otherwise(lit(-1.0f)))
+          .cast("float")
+    )
+    write(
+      replicated(emb, docFactor)
+        .withColumn("embedding", flipped)
+        .withColumn("vec_id", col("vec_id") + col("__r") * vStride)
+        .drop("__r"),
+      "embeddings"
+    )
+
+    println(s"[scaleup] wrote $dst at factor=$factor docFactor=$docFactor from $src")
+    spark.stop()
+  }
+}
