@@ -204,6 +204,18 @@ object BarCascade {
     val basePlan =
       start(spark, ticks, base, keys, tsCol, valueCol, orderCol, spec.timeframes, root, grace)
 
+    // the fill stage is a transformWithState operator, which only the
+    // RocksDB state store provider can run (state + timers live in
+    // separate column families); the HDFS default would fail the query
+    // at start, so upgrade it rather than surfacing Spark's error
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val hdfsDefault = "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+    if (derivation.exists(_.role == DerivationPlanner.Role.Fill) &&
+        spark.conf.get(providerKey, hdfsDefault).endsWith("HDFSBackedStateStoreProvider")) {
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    }
+
     val fills = derivation.collect {
       case d if d.role == DerivationPlanner.Role.Fill =>
         val tf = d.period.get

@@ -3,7 +3,6 @@ package graft
 import graft.streaming.GapFill
 import graft.streaming.GapFill._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.streaming.GroupStateTimeout
 
 import java.sql.Timestamp
 
