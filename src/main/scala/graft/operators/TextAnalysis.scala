@@ -241,27 +241,29 @@ object TextAnalysis {
     * `hashFamily`: [[HashFamily.Md5]] is the oracle form (DuckDB
     * computes the same digest) and yields a hex-string fingerprint;
     * [[HashFamily.XxHash64]] is the production family — the fingerprint
-    * is then the numeric min of 64-bit hashes (a bigint), ~an order of
-    * magnitude cheaper per gram (same escape hatch minhash and
-    * decontaminate expose; A/B in BASELINE.md). The result TYPE differs
-    * between families, which is exactly why the selector is a sealed
-    * type: mixing families across a producer/consumer pair is a
-    * compile-visible mismatch, not a silently empty join.
+    * is then the numeric min of 64-bit hashes (a bigint), computed by
+    * the one-pass native [[graft.functions.GramMinHash]] expression
+    * (hash-identical to the composed transform-lambda twin, which pays
+    * O(L²/stride) byte scanning because `substring(text, i, gram)`
+    * re-walks the string per gram; A/B in BASELINE.md). The result
+    * TYPE differs between families, which is exactly why the selector
+    * is a sealed type: mixing families across a producer/consumer pair
+    * is a compile-visible mismatch, not a silently empty join.
     */
   def fingerprint(
       textColName: String,
       gram: Int = 8,
       stride: Int = 2,
       hashFamily: HashFamily = HashFamily.Md5
-  ): Column = {
-    val grams =
-      s"transform(sequence(1, greatest(length($textColName) - ${gram - 1}, 1), $stride), " +
-        s"i -> HASH_FN)"
-    hashFamily match {
-      case HashFamily.Md5 =>
-        array_min(expr(grams.replace("HASH_FN", s"md5(cast(substring($textColName, i, $gram) AS BINARY))")))
-      case HashFamily.XxHash64 =>
-        array_min(expr(grams.replace("HASH_FN", s"xxhash64(substring($textColName, i, $gram))")))
-    }
+  ): Column = hashFamily match {
+    case HashFamily.Md5 =>
+      array_min(expr(
+        s"transform(sequence(1, greatest(length($textColName) - ${gram - 1}, 1), $stride), " +
+          s"i -> md5(cast(substring($textColName, i, $gram) AS BINARY)))"))
+    case HashFamily.XxHash64 =>
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.GramMinHash(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col(textColName)),
+          gram, stride))
   }
 }

@@ -97,6 +97,31 @@ class CurationSpec extends SparkSpec {
     // a runtime IllegalArgumentException — no negative case to test
   }
 
+  test("native GramMinHash fingerprint is hash-identical to the composed lambda twin") {
+    // edge shapes: empty, shorter-than-gram, exactly gram, multibyte
+    // UTF-8 (2- and 3-byte chars straddling window boundaries), long doc
+    val texts = Seq(
+      "", "short", "eightchr", "exactly nine!",
+      "héllo wörld — ünïcode text", "日本語のテキストです",
+      "mixed ascii and 中文 characters over the gram boundary",
+      ("the quick brown fox jumps over the lazy dog " * 20).trim
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    for ((gram, stride) <- Seq((8, 2), (8, 1), (3, 5), (1, 1))) {
+      val df = texts.toDF("id", "text")
+      val composed = df.select(
+        col("id"),
+        array_min(expr(
+          s"transform(sequence(1, greatest(length(text) - ${gram - 1}, 1), $stride), " +
+            s"i -> xxhash64(substring(text, i, $gram)))")).as("fp"))
+      val native = df.select(
+        col("id"),
+        TextAnalysis.fingerprint("text", gram, stride, HashFamily.XxHash64).as("fp"))
+      assert(
+        native.except(composed).isEmpty && composed.except(native).isEmpty,
+        s"gram=$gram stride=$stride differs")
+    }
+  }
+
   test("stratified sampling honors 0/100 rates and is deterministic") {
     val df = (1L to 200L).map(i => (i, if (i % 2 == 0) "keep" else "drop")).toDF("id", "src")
     val kept = df
