@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, HashFamily, Multimodal, Similarity, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -141,6 +141,19 @@ object PipelineQueries extends QueryPack {
       Tables
         .load(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint("text").as("fingerprint"))
+        .orderBy(col("doc_id"))
+    },
+    // production fingerprint family: native GramMinHash (one pass, no
+    // per-gram substring walk — BASELINE.md round 4 records the 28×).
+    // xxhash64 has no DuckDB mirror, so no oracleSql entry: the driver
+    // records the weaker rows-only check, and hash-identity to the
+    // composed lambda twin is spec-pinned in CurationSpec.
+    "q_fingerprint_native" -> { (s, dir) =>
+      Tables
+        .load(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextAnalysis.fingerprint("text", hashFamily = HashFamily.XxHash64).as("fingerprint"))
         .orderBy(col("doc_id"))
     },
     // fixed-size word chunks with overlap (pre-tokenization step)
