@@ -118,8 +118,37 @@ object TextAnalysis {
     */
   def maxWordRun(toksCol: String): Column = expr(runFold(toksCol))
 
-  /** All three repetition signals off ONE materialized token array. */
-  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  /** All three repetition signals in ONE tokenization pass: the native
+    * [[graft.functions.RepetitionStats]] expression produces the raw
+    * counters (token/distinct/modal-bigram/max-run), and the signal
+    * math stays in Catalyst column form — value-identical to the
+    * composed `dupWordFrac`/`topBigramFrac`/`maxWordRun` triple
+    * (spec-pinned), which pays a sort plus three interpreted aggregate
+    * lambdas over the token array.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val stats = ColumnBridge.column(
+      graft.functions.RepetitionStats(ColumnBridge.expression(col(textCol))))
+    df.select(col(idCol), stats.as("__rs"))
+      .select(
+        col(idCol),
+        round(
+          lit(1.0) - col("__rs.n_distinct").cast("double") / col("__rs.n_toks"),
+          6
+        ).as("dup_word_frac"),
+        round(
+          col("__rs.top_bigram").cast("double") / greatest(col("__rs.n_toks") - 1, lit(1)),
+          6
+        ).as("top_bigram_frac"),
+        col("__rs.max_run").as("max_word_run")
+      )
+  }
+
+  /** The composed form of [[repetitionSignals]] — kept as the identity
+    * witness the native expression is spec-checked against.
+    */
+  def repetitionSignalsComposed(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.withColumn("__toks", split(col(textCol), " "))
       .select(
         col(idCol),
@@ -255,15 +284,17 @@ object TextAnalysis {
       gram: Int = 8,
       stride: Int = 2,
       hashFamily: HashFamily = HashFamily.Md5
-  ): Column = hashFamily match {
-    case HashFamily.Md5 =>
-      array_min(expr(
-        s"transform(sequence(1, greatest(length($textColName) - ${gram - 1}, 1), $stride), " +
-          s"i -> md5(cast(substring($textColName, i, $gram) AS BINARY)))"))
-    case HashFamily.XxHash64 =>
-      org.apache.spark.sql.graftbridge.ColumnBridge.column(
-        graft.functions.GramMinHash(
-          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col(textColName)),
-          gram, stride))
+  ): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    hashFamily match {
+      case HashFamily.Md5 =>
+        // native one-pass twin of the composed md5 lambda (which the
+        // DuckDB oracle mirrors); hash-identity spec-pinned
+        ColumnBridge.column(
+          graft.functions.Md5GramMin(ColumnBridge.expression(col(textColName)), gram, stride))
+      case HashFamily.XxHash64 =>
+        ColumnBridge.column(
+          graft.functions.GramMinHash(ColumnBridge.expression(col(textColName)), gram, stride))
+    }
   }
 }

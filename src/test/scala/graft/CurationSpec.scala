@@ -122,6 +122,43 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("native Md5GramMin fingerprint is hash-identical to the composed md5 lambda twin") {
+    val texts = Seq(
+      "", "short", "eightchr", "exactly nine!",
+      "héllo wörld — ünïcode text", "日本語のテキストです",
+      "mixed ascii and 中文 characters over the gram boundary",
+      ("the quick brown fox jumps over the lazy dog " * 20).trim
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    for ((gram, stride) <- Seq((8, 2), (8, 1), (3, 5), (1, 1))) {
+      val df = texts.toDF("id", "text")
+      val composed = df.select(
+        col("id"),
+        array_min(expr(
+          s"transform(sequence(1, greatest(length(text) - ${gram - 1}, 1), $stride), " +
+            s"i -> md5(cast(substring(text, i, $gram) AS BINARY)))")).as("fp"))
+      val native = df.select(
+        col("id"),
+        TextAnalysis.fingerprint("text", gram, stride, HashFamily.Md5).as("fp"))
+      assert(
+        native.except(composed).isEmpty && composed.except(native).isEmpty,
+        s"gram=$gram stride=$stride differs")
+    }
+  }
+
+  test("native RepetitionStats signals are value-identical to the composed fold form") {
+    // edge shapes: empty, single token, empty tokens from double/leading
+    // spaces, all-same tokens, long runs, bigram modes, multibyte
+    val texts = Seq(
+      "", "one", "a a a a a", "a b a b a b", "  double  spaces  ",
+      " leading", "trailing ", "x y x y y y x", "日本 語 日本 語 日本",
+      ("w1 w2 w3 " * 30).trim, "same same same different same same"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("doc_id", "text")
+    val native = TextAnalysis.repetitionSignals(df, "doc_id", "text")
+    val composed = TextAnalysis.repetitionSignalsComposed(df, "doc_id", "text")
+    assert(native.except(composed).isEmpty && composed.except(native).isEmpty)
+  }
+
   test("stratified sampling honors 0/100 rates and is deterministic") {
     val df = (1L to 200L).map(i => (i, if (i % 2 == 0) "keep" else "drop")).toDF("id", "src")
     val kept = df
