@@ -348,4 +348,68 @@ object Dedup {
       )
       .filter(col("cos") >= threshold)
   }
+
+  /** Exact duplicated-SPAN detection — the substring-level dedup signal
+    * of "Deduplicating Training Data Makes Language Models Better"
+    * (Lee et al., 2021), re-shaped for Spark: instead of a corpus-wide
+    * suffix array (its own distributed system), slide a `windowTokens`
+    * window over each document at `stride`, hash each window, and mark
+    * windows whose hash occurs in ≥2 DISTINCT documents. Per document
+    * this yields the fraction of its token windows that are verbatim
+    * copies of some other document — the gate/penalty signal a curation
+    * pipeline thresholds on.
+    *
+    * Scale shape: tokenize once (materialized array — inlining split
+    * into the window lambda would be O(words²) per doc), one explode to
+    * (doc, hash), one groupBy(hash) whose "≥2 distinct docs" test is
+    * `min(id) != max(id)` (two scalar partials — no count-distinct
+    * state, no per-group lists, hash-agg all the way), one equi-join
+    * back on the hash, one groupBy(doc). Raising `stride` divides the
+    * exploded volume for corpora where span-level recall can be traded
+    * (BASELINE.md records the A/B).
+    */
+  def substringDupStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 10,
+      stride: Int = 1,
+      family: HashFamily = HashFamily.Md5
+  ): DataFrame = {
+    val w = windowTokens
+    val toks = df.select(col(idCol), split(col(textCol), "\\s+").as("__toks"))
+    // a doc shorter than the window has NO windows (sequence guard:
+    // Spark's sequence(1, 0) counts DOWN, it is not empty)
+    val positions = when(
+      size(col("__toks")) >= w,
+      sequence(lit(1), size(col("__toks")) - (w - 1), lit(stride))
+    ).otherwise(array().cast("array<int>"))
+    val winStr = expr(s"transform(__pos, i -> concat_ws(' ', slice(__toks, i, $w)))")
+    val hashed = family match {
+      case HashFamily.Md5 => expr("transform(__wins, s -> md5(cast(s AS binary)))")
+      case HashFamily.XxHash64 => expr("transform(__wins, s -> xxhash64(s))")
+    }
+    val wins = toks
+      .withColumn("__pos", positions)
+      .withColumn("__wins", winStr)
+      .select(col(idCol), explode(hashed).as("__h"))
+    val stats = wins
+      .groupBy(col("__h"))
+      .agg((min(col(idCol)) =!= max(col(idCol))).as("__shared"))
+    val perDoc = wins
+      .join(stats, "__h")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("__shared"), 1L).otherwise(0L)).as("n_dup")
+      )
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        coalesce(col("n_dup") / col("n_windows"), lit(0.0)).as("dup_fraction")
+      )
+  }
 }

@@ -62,6 +62,65 @@ object TextAnalysis {
     )
   }
 
+  /** Gopher-style rule filter (Rae et al., 2021 §A1.1): per-document
+    * repetition-free quality RULES rather than a blended score — each
+    * rule is a named boolean so a pipeline can report WHY a document
+    * was dropped (the thing a 100 TB curation run must log, because
+    * re-running to find out is a day of cluster time). All rules are
+    * single-pass column math over one materialized token array; the
+    * operator adds no shuffle.
+    *
+    * Thresholds are parameters; defaults are tuned down from the paper
+    * (min 50 words, ≥2 stopwords) to discriminate on synthetic corpora
+    * — production corpora should pass the paper's values.
+    */
+  def gopherRules(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWords: Int = 30,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      minAlphaFrac: Double = 0.8,
+      minStopwords: Int = 1
+  ): DataFrame = {
+    val t = col(textCol)
+    val withToks = df.select(
+      col(idCol),
+      t.as("__text"),
+      filter(split(t, "\\s+"), w => length(w) > 0).as("__toks"))
+    val wc = size(col("__toks")).cast("long")
+    val meanLen = expr("aggregate(__toks, 0L, (a, w) -> a + length(w))").cast("double") / wc
+    val hashCount = length(col("__text")) - length(regexp_replace(col("__text"), "#", ""))
+    val ellipsisChars = length(col("__text")) -
+      length(regexp_replace(col("__text"), "\\.\\.\\.", ""))
+    val symbolRatio = (hashCount + ellipsisChars / lit(3.0)) / wc
+    val alphaFrac =
+      size(filter(col("__toks"), w => w.rlike("[A-Za-z]"))).cast("double") / wc
+    val stopHits = size(array_distinct(array_intersect(
+      transform(col("__toks"), lower _),
+      array(Seq("the", "be", "to", "of", "and", "that", "have", "with").map(lit): _*))))
+    withToks
+      .select(
+        col(idCol),
+        wc.as("word_count"),
+        round(meanLen, 6).as("mean_word_len"),
+        round(symbolRatio, 6).as("symbol_ratio"),
+        round(alphaFrac, 6).as("alpha_frac"),
+        stopHits.cast("long").as("stop_hits"))
+      .withColumn("rule_word_count", col("word_count") >= minWords && col("word_count") <= maxWords)
+      .withColumn("rule_mean_word_len",
+        col("mean_word_len") >= minMeanWordLen && col("mean_word_len") <= maxMeanWordLen)
+      .withColumn("rule_symbol_ratio", col("symbol_ratio") <= maxSymbolRatio)
+      .withColumn("rule_alpha", col("alpha_frac") >= minAlphaFrac)
+      .withColumn("rule_stopwords", col("stop_hits") >= minStopwords)
+      .withColumn("pass",
+        col("rule_word_count") && col("rule_mean_word_len") &&
+          col("rule_symbol_ratio") && col("rule_alpha") && col("rule_stopwords"))
+  }
+
   /** Token counts: whitespace words, BPE-ish regex pieces, and the
     * chars/4 approximation used for budget estimates.
     */

@@ -339,6 +339,38 @@ object PipelineQueries extends QueryPack {
           round(col("features.brightness"), 6).as("brightness")
         )
         .orderBy(col("doc_id"))
+    },
+    // substring-level dedup (Lee et al.): fraction of each doc's
+    // 10-token windows that appear verbatim in another document
+    "q_substring_dup" -> { (s, dir) =>
+      Dedup
+        .substringDupStats(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    // Gopher-style named rule gates (Rae et al. §A1.1)
+    "q_gopher_rules" -> { (s, dir) =>
+      TextAnalysis
+        .gopherRules(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    // as-of enrichment: each purchase picks up the user's latest
+    // prior click (point-in-time correctness — no future leakage)
+    "q_asof_join" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val purchases = ev
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      // right side made unique per (user_id, ts) so the as-of winner is
+      // well-defined on ties in BOTH engines
+      val clicks = ev
+        .filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("click_value"))
+        .select(col("user_id"), col("ts"), col("ts").as("click_ts"), col("click_value"))
+      graft.operators.AsOfJoin
+        .asOf(purchases, clicks, keyCols = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          rightPayload = Seq("click_ts", "click_value"))
+        .orderBy(col("event_id"))
     }
   )
 
@@ -796,6 +828,68 @@ object PipelineQueries extends QueryPack {
         |       ROUND((u5*256+u6) / 65535.0, 6) AS brightness
         |FROM b
         |ORDER BY doc_id""".stripMargin
-    }
+    },
+    // windows: lateral generate_series per doc; a 10-token window at
+    // position i is toks[i : i+9] (inclusive 1-based slice); "shared"
+    // mirrors the min!=max two-distinct-docs test
+    "q_substring_dup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+        |wins AS (
+        |  SELECT doc_id, MD5(array_to_string(t[g.i : g.i+9], ' ')) AS h
+        |  FROM toks, UNNEST(generate_series(1, greatest(len(t)-9, 0))) AS g(i)),
+        |stats AS (SELECT h, min(doc_id) <> max(doc_id) AS shared FROM wins GROUP BY h),
+        |per_doc AS (
+        |  SELECT w.doc_id,
+        |         count(*) AS n_windows,
+        |         CAST(sum(CASE WHEN s.shared THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        |  FROM wins w JOIN stats s USING (h) GROUP BY w.doc_id)
+        |SELECT d.doc_id,
+        |       COALESCE(p.n_windows, 0) AS n_windows,
+        |       COALESCE(p.n_dup, 0) AS n_dup,
+        |       COALESCE(p.n_dup * 1.0 / p.n_windows, 0.0) AS dup_fraction
+        |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         list_filter(regexp_split_to_array(text, '\s+'), w -> len(w) > 0) AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |         CAST(len(toks) AS BIGINT) AS word_count,
+        |         ROUND(list_aggregate(list_transform(toks, w -> len(w) * 1.0), 'sum')
+        |               / len(toks), 6) AS mean_word_len,
+        |         ROUND(((len(text) - len(replace(text, '#', ''))) +
+        |                (len(text) - len(replace(text, '...', ''))) / 3.0)
+        |               / len(toks), 6) AS symbol_ratio,
+        |         ROUND(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) * 1.0
+        |               / len(toks), 6) AS alpha_frac,
+        |         CAST(len(list_distinct(list_intersect(list_transform(toks, w -> lower(w)),
+        |              ['the','be','to','of','and','that','have','with']))) AS BIGINT) AS stop_hits
+        |  FROM t)
+        |SELECT doc_id, word_count, mean_word_len, symbol_ratio, alpha_frac, stop_hits,
+        |       word_count BETWEEN 30 AND 100000 AS rule_word_count,
+        |       mean_word_len BETWEEN 3.0 AND 10.0 AS rule_mean_word_len,
+        |       symbol_ratio <= 0.1 AS rule_symbol_ratio,
+        |       alpha_frac >= 0.8 AS rule_alpha,
+        |       stop_hits >= 1 AS rule_stopwords,
+        |       (word_count BETWEEN 30 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        |         AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND stop_hits >= 1 AS pass
+        |FROM m
+        |ORDER BY doc_id""".stripMargin,
+    // DuckDB's native ASOF JOIN is the executable spec of the operator:
+    // latest right with c.ts <= p.ts per key, ties resolved by the
+    // pre-aggregated unique (user_id, ts) right side
+    "q_asof_join" ->
+      """WITH purchases AS (
+        |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |clicks AS (
+        |  SELECT user_id, ts, max(value) AS click_value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, p.ts, p.value, c.ts AS click_ts, c.click_value
+        |FROM purchases p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin
   )
 }

@@ -1,0 +1,101 @@
+package graft
+
+import graft.operators.{AsOfJoin, Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** AsOfJoin semantics + the substring-dup and gopher-rules signals. */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  private val quotes = Seq(
+    ("X", t("2024-01-01 00:00:01"), 10.0),
+    ("X", t("2024-01-01 00:00:05"), 11.0),
+    ("X", t("2024-01-01 00:00:09"), 12.0),
+    ("Y", t("2024-01-01 00:00:03"), 20.0)
+  ).toDF("sym", "qts", "bid")
+    .select($"sym", $"qts", $"qts".as("quote_ts"), $"bid")
+
+  private val trades = Seq(
+    ("X", t("2024-01-01 00:00:00"), 1L), // before any quote -> null
+    ("X", t("2024-01-01 00:00:05"), 2L), // exactly at a quote -> that quote wins
+    ("X", t("2024-01-01 00:00:07"), 3L), // between quotes -> 00:05 quote
+    ("Z", t("2024-01-01 00:00:04"), 4L)  // key with no quotes at all
+  ).toDF("sym", "tts", "trade_id")
+
+  test("as-of picks the latest right at-or-before each left row, per key") {
+    val out = AsOfJoin
+      .asOf(trades, quotes, Seq("sym"), "tts", "qts", Seq("quote_ts", "bid"))
+      .orderBy($"trade_id")
+      .collect()
+    assert(out.map(r => Option(r.getAs[Any]("bid"))).toSeq ==
+      Seq(None, Some(11.0), Some(11.0), None))
+    assert(out(1).getAs[Timestamp]("quote_ts") == t("2024-01-01 00:00:05"))
+  }
+
+  test("tolerance nulls out stale matches but keeps the left row") {
+    val out = AsOfJoin
+      .asOf(trades, quotes, Seq("sym"), "tts", "qts", Seq("bid"),
+        toleranceSeconds = Some(1L))
+      .orderBy($"trade_id")
+      .collect()
+    // trade 3 at 00:07 matched the 00:05 quote — 2s stale > 1s tolerance
+    assert(out.length == 4)
+    assert(Option(out(2).getAs[Any]("bid")).isEmpty)
+    assert(Option(out(1).getAs[Any]("bid")).contains(11.0)) // 0s stale survives
+  }
+
+  test("plan is one keyed window over a union — no join operator at all") {
+    val out = AsOfJoin.asOf(trades, quotes, Seq("sym"), "tts", "qts", Seq("bid"))
+    out.collect() // finalize the AQE plan before inspecting it
+    // executedPlan.toString prints Final AND Initial AQE plans — judge
+    // the final one only
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("Window"), s"expected a Window operator:\n$plan")
+    assert(plan.linesIterator.count(_.contains("+- Exchange")) == 1,
+      s"as-of must shuffle exactly once:\n$plan")
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+  }
+
+  test("collision with left column names is rejected loudly") {
+    val clash = quotes.withColumnRenamed("bid", "trade_id")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(trades, clash, Seq("sym"), "tts", "qts", Seq("trade_id"))
+    }
+  }
+
+  test("substringDupStats marks cross-doc spans, not within-doc repeats") {
+    val docs = Seq(
+      // docs 1 and 2 share a verbatim 10-token run; doc 3 repeats ITS OWN
+      // span twice (min==max -> not shared); doc 4 is too short for any window
+      (1L, "a b c d e f g h i j unique one tail"),
+      (2L, "prefix a b c d e f g h i j other tail"),
+      (3L, "r s t u v w x y z q r s t u v w x y z q"),
+      (4L, "too short")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDupStats(docs, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+    assert(out(0).getAs[Long]("n_dup") > 0, "doc 1 shares a span with doc 2")
+    assert(out(1).getAs[Long]("n_dup") > 0)
+    assert(out(2).getAs[Long]("n_dup") == 0, "self-repeats are not cross-doc dups")
+    assert(out(3).getAs[Long]("n_windows") == 0 &&
+      out(3).getAs[Double]("dup_fraction") == 0.0)
+  }
+
+  test("gopherRules: each named rule gates independently") {
+    val docs = Seq(
+      (1L, ("the quick brown fox jumps over and over with energy " * 4).trim), // passes
+      (2L, "the of and"), // fails word_count
+      (3L, ("#### #### #### " * 12 + "the and of steady words go here " * 4).trim) // fails symbol ratio
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+    assert(out(0).getAs[Boolean]("pass"))
+    assert(!out(1).getAs[Boolean]("rule_word_count") && !out(1).getAs[Boolean]("pass"))
+    assert(!out(2).getAs[Boolean]("rule_symbol_ratio") && !out(2).getAs[Boolean]("pass"))
+    assert(out(2).getAs[Boolean]("rule_stopwords"), "stopwords still present in doc 3")
+  }
+}
