@@ -376,23 +376,16 @@ object Dedup {
       stride: Int = 1,
       family: HashFamily = HashFamily.Md5
   ): DataFrame = {
-    val w = windowTokens
-    val toks = df.select(col(idCol), split(col(textCol), "\\s+").as("__toks"))
-    // a doc shorter than the window has NO windows (sequence guard:
-    // Spark's sequence(1, 0) counts DOWN, it is not empty)
-    val positions = when(
-      size(col("__toks")) >= w,
-      sequence(lit(1), size(col("__toks")) - (w - 1), lit(stride))
-    ).otherwise(array().cast("array<int>"))
-    val winStr = expr(s"transform(__pos, i -> concat_ws(' ', slice(__toks, i, $w)))")
-    val hashed = family match {
-      case HashFamily.Md5 => expr("transform(__wins, s -> md5(cast(s AS binary)))")
-      case HashFamily.XxHash64 => expr("transform(__wins, s -> xxhash64(s))")
-    }
-    val wins = toks
-      .withColumn("__pos", positions)
-      .withColumn("__wins", winStr)
-      .select(col(idCol), explode(hashed).as("__h"))
+    // one native pass per row builds every window hash (value-identical
+    // to [[substringWindowHashesComposed]], spec-pinned — the composed
+    // lambda form was the slowest data-bound query at 10× scale)
+    val hashes = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.WindowHashes(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col(textCol)),
+        windowTokens,
+        stride,
+        family == HashFamily.Md5))
+    val wins = df.select(col(idCol), explode(hashes).as("__h"))
     val stats = wins
       .groupBy(col("__h"))
       .agg((min(col(idCol)) =!= max(col(idCol))).as("__shared"))
@@ -411,5 +404,26 @@ object Dedup {
         coalesce(col("n_dup"), lit(0L)).as("n_dup"),
         coalesce(col("n_dup") / col("n_windows"), lit(0.0)).as("dup_fraction")
       )
+  }
+
+  /** The composed (pure-SQL-function) twin of [[graft.functions.WindowHashes]]
+    * — the executable value-identity contract the spec pins the native
+    * expression against. Not used on the hot path.
+    */
+  private[graft] def substringWindowHashesComposed(
+      textCol: Column,
+      w: Int,
+      stride: Int,
+      family: HashFamily
+  ): Column = {
+    val toks = split(textCol, "\\s+")
+    val positions =
+      when(size(toks) >= w, sequence(lit(1), size(toks) - (w - 1), lit(stride)))
+        .otherwise(array().cast("array<int>"))
+    val wins = transform(positions, i => concat_ws(" ", slice(toks, i, lit(w))))
+    family match {
+      case HashFamily.Md5 => transform(wins, s => md5(s.cast("binary")))
+      case HashFamily.XxHash64 => transform(wins, s => xxhash64(s))
+    }
   }
 }

@@ -347,6 +347,16 @@ object PipelineQueries extends QueryPack {
         .substringDupStats(Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
     },
+    // production family: xxhash64 window keys (8-byte shuffle/join keys
+    // instead of 32-hex-char strings — BASELINE.md records the A/B). No
+    // DuckDB mirror → rows-only driver check; the window construction
+    // itself is value-identity spec-pinned in AsOfJoinSpec.
+    "q_substring_dup_native" -> { (s, dir) =>
+      Dedup
+        .substringDupStats(Tables.load(s, dir, "documents"), "doc_id", "text",
+          family = HashFamily.XxHash64)
+        .orderBy(col("doc_id"))
+    },
     // Gopher-style named rule gates (Rae et al. §A1.1)
     "q_gopher_rules" -> { (s, dir) =>
       TextAnalysis

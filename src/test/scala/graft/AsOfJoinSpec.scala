@@ -85,6 +85,30 @@ class AsOfJoinSpec extends SparkSpec {
       out(3).getAs[Double]("dup_fraction") == 0.0)
   }
 
+  test("native WindowHashes is value-identical to the composed split+transform form") {
+    import graft.operators.HashFamily
+    val tricky = Seq(
+      "a b c d e f g h i j k l",           // normal, 3 windows
+      "  leading spaces a b c d e f g h",  // leading empty token
+      "exactly ten tokens one two three four five six seven",
+      "too short",
+      "",                                   // empty text
+      "müller straße ümlaut ö ü ä ß é ç ñ multibyte chars here" // multibyte
+    ).zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text")
+    for (family <- Seq(HashFamily.Md5, HashFamily.XxHash64); stride <- Seq(1, 3)) {
+      val native = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.WindowHashes(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression($"text"),
+          10, stride, family == HashFamily.Md5))
+      val composed = Dedup.substringWindowHashesComposed($"text", 10, stride, family)
+      val diff = tricky
+        .select($"doc_id", native.as("n"), composed.as("c"))
+        .filter(not($"n" <=> $"c"))
+        .count()
+      assert(diff == 0, s"family=$family stride=$stride diverged")
+    }
+  }
+
   test("gopherRules: each named rule gates independently") {
     val docs = Seq(
       (1L, ("the quick brown fox jumps over and over with energy " * 4).trim), // passes
