@@ -406,6 +406,108 @@ object Dedup {
       )
   }
 
+  /** Token-window hashes WITH their positions: (id, start_tok, end_tok, __h),
+    * start_tok 1-based. The position is implied by the array index, so
+    * posexplode adds no per-window state.
+    */
+  private def positionedWindows(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int,
+      stride: Int,
+      family: HashFamily
+  ): DataFrame = {
+    val hashes = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.WindowHashes(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col(textCol)),
+        w,
+        stride,
+        family == HashFamily.Md5))
+    df.select(col(idCol), posexplode(hashes).as(Seq("__k", "__h")))
+      .select(
+        col(idCol),
+        (col("__k") * stride + 1).as("start_tok"),
+        (col("__k") * stride + w).as("end_tok"),
+        col("__h"))
+  }
+
+  /** Merge a set of (id, start_tok, end_tok) windows into maximal
+    * spans: classic interval merge as two doc-partitioned windows (run
+    * boundary = start past the running max of prior ends). Bounded by
+    * the duplicated windows of ONE document per partition key.
+    */
+  private def mergeSpans(windows: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("start_tok"))
+    val prevMax = max(col("end_tok"))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val newRun = when(col("start_tok") > coalesce(prevMax, lit(-1)), 1).otherwise(0)
+    windows
+      .withColumn("__run", sum(newRun).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("__run"))
+      .agg(
+        min(col("start_tok")).cast("long").as("span_start"),
+        max(col("end_tok")).cast("long").as("span_end"))
+      .drop("__run")
+  }
+
+  /** Maximal duplicated token spans per document — [[substringDupStats]]
+    * upgraded from a fraction to the actual extents (what a span-level
+    * deduper like Lee et al. feeds its removal step). Same plan shape
+    * plus the per-doc interval merge.
+    */
+  def substringDupSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 10,
+      stride: Int = 1,
+      family: HashFamily = HashFamily.Md5
+  ): DataFrame = {
+    val wins = positionedWindows(df, idCol, textCol, windowTokens, stride, family)
+    val stats = wins.groupBy(col("__h")).agg((min(col(idCol)) =!= max(col(idCol))).as("__shared"))
+    mergeSpans(wins.join(stats, "__h").filter(col("__shared")), idCol)
+  }
+
+  /** Span-level dedup by DELETION (Lee et al.'s remove step): every
+    * duplicated span is cut from every document EXCEPT the canonical
+    * copy (the smallest id sharing the window hash keeps its text).
+    * Output is the full corpus with `stripped_text` and the removed
+    * token count — canonical docs and unique docs pass through intact.
+    *
+    * The rebuild is per-row array math (`filter` with index + `exists`
+    * over the doc's merged spans): span lists are bounded by one doc's
+    * dup structure, so nothing here grows with the corpus.
+    */
+  def stripDuplicatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 10,
+      stride: Int = 1,
+      family: HashFamily = HashFamily.Md5
+  ): DataFrame = {
+    val wins = positionedWindows(df, idCol, textCol, windowTokens, stride, family)
+    val stats = wins.groupBy(col("__h"))
+      .agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
+    val removed = wins
+      .join(stats, "__h")
+      .filter(col("__mn") =!= col("__mx") && col(idCol) =!= col("__mn"))
+    val spans = mergeSpans(removed, idCol)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e"))).as("__sp"))
+    val toks = split(col(textCol), "\\s+")
+    val sp = coalesce(col("__sp"), array().cast("array<struct<s:bigint,e:bigint>>"))
+    // keep token at 1-based position i+1 unless covered by a span
+    val kept = filter(toks, (x, i) => !exists(sp, s => s("s") <= i + 1 && i + 1 <= s("e")))
+    df.join(spans, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        array_join(kept, " ").as("stripped_text"),
+        (size(toks) - size(kept)).cast("long").as("n_removed"))
+  }
+
   /** The composed (pure-SQL-function) twin of [[graft.functions.WindowHashes]]
     * — the executable value-identity contract the spec pins the native
     * expression against. Not used on the hot path.

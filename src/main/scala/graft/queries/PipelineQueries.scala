@@ -357,6 +357,19 @@ object PipelineQueries extends QueryPack {
           family = HashFamily.XxHash64)
         .orderBy(col("doc_id"))
     },
+    // maximal duplicated-span extents (the feed of span-level removal)
+    "q_substring_spans" -> { (s, dir) =>
+      Dedup
+        .substringDupSpans(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+    // span-level dedup by deletion: non-canonical copies lose the span,
+    // the smallest-id owner keeps its text intact
+    "q_substring_strip" -> { (s, dir) =>
+      Dedup
+        .stripDuplicatedSpans(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
     // Gopher-style named rule gates (Rae et al. §A1.1)
     "q_gopher_rules" -> { (s, dir) =>
       TextAnalysis
@@ -860,6 +873,74 @@ object PipelineQueries extends QueryPack {
         |       COALESCE(p.n_dup * 1.0 / p.n_windows, 0.0) AS dup_fraction
         |FROM documents d LEFT JOIN per_doc p USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // interval merge: run boundary = start past running max of prior
+    // ends; run id = prefix sum of boundaries (mirrors Dedup.mergeSpans)
+    "q_substring_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+        |wins AS (
+        |  SELECT doc_id, g.i AS start_tok, g.i + 9 AS end_tok,
+        |         MD5(array_to_string(t[g.i : g.i+9], ' ')) AS h
+        |  FROM toks, UNNEST(generate_series(1, greatest(len(t)-9, 0))) AS g(i)),
+        |stats AS (SELECT h, min(doc_id) <> max(doc_id) AS shared FROM wins GROUP BY h),
+        |sh AS (
+        |  SELECT w.doc_id, w.start_tok, w.end_tok
+        |  FROM wins w JOIN stats s USING (h) WHERE s.shared),
+        |flagged AS (
+        |  SELECT doc_id, start_tok, end_tok,
+        |         CASE WHEN start_tok > coalesce(max(end_tok) OVER (
+        |              PARTITION BY doc_id ORDER BY start_tok
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |              THEN 1 ELSE 0 END AS new_run
+        |  FROM sh),
+        |runs AS (
+        |  SELECT doc_id, start_tok, end_tok,
+        |         sum(new_run) OVER (PARTITION BY doc_id ORDER BY start_tok
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        |  FROM flagged)
+        |SELECT doc_id,
+        |       CAST(min(start_tok) AS BIGINT) AS span_start,
+        |       CAST(max(end_tok) AS BIGINT) AS span_end
+        |FROM runs GROUP BY doc_id, run_id
+        |ORDER BY doc_id, span_start""".stripMargin,
+    "q_substring_strip" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+        |wins AS (
+        |  SELECT doc_id, g.i AS start_tok, g.i + 9 AS end_tok,
+        |         MD5(array_to_string(t[g.i : g.i+9], ' ')) AS h
+        |  FROM toks, UNNEST(generate_series(1, greatest(len(t)-9, 0))) AS g(i)),
+        |stats AS (SELECT h, min(doc_id) AS mn, max(doc_id) AS mx FROM wins GROUP BY h),
+        |removed AS (
+        |  SELECT w.doc_id, w.start_tok, w.end_tok
+        |  FROM wins w JOIN stats s USING (h)
+        |  WHERE s.mn <> s.mx AND w.doc_id <> s.mn),
+        |flagged AS (
+        |  SELECT doc_id, start_tok, end_tok,
+        |         CASE WHEN start_tok > coalesce(max(end_tok) OVER (
+        |              PARTITION BY doc_id ORDER BY start_tok
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |              THEN 1 ELSE 0 END AS new_run
+        |  FROM removed),
+        |runs AS (
+        |  SELECT doc_id, start_tok, end_tok,
+        |         sum(new_run) OVER (PARTITION BY doc_id ORDER BY start_tok
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        |  FROM flagged),
+        |spans AS (
+        |  SELECT doc_id, list({'s': mn_s, 'e': mx_e}) AS sp FROM (
+        |    SELECT doc_id, min(start_tok) AS mn_s, max(end_tok) AS mx_e
+        |    FROM runs GROUP BY doc_id, run_id) GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |       COALESCE(array_to_string(
+        |         list_filter(t.t, (x, i) ->
+        |           len(list_filter(coalesce(sp.sp, []), s -> s.s <= i AND i <= s.e)) = 0),
+        |         ' '), '') AS stripped_text,
+        |       CAST(len(t.t) - len(list_filter(t.t, (x, i) ->
+        |           len(list_filter(coalesce(sp.sp, []), s -> s.s <= i AND i <= s.e)) = 0))
+        |         AS BIGINT) AS n_removed
+        |FROM toks t LEFT JOIN spans sp USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
     "q_gopher_rules" ->
       """WITH t AS (
         |  SELECT doc_id, text,

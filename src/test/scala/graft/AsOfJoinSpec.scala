@@ -109,6 +109,35 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("substringDupSpans merges overlapping shared windows into maximal extents") {
+    // doc 2 contains doc 1's full 12-token run → its windows overlap
+    // chain-wise and must merge into ONE span covering the run
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "x y a b c d e f g h i j k l z")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.substringDupSpans(docs, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+    assert(spans.length == 2)
+    assert(spans(0).getAs[Long]("span_start") == 1 && spans(0).getAs[Long]("span_end") == 12)
+    assert(spans(1).getAs[Long]("span_start") == 3 && spans(1).getAs[Long]("span_end") == 14)
+  }
+
+  test("stripDuplicatedSpans cuts only the non-canonical copies") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"),            // canonical (smallest id) — intact
+      (2L, "x y a b c d e f g h i j k l z"),      // loses the copied run, keeps x y z
+      (3L, "totally unrelated text with no duplicate content at all here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripDuplicatedSpans(docs, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+    assert(out(0).getAs[String]("stripped_text") == "a b c d e f g h i j k l")
+    assert(out(0).getAs[Long]("n_removed") == 0)
+    assert(out(1).getAs[String]("stripped_text") == "x y z")
+    assert(out(1).getAs[Long]("n_removed") == 12)
+    assert(out(2).getAs[Long]("n_removed") == 0)
+  }
+
   test("gopherRules: each named rule gates independently") {
     val docs = Seq(
       (1L, ("the quick brown fox jumps over and over with energy " * 4).trim), // passes
