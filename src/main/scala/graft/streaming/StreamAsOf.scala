@@ -1,0 +1,143 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.{
+  ExpiredTimerInfo, ListState, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues
+}
+import org.apache.spark.sql.{Dataset, Encoders}
+
+import java.sql.Timestamp
+
+/** STREAMING as-of join — the temporal (point-in-time) enrichment
+  * Flink calls a temporal join and Spark's stream-stream joins cannot
+  * express (they are symmetric interval joins; as-of is one-sided
+  * latest-wins). Batch twin: [[graft.operators.AsOfJoin]].
+  *
+  * Semantics: each left event picks up the LATEST right update with
+  * `right.ts <= left.ts` on its key, exactly once, emitted when the
+  * event-time watermark guarantees the match is final (no
+  * earlier-timestamped right update can still arrive — later ones are
+  * dropped by the watermark like any late data).
+  *
+  * Mechanics (same [[StatefulProcessor]] discipline as [[GapFill]]):
+  * both sides are tagged and unioned so ONE keyed state shuffle serves
+  * the operator; per key it holds
+  *   - a MapState of right updates by timestamp, and
+  *   - a ListState of left events awaiting finalization,
+  * plus one live timer at the earliest pending left. When the timer
+  * fires (watermark passed it), every sealed left is matched and
+  * emitted, and rights older than the latest right at-or-below the
+  * watermark are evicted — older entries can never win an as-of race
+  * again. State per key is therefore bounded by ONE carry entry plus
+  * the in-flight rows inside the watermark delay, regardless of
+  * stream length: the property that lets this run forever at 100 TB/day.
+  */
+object StreamAsOf {
+
+  /** Union-tagged input: side 0 = right (reference update, `value` is
+    * the payload), side 1 = left (event to enrich, `value` carried).
+    */
+  final case class In(key: String, ts: Timestamp, side: Int, seq: Long, value: Double)
+
+  /** Enriched left event; `right_ts`/`right_value` null when no right
+    * update preceded it.
+    */
+  final case class Out(key: String, ts: Timestamp, seq: Long, left_value: Double,
+      right_ts: Timestamp, right_value: java.lang.Double)
+
+  /** Internal buffered-left state row (public: encoder codegen must
+    * reach the constructor — a private class forces the interpreted
+    * fallback with a CompileException warning per batch).
+    */
+  final case class PendingLeft(tsMs: Long, seq: Long, value: Double)
+
+  final class AsOfProcessor extends StatefulProcessor[String, In, Out] {
+
+    @transient private var rights: MapState[Long, Double] = _
+    @transient private var pending: ListState[PendingLeft] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      rights = getHandle.getMapState[Long, Double](
+        "rights", Encoders.scalaLong, Encoders.scalaDouble, TTLConfig.NONE)
+      pending = getHandle.getListState[PendingLeft](
+        "pending", Encoders.product[PendingLeft], TTLConfig.NONE)
+    }
+
+    private def rearm(atMs: Long): Unit = {
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(atMs)
+    }
+
+    /** Match + emit every pending left sealed by watermark `wmMs`;
+      * evict rights that can no longer win. Returns the emissions.
+      */
+    private def drain(key: String, wmMs: Long): Iterator[Out] = {
+      val all = pending.get().toArray
+      val (ripe, open) = all.partition(_.tsMs <= wmMs)
+      if (ripe.isEmpty) return Iterator.empty
+      val rightArr = rights.iterator().map(p => (p._1, p._2)).toArray.sortBy(_._1)
+      val out = ripe.sortBy(l => (l.tsMs, l.seq)).iterator.map { l =>
+        // latest right at-or-before the left ts (binary search over the
+        // sorted snapshot — state sizes here are watermark-bounded)
+        var lo = 0
+        var hi = rightArr.length - 1
+        var best = -1
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          if (rightArr(mid)._1 <= l.tsMs) { best = mid; lo = mid + 1 }
+          else hi = mid - 1
+        }
+        if (best >= 0)
+          Out(key, new Timestamp(l.tsMs), l.seq, l.value,
+            new Timestamp(rightArr(best)._1), rightArr(best)._2)
+        else Out(key, new Timestamp(l.tsMs), l.seq, l.value, null, null)
+      }.toArray
+      pending.clear()
+      open.foreach(pending.appendValue)
+      // carry = latest right <= watermark; strictly older rights are dead
+      val carryIdx = rightArr.lastIndexWhere(_._1 <= wmMs)
+      if (carryIdx > 0) rightArr.take(carryIdx).foreach(r => rights.removeKey(r._1))
+      if (open.nonEmpty) rearm(math.max(open.map(_.tsMs).min, wmMs + 1))
+      out.iterator
+    }
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[In],
+        tv: TimerValues
+    ): Iterator[Out] = {
+      rows.foreach { r =>
+        if (r.side == 0) rights.updateValue(r.ts.getTime, r.value)
+        else pending.appendValue(PendingLeft(r.ts.getTime, r.seq, r.value))
+      }
+      val wm = tv.getCurrentWatermarkInMs()
+      val out = drain(key, wm)
+      // always keep one timer ahead of the earliest pending left so a
+      // batch with no rows for this key still finalizes it
+      val stillPending = pending.get()
+      if (stillPending.nonEmpty)
+        rearm(math.max(stillPending.map(_.tsMs).min, wm + 1))
+      out
+    }
+
+    override def handleExpiredTimer(
+        key: String,
+        tv: TimerValues,
+        expired: ExpiredTimerInfo
+    ): Iterator[Out] =
+      drain(key, tv.getCurrentWatermarkInMs())
+  }
+
+  /** Wire the operator onto a watermarked, union-tagged stream (build
+    * [[In]] rows with side 0 for reference updates and side 1 for
+    * events; apply `withWatermark` on `ts` BEFORE calling — the delay
+    * is the late-data bound AND the state-retention bound).
+    */
+  def apply(tagged: Dataset[In]): Dataset[Out] = {
+    require(tagged.isStreaming, "StreamAsOf is the streaming face; use AsOfJoin.asOf for batch")
+    tagged
+      .groupByKey(_.key)(Encoders.STRING)
+      .transformWithState(new AsOfProcessor, TimeMode.EventTime(), OutputMode.Append())(
+        Encoders.product[Out])
+  }
+}
