@@ -135,6 +135,18 @@ object StreamAsOf {
     */
   def apply(tagged: Dataset[In]): Dataset[Out] = {
     require(tagged.isStreaming, "StreamAsOf is the streaming face; use AsOfJoin.asOf for batch")
+    // transformWithState stores state + timers in separate column
+    // families — only the RocksDB provider supports that; upgrade from
+    // the HDFS default instead of failing the query at start (same
+    // ergonomics as BarCascade's fill stage)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val spark = tagged.sparkSession
+    if (spark.conf
+        .get(providerKey, "HDFSBackedStateStoreProvider")
+        .endsWith("HDFSBackedStateStoreProvider")) {
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    }
     tagged
       .groupByKey(_.key)(Encoders.STRING)
       .transformWithState(new AsOfProcessor, TimeMode.EventTime(), OutputMode.Append())(
