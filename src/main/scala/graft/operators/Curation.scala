@@ -251,6 +251,56 @@ object Curation {
     hashBucket(idCol) < rate
   }
 
+  /** Corpus MIXING: hit a per-source token budget by deterministic
+    * down-sampling AND epoch-style repetition — the data-mixing step a
+    * training pipeline runs last (down-weight bulk web text, repeat
+    * scarce high-quality sources for multiple epochs). Each document
+    * appears `floor(rate) + Bernoulli(frac)` times, where
+    * `rate = target_tokens / available_tokens` for its source and the
+    * Bernoulli draw is the same pure id-hash as [[sampleByHash]] (finer
+    * 1e-6 buckets) — reproducible across runs, engines and
+    * partitionings, so a re-run materializes the SAME mixture.
+    *
+    * Scale shape: one tiny per-source aggregate (broadcast back onto
+    * the corpus), then a scan-local explode of `sequence(1, copies)` —
+    * the corpus shuffles zero times. Sources absent from `targets` use
+    * `defaultTarget`; a null default drops them.
+    */
+  def mixCorpus(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      targets: Map[String, Double],
+      defaultTarget: Option[Double] = None
+  ): DataFrame = {
+    val tok = df.select(
+      col(idCol),
+      col(sourceCol),
+      size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+    val totals = tok.groupBy(col(sourceCol)).agg(sum(col("n_tokens")).as("__total"))
+    val target = targets.foldLeft(
+      defaultTarget.map(lit(_)).getOrElse(lit(null).cast("double"))) {
+      case (acc, (k, t)) => when(col(sourceCol) === k, lit(t)).otherwise(acc)
+    }
+    val rate = target / col("__total").cast("double")
+    // finer-grained twin of hashBucket: same md5-first-8-hex uniform,
+    // 1e6 buckets so fractional epoch rates resolve to ~1e-6
+    val u = (conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % 1000000).cast("double") / 1e6
+    val copies = floor(rate).cast("int") +
+      when(u < (rate - floor(rate)), 1).otherwise(0)
+    tok
+      .join(broadcast(totals), sourceCol)
+      .withColumn("__copies", copies)
+      .filter(col("__copies") >= 1)
+      .select(
+        col(idCol),
+        col(sourceCol),
+        col("n_tokens"),
+        explode(sequence(lit(1L), col("__copies").cast("long"))).as("copy"))
+  }
+
   /** Per-stratum distribution statistics: count, mean, sample stddev,
     * and interpolated percentiles. `exact = true` uses `percentile`
     * (sort-buffered per group — fine when strata are few and the gate

@@ -370,6 +370,16 @@ object PipelineQueries extends QueryPack {
         .stripDuplicatedSpans(Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
     },
+    // corpus mixing: per-source token budgets via deterministic
+    // downsample + epoch repeat (src0 runs ~2.1 epochs, src1 is cut to
+    // ~0.45, everything else ~0.75)
+    "q_mix_corpus" -> { (s, dir) =>
+      Curation
+        .mixCorpus(Tables.load(s, dir, "documents"), "doc_id", "text", "source",
+          targets = Map("src0" -> 3000.0, "src1" -> 700.0),
+          defaultTarget = Some(1000.0))
+        .orderBy(col("doc_id"), col("copy"))
+    },
     // Gopher-style named rule gates (Rae et al. §A1.1)
     "q_gopher_rules" -> { (s, dir) =>
       TextAnalysis
@@ -941,6 +951,26 @@ object PipelineQueries extends QueryPack {
         |         AS BIGINT) AS n_removed
         |FROM toks t LEFT JOIN spans sp USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
+    // rate = target/total per source; copies = floor(rate) + Bernoulli
+    // on the same md5-first-8-hex uniform (1e6 buckets) the samplers use
+    "q_mix_corpus" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |tot AS (SELECT source, sum(n_tokens) AS total FROM tok GROUP BY source),
+        |r AS (
+        |  SELECT tok.doc_id, tok.source, tok.n_tokens,
+        |         (CASE tok.source WHEN 'src0' THEN 3000.0 WHEN 'src1' THEN 700.0
+        |               ELSE 1000.0 END) / CAST(tot.total AS DOUBLE) AS rate,
+        |         (CAST('0x' || SUBSTRING(MD5(CAST(tok.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |            % 1000000) / 1e6 AS u
+        |  FROM tok JOIN tot USING (source))
+        |SELECT doc_id, source, n_tokens, g.copy
+        |FROM r, UNNEST(generate_series(1,
+        |       CAST(floor(rate) AS BIGINT) +
+        |       CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END)) AS g(copy)
+        |ORDER BY doc_id, copy""".stripMargin,
     "q_gopher_rules" ->
       """WITH t AS (
         |  SELECT doc_id, text,

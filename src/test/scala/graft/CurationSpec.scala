@@ -352,6 +352,36 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("mixCorpus hits per-source token budgets via downsample and epoch repeat") {
+    import org.apache.spark.sql.functions._
+    val docs = (1 to 200).map { i =>
+      val src = if (i <= 50) "gold" else "web"
+      (i.toLong, Seq.fill(10)("tok").mkString(" "), src) // 10 tokens each
+    }.toDF("doc_id", "text", "source")
+    // gold: 500 tokens available, target 1250 -> rate 2.5 (epoch repeat)
+    // web: 1500 available, target 300 -> rate 0.2 (downsample)
+    val out = Curation.mixCorpus(docs, "doc_id", "text", "source",
+      targets = Map("gold" -> 1250.0, "web" -> 300.0))
+    val bySrc = out.groupBy($"source")
+      .agg(sum($"n_tokens").as("tokens"), countDistinct($"doc_id").as("docs"),
+        max($"copy").as("max_copy"))
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    // realized tokens within ~20% of target (Bernoulli on 50/150 docs)
+    assert(math.abs(bySrc("gold").getAs[Long]("tokens") - 1250L) <= 250)
+    assert(math.abs(bySrc("web").getAs[Long]("tokens") - 300L) <= 100)
+    // every gold doc runs at least 2 epochs; web is a strict subset
+    assert(bySrc("gold").getAs[Long]("docs") == 50 && bySrc("gold").getAs[Long]("max_copy") >= 2)
+    assert(bySrc("web").getAs[Long]("docs") < 150)
+    // deterministic: the same mixture materializes twice
+    val again = Curation.mixCorpus(docs, "doc_id", "text", "source",
+      targets = Map("gold" -> 1250.0, "web" -> 300.0))
+    assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
+    // sources without a target and no default are dropped
+    val dropped = Curation.mixCorpus(docs, "doc_id", "text", "source",
+      targets = Map("gold" -> 500.0))
+    assert(dropped.where($"source" === "web").count() == 0)
+  }
+
   test("newestPerKey keeps the n newest with deterministic tie-break") {
     val df = Seq(
       (1L, 100L, 10L, "a"),
