@@ -418,7 +418,11 @@ object Dedup {
 
   /** Token-window hashes WITH their positions: (id, start_tok, end_tok, __h),
     * start_tok 1-based. The position is implied by the array index, so
-    * posexplode adds no per-window state.
+    * posexplode adds no per-window state. Null-filtered and explicitly
+    * repartitioned on the hash for the same reason as
+    * [[substringDupStats]]: the stats aggregate and the join-back then
+    * share ONE runtime shuffle stage instead of each re-running the
+    * explode scan.
     */
   private def positionedWindows(
       df: DataFrame,
@@ -434,12 +438,14 @@ object Dedup {
         w,
         stride,
         family == HashFamily.Md5))
-    df.select(col(idCol), posexplode(hashes).as(Seq("__k", "__h")))
+    df.filter(col(idCol).isNotNull)
+      .select(col(idCol), posexplode(hashes).as(Seq("__k", "__h")))
       .select(
         col(idCol),
         (col("__k") * stride + 1).as("start_tok"),
         (col("__k") * stride + w).as("end_tok"),
         col("__h"))
+      .repartition(col("__h"))
   }
 
   /** Merge a set of (id, start_tok, end_tok) windows into maximal
