@@ -131,10 +131,17 @@ object Dedup {
         .drop("__bsize")
       banded0.join(sizes, Seq("band_idx", "band_hash"), "left_semi")
     }
-    banded
+    // self-join on the banded signatures: pin ONE exchange on the band
+    // key so both join inputs are GUARANTEED to consume the same
+    // runtime shuffle stage — without the pin, reuse depends on both
+    // branches canonicalizing identically after per-branch filter
+    // pushdown, which is exactly what silently broke in
+    // substringDupStats (a re-run of the whole signature pipeline)
+    val bandedPart = banded.repartition(col("band_idx"), col("band_hash"))
+    bandedPart
       .alias("a")
       .join(
-        banded.alias("b"),
+        bandedPart.alias("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&
           col(s"a.$idCol") < col(s"b.$idCol")
