@@ -375,14 +375,28 @@ object Dedup {
     * exploded volume for corpora where span-level recall can be traded
     * (BASELINE.md records the A/B).
     */
+  /** @param sampleMod content-defined sparsification (XxHash64 only):
+    *   keep only windows with `hash % sampleMod == 0`, shrinking the
+    *   shuffled/joined volume by ~sampleMod×. Because the decision is a
+    *   function of the WINDOW CONTENT, two copies of a duplicated run
+    *   sample the SAME windows regardless of their positions — unlike a
+    *   positional `stride`, where opposite-parity copies sample
+    *   disjoint windows and a whole duplicated run can go unseen.
+    *   `n_windows`/`dup_fraction` then describe the sampled family
+    *   (unbiased estimate of the full-window fraction).
+    */
   def substringDupStats(
       df: DataFrame,
       idCol: String,
       textCol: String,
       windowTokens: Int = 10,
       stride: Int = 1,
-      family: HashFamily = HashFamily.Md5
+      family: HashFamily = HashFamily.Md5,
+      sampleMod: Option[Int] = None
   ): DataFrame = {
+    require(
+      sampleMod.isEmpty || family == HashFamily.XxHash64,
+      "sampleMod needs numeric window hashes (HashFamily.XxHash64)")
     // one native pass per row builds every window hash (value-identical
     // to [[substringWindowHashesComposed]], spec-pinned — the composed
     // lambda form was the slowest data-bound query at 10× scale)
@@ -399,9 +413,11 @@ object Dedup {
     // cost at 10× data). The id null-filter is applied HERE so both
     // branches canonicalize identically — the inner join would push
     // isnotnull into only its own copy and break the reuse.
-    val wins = df
+    val exploded = df
       .filter(col(idCol).isNotNull)
       .select(col(idCol), explode(hashes).as("__h"))
+    val wins = sampleMod
+      .fold(exploded)(m => exploded.filter(pmod(col("__h"), lit(m.toLong)) === 0))
       .repartition(col("__h"))
     val stats = wins
       .groupBy(col("__h"))

@@ -347,14 +347,18 @@ object PipelineQueries extends QueryPack {
         .substringDupStats(Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
     },
-    // production family: xxhash64 window keys (8-byte shuffle/join keys
-    // instead of 32-hex-char strings — BASELINE.md records the A/B). No
-    // DuckDB mirror → rows-only driver check; the window construction
-    // itself is value-identity spec-pinned in AsOfJoinSpec.
+    // production configuration: xxhash64 window keys (8-byte
+    // shuffle/join keys instead of 32-hex-char strings) with
+    // content-defined 1-in-2 window sampling (hash % 2 == 0 — both
+    // copies of a duplicated run sample the SAME windows, unlike a
+    // positional stride, so detection is position-independent).
+    // BASELINE.md records the A/B. No DuckDB mirror → rows-only driver
+    // check; the window construction is value-identity spec-pinned in
+    // AsOfJoinSpec.
     "q_substring_dup_native" -> { (s, dir) =>
       Dedup
         .substringDupStats(Tables.load(s, dir, "documents"), "doc_id", "text",
-          family = HashFamily.XxHash64)
+          family = HashFamily.XxHash64, sampleMod = Some(2))
         .orderBy(col("doc_id"))
     },
     // maximal duplicated-span extents (the feed of span-level removal)

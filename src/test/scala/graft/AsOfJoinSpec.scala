@@ -109,6 +109,26 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("content-defined sampling detects dups across copies at ANY offset parity") {
+    import graft.operators.HashFamily
+    // the shared 12-token run starts at token 1 in doc 1 and token 2 in
+    // doc 2 (opposite parity) — a positional stride-2 sampler can pick
+    // disjoint windows from the two copies; hash-mod sampling cannot
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "x a b c d e f g h i j k l")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDupStats(docs, "doc_id", "text",
+      family = HashFamily.XxHash64, sampleMod = Some(2))
+      .orderBy($"doc_id").collect()
+    assert(out.forall(_.getAs[Long]("n_dup") > 0),
+      "both copies of the run must be flagged under content-defined sampling")
+    // sampling needs numeric hashes: the md5 family rejects it loudly
+    intercept[IllegalArgumentException] {
+      Dedup.substringDupStats(docs, "doc_id", "text", sampleMod = Some(2))
+    }
+  }
+
   test("substringDupSpans merges overlapping shared windows into maximal extents") {
     // doc 2 contains doc 1's full 12-token run → its windows overlap
     // chain-wise and must merge into ONE span covering the run
