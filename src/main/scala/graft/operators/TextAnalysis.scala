@@ -86,6 +86,54 @@ object TextAnalysis {
       minAlphaFrac: Double = 0.8,
       minStopwords: Int = 1
   ): DataFrame = {
+    // raw counters in ONE native pass (value-identity to the composed
+    // six-pass form spec-pinned in AsOfJoinSpec); ratio/threshold math
+    // stays in Catalyst so the DuckDB oracle holds by construction
+    val counters = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.GopherCounters(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col(textCol))))
+    // zero-word documents get NULL ratio metrics (ANSI division would
+    // throw) and fail every ratio rule via the coalesce in
+    // rulesFromMetrics — the operator is total over any corpus
+    val nonEmpty = col("__c.word_count") > 0
+    val metrics = df
+      .select(col(idCol), counters.as("__c"))
+      .select(
+        col(idCol),
+        col("__c.word_count").as("word_count"),
+        when(nonEmpty,
+          round(col("__c.word_chars").cast("double") / col("__c.word_count"), 6))
+          .as("mean_word_len"),
+        when(nonEmpty,
+          round(
+            (col("__c.hash_count") + col("__c.ellipsis_chars") / lit(3.0)) /
+              col("__c.word_count"), 6)).as("symbol_ratio"),
+        when(nonEmpty,
+          round(col("__c.alpha_words").cast("double") / col("__c.word_count"), 6))
+          .as("alpha_frac"),
+        col("__c.stop_hits").as("stop_hits"))
+    rulesFromMetrics(metrics, minWords, maxWords, minMeanWordLen, maxMeanWordLen,
+      maxSymbolRatio, minAlphaFrac, minStopwords)
+  }
+
+  /** The composed (pure-SQL-function) twin of
+    * [[graft.functions.GopherCounters]] — the executable value-identity
+    * contract for the spec. Not used on the hot path: it walks every
+    * document six times (split, aggregate lambda, two regexp_replace
+    * length diffs, per-token rlike, transform+intersect).
+    */
+  private[graft] def gopherRulesComposed(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWords: Int = 30,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      minAlphaFrac: Double = 0.8,
+      minStopwords: Int = 1
+  ): DataFrame = {
     val t = col(textCol)
     val withToks = df.select(
       col(idCol),
@@ -101,25 +149,40 @@ object TextAnalysis {
       size(filter(col("__toks"), w => w.rlike("[A-Za-z]"))).cast("double") / wc
     val stopHits = size(array_distinct(array_intersect(
       transform(col("__toks"), lower _),
-      array(Seq("the", "be", "to", "of", "and", "that", "have", "with").map(lit): _*))))
-    withToks
+      array(graft.functions.GopherCounters.stopwords.toSeq.map(lit): _*))))
+    val metrics = withToks
       .select(
         col(idCol),
         wc.as("word_count"),
-        round(meanLen, 6).as("mean_word_len"),
-        round(symbolRatio, 6).as("symbol_ratio"),
-        round(alphaFrac, 6).as("alpha_frac"),
+        when(wc > 0, round(meanLen, 6)).as("mean_word_len"),
+        when(wc > 0, round(symbolRatio, 6)).as("symbol_ratio"),
+        when(wc > 0, round(alphaFrac, 6)).as("alpha_frac"),
         stopHits.cast("long").as("stop_hits"))
+    rulesFromMetrics(metrics, minWords, maxWords, minMeanWordLen, maxMeanWordLen,
+      maxSymbolRatio, minAlphaFrac, minStopwords)
+  }
+
+  private def rulesFromMetrics(
+      metrics: DataFrame,
+      minWords: Int,
+      maxWords: Int,
+      minMeanWordLen: Double,
+      maxMeanWordLen: Double,
+      maxSymbolRatio: Double,
+      minAlphaFrac: Double,
+      minStopwords: Int
+  ): DataFrame =
+    metrics
       .withColumn("rule_word_count", col("word_count") >= minWords && col("word_count") <= maxWords)
       .withColumn("rule_mean_word_len",
-        col("mean_word_len") >= minMeanWordLen && col("mean_word_len") <= maxMeanWordLen)
-      .withColumn("rule_symbol_ratio", col("symbol_ratio") <= maxSymbolRatio)
-      .withColumn("rule_alpha", col("alpha_frac") >= minAlphaFrac)
+        coalesce(col("mean_word_len") >= minMeanWordLen && col("mean_word_len") <= maxMeanWordLen,
+          lit(false)))
+      .withColumn("rule_symbol_ratio", coalesce(col("symbol_ratio") <= maxSymbolRatio, lit(false)))
+      .withColumn("rule_alpha", coalesce(col("alpha_frac") >= minAlphaFrac, lit(false)))
       .withColumn("rule_stopwords", col("stop_hits") >= minStopwords)
       .withColumn("pass",
         col("rule_word_count") && col("rule_mean_word_len") &&
           col("rule_symbol_ratio") && col("rule_alpha") && col("rule_stopwords"))
-  }
 
   /** Token counts: whitespace words, BPE-ish regex pieces, and the
     * chars/4 approximation used for budget estimates.

@@ -158,6 +158,25 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(2).getAs[Long]("n_removed") == 0)
   }
 
+  test("native GopherCounters is value-identical to the composed six-pass form") {
+    val tricky = Seq(
+      "the quick brown fox and the lazy dog with more text to fill",
+      "  leading and trailing whitespace  ",
+      "#### symbols ... everywhere ...... and .... partial dots ..",
+      "THE Of AnD case insensitive stop words",
+      "no1 a1pha 123 456 !!! ???",
+      "",
+      "   ",
+      "müller straße ümlaut the ö ü of ä ß é multibyte",
+      "tabs\tand\nnewlinesmixed\fwhite\rspace the of"
+    ).zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text")
+    val native = TextAnalysis.gopherRules(tricky, "doc_id", "text")
+    val composed = TextAnalysis.gopherRulesComposed(tricky, "doc_id", "text")
+    assert(native.exceptAll(composed).count() == 0 &&
+      composed.exceptAll(native).count() == 0,
+      "native and composed gopher metrics diverged")
+  }
+
   test("gopherRules: each named rule gates independently") {
     val docs = Seq(
       (1L, ("the quick brown fox jumps over and over with energy " * 4).trim), // passes
