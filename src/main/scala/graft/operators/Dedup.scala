@@ -156,15 +156,28 @@ object Dedup {
     * the natural width; near-dups differ in few bits (compare via
     * hamming distance or exact match on the fingerprint).
     *
-    * Single explode + two-level aggregation, shuffled by (id) — linear.
+    * One native pass per document — zero shuffle, zero explode.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
     require(bits <= 32, "simhash over md5 hex digits supports <= 32 bits")
-    // md5 once per token; each hex digit's top bit is one vote. The votes
-    // are `bits` parallel ±1 columns summed in ONE hash aggregation (no
-    // posexplode row blow-up: the old shape multiplied token rows by
-    // `bits` through a shuffle; this shuffles token rows once, with
-    // map-side partials).
+    // one native pass per document — ZERO shuffle (the composed
+    // explode + vote-sum aggregation shipped every token row through
+    // the per-doc exchange; bit-identity is spec-pinned in DedupSpec
+    // against [[simhashComposed]])
+    df.select(
+      col(idCol),
+      org.apache.spark.sql.graftbridge.ColumnBridge
+        .column(graft.functions.SimHashText(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col(textCol)), bits))
+        .as("fingerprint"))
+  }
+
+  /** The composed (explode + hash-agg) twin of
+    * [[graft.functions.SimHashText]] — the executable bit-identity
+    * contract for the spec; not the hot path.
+    */
+  private[graft] def simhashComposed(
+      df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
     val tok = df
       .select(col(idCol), explode(split(col(textCol), " ")).as("t"))
       .select(col(idCol), md5(col("t").cast("binary")).as("h"))

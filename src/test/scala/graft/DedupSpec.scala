@@ -95,4 +95,21 @@ class DedupSpec extends SparkSpec {
     val hamming = java.lang.Long.bitCount(fp(1L) ^ fp(3L))
     assert(hamming <= 6, s"near-dup hamming was $hamming")
   }
+
+  test("native SimHashText is bit-identical to the composed explode+agg form") {
+    import org.apache.spark.sql.functions.not
+    val tricky = docs.union(Seq(
+      (90L, ""),                                  // one empty token votes
+      (91L, "double  space   runs keep empties"), // empty tokens mid-array
+      (92L, "ümlaut straße 多字节 tokens"),         // multibyte
+      (93L, "x")                                  // single short token
+    ).toDF("doc_id", "text"))
+    for (bits <- Seq(16, 32)) {
+      val n = Dedup.simhash(tricky, "doc_id", "text", bits)
+      val c = Dedup.simhashComposed(tricky, "doc_id", "text", bits)
+      val diff = n.as("n").join(c.as("c"), "doc_id")
+        .filter(not($"n.fingerprint" <=> $"c.fingerprint")).count()
+      assert(diff == 0, s"bits=$bits diverged")
+    }
+  }
 }
