@@ -26,10 +26,29 @@ object TextAnalysis {
   def markerHits(toks: Column, words: Seq[String]): Column =
     size(array_intersect(toks, array(words.map(lit): _*)))
 
+  /** Raw counters shared by [[langId]] and [[qualityScore]] — one
+    * native pass per document ([[graft.functions.TextSignals]]).
+    */
+  private def signals(textCol: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.TextSignals(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(textCol)))
+
   def langId(textCol: Column): Column = {
-    val toks = array_distinct(split(textCol, " "))
+    val sig = signals(textCol)
     // greatest-of-structs argmax: (hits, lang) pairs, tie-break on the
     // lexicographically LARGEST language code — deterministic both ways
+    val scored = graft.functions.TextSignals.langs.toSeq.map { lang =>
+      struct(sig.getField(s"hits_$lang").as("hits"), lit(lang).as("lang"))
+    }
+    greatest(scored: _*).getField("lang")
+  }
+
+  /** The composed (split + array_intersect ×5) twin of [[langId]] —
+    * the executable value-identity contract for the spec.
+    */
+  private[graft] def langIdComposed(textCol: Column): Column = {
+    val toks = array_distinct(split(textCol, " "))
     val scored = markers.toSeq.sortBy(_._1).map { case (lang, words) =>
       struct(markerHits(toks, words).as("hits"), lit(lang).as("lang"))
     }
@@ -38,9 +57,33 @@ object TextAnalysis {
 
   /** Heuristic quality score ∈ [0,1]: word-length sanity, stopword
     * presence, alpha ratio, length band (the length/punct/stopword
-    * ratio recipe).
+    * ratio recipe). Counters come from the one-pass native
+    * [[graft.functions.TextSignals]]; the score math stays in Catalyst
+    * (value-identity to [[qualityScoreComposed]] spec-pinned).
     */
   def qualityScore(textCol: Column): Column = {
+    val sig = signals(textCol)
+    val nWords = sig.getField("n_words").cast("double")
+    val nChars = sig.getField("n_chars").cast("double")
+    val avgWordLen = (nChars - (nWords - 1)) / nWords
+    val stopRatio = sig.getField("hits_en").cast("double") / lit(5.0)
+    val alphaRatio =
+      (sig.getField("alpha_chars").cast("double") + lit(1.0)) / (nChars + lit(1.0))
+    val lenScore =
+      when(nWords >= 20 && nWords <= 10000, 1.0)
+        .when(nWords >= 5, 0.5)
+        .otherwise(0.0)
+    val wordLenScore = when(avgWordLen >= 3 && avgWordLen <= 10, 1.0).otherwise(0.5)
+    round(
+      (lenScore * 0.3 + wordLenScore * 0.2 + stopRatio * 0.2 + alphaRatio * 0.3),
+      6
+    )
+  }
+
+  /** The composed six-function twin of [[qualityScore]] for the
+    * value-identity spec.
+    */
+  private[graft] def qualityScoreComposed(textCol: Column): Column = {
     val toks = split(textCol, " ")
     val nWords = size(toks).cast("double")
     val nChars = length(textCol).cast("double")

@@ -177,6 +177,28 @@ class AsOfJoinSpec extends SparkSpec {
       "native and composed gopher metrics diverged")
   }
 
+  test("native TextSignals langId/qualityScore match their composed twins") {
+    import graft.operators.TextAnalysis
+    val tricky = Seq(
+      "the cat and the dog of a to",                  // en
+      "la vie et le la les des",                      // fr beats es on "la" overlap
+      "el que la y los",                              // es
+      "der und nicht das die",                        // de
+      "no markers at all here",                       // tie -> largest code wins
+      "",                                             // empty
+      "  double  spaces  the  of ",                   // empty tokens
+      "müller straße the of multibyte"
+    ).zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text")
+    val both = tricky.select(
+      $"doc_id",
+      TextAnalysis.langId($"text").as("ln"),
+      TextAnalysis.langIdComposed($"text").as("lc"),
+      TextAnalysis.qualityScore($"text").as("qn"),
+      TextAnalysis.qualityScoreComposed($"text").as("qc"))
+    val bad = both.filter(not($"ln" <=> $"lc") || not($"qn" <=> $"qc")).collect()
+    assert(bad.isEmpty, s"diverged rows: ${bad.mkString(", ")}")
+  }
+
   test("gopherRules: each named rule gates independently") {
     val docs = Seq(
       (1L, ("the quick brown fox jumps over and over with energy " * 4).trim), // passes
