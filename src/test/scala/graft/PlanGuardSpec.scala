@@ -106,4 +106,23 @@ class PlanGuardSpec extends SparkSpec {
         )
       }
   }
+
+  test("native scan-family operators stay shuffle-free (sort excepted)") {
+    // each of these computes per-document signals via a native one-pass
+    // expression: a reappearing Exchange beyond the final orderBy means
+    // someone reintroduced an explode+aggregate shape
+    Seq("q_dedup_simhash", "q_gopher_rules", "q_lang_id", "q_quality_score")
+      .foreach { name =>
+        val plan = physical(name)
+        assert("Exchange".r.findAllIn(plan).size <= 1,
+          s"$name must stay scan-local (one sort exchange at most)")
+      }
+  }
+
+  test("as-of join plans a single keyed shuffle and no join operator") {
+    val plan = physical("q_asof_join")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      "as-of must be the union+window shape, not a join")
+  }
 }
