@@ -251,6 +251,41 @@ object Curation {
     hashBucket(idCol) < rate
   }
 
+  /** URL canonicalization — the key-building step of URL-level dedup
+    * (every web-crawl pipeline dedupes on the canonical URL before any
+    * content pass; C4/CC keep one page per URL). Pure column regexes
+    * (RE2-class, so the DuckDB oracle applies the identical patterns —
+    * same convention as [[scrubPii]]):
+    *   - scheme + host lowercased (path/query case is significant);
+    *   - default ports dropped (http:80 / https:443), others kept;
+    *   - fragment dropped;
+    *   - tracking params dropped (utm_*, fbclid, gclid, msclkid, ref),
+    *     remaining params SORTED so param order never splits a group;
+    *   - empty path becomes "/".
+    * Scan-local: no shuffle — the dedup groupBy downstream is the only
+    * wide stage, keyed on the canonical string.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    val host = lower(regexp_extract(hostport, "^([^:]*)", 1))
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val keepPort = port =!= "" &&
+      !((scheme === "https" && port === "443") || (scheme === "http" && port === "80"))
+    val rawPath = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path = when(rawPath === "", "/").otherwise(rawPath)
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val kept = sort_array(filter(
+      split(query, "&"),
+      p => p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=|$)")))
+    val params = array_join(kept, "&")
+    concat(
+      scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(""),
+      path,
+      when(params =!= "", concat(lit("?"), params)).otherwise(""))
+  }
+
   /** Corpus MIXING: hit a per-source token budget by deterministic
     * down-sampling AND epoch-style repetition — the data-mixing step a
     * training pipeline runs last (down-weight bulk web text, repeat

@@ -374,6 +374,24 @@ object PipelineQueries extends QueryPack {
         .stripDuplicatedSpans(Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
     },
+    // URL-level dedup prep: messy synthesized variants (case-mangled
+    // host, default port, utm/fbclid params, fragment, shuffled param
+    // order) collapse onto one canonical key per (source, doc_id%50)
+    "q_url_canonical" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val messy = when(
+        col("doc_id") % 2 === 1,
+        concat(lit("HTTPS://WWW.Example.COM:443/"), col("source"),
+          lit("/Page?utm_source=news&b=2&a="), (col("doc_id") % 50).cast("string"),
+          lit("&fbclid=track#frag")))
+        .otherwise(concat(lit("https://www.example.com/"), col("source"),
+          lit("/Page?a="), (col("doc_id") % 50).cast("string"), lit("&b=2")))
+      d.select(col("doc_id"), messy.as("url"))
+        .select(col("doc_id"), Curation.canonicalizeUrl(col("url")).as("canonical_url"))
+        .groupBy(col("canonical_url"))
+        .agg(count(lit(1)).as("n_urls"), min(col("doc_id")).as("first_doc"))
+        .orderBy(col("canonical_url"))
+    },
     // corpus mixing: per-source token budgets via deterministic
     // downsample + epoch repeat (src0 runs ~2.1 epochs, src1 is cut to
     // ~0.45, everything else ~0.75)
@@ -955,6 +973,43 @@ object PipelineQueries extends QueryPack {
         |         AS BIGINT) AS n_removed
         |FROM toks t LEFT JOIN spans sp USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
+    // identical RE2 regexes both sides (scrubPii convention); DuckDB
+    // array_to_string(NULL-prone) coalesced like the Spark empty guard
+    "q_url_canonical" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 2 = 1
+        |              THEN 'HTTPS://WWW.Example.COM:443/' || source ||
+        |                   '/Page?utm_source=news&b=2&a=' || CAST(doc_id % 50 AS VARCHAR) ||
+        |                   '&fbclid=track#frag'
+        |              ELSE 'https://www.example.com/' || source || '/Page?a=' ||
+        |                   CAST(doc_id % 50 AS VARCHAR) || '&b=2' END AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS query
+        |  FROM u),
+        |c2 AS (
+        |  SELECT doc_id, scheme,
+        |    lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
+        |    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+        |    CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
+        |    array_to_string(list_sort(list_filter(string_split(query, '&'),
+        |        p -> p <> '' AND NOT regexp_matches(p,
+        |               '^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=|$)'))), '&') AS params
+        |  FROM c)
+        |SELECT scheme || '://' || host ||
+        |    CASE WHEN port <> '' AND
+        |              NOT ((scheme = 'https' AND port = '443') OR
+        |                   (scheme = 'http' AND port = '80'))
+        |         THEN ':' || port ELSE '' END || path ||
+        |    CASE WHEN COALESCE(params, '') <> '' THEN '?' || params ELSE '' END
+        |      AS canonical_url,
+        |  count(*) AS n_urls, min(doc_id) AS first_doc
+        |FROM c2 GROUP BY 1 ORDER BY canonical_url""".stripMargin,
     // rate = target/total per source; copies = floor(rate) + Bernoulli
     // on the same md5-first-8-hex uniform (1e6 buckets) the samplers use
     "q_mix_corpus" ->

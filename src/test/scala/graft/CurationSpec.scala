@@ -352,6 +352,22 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("canonicalizeUrl: ports, fragments, tracking params, ordering, bare paths") {
+    val cases = Seq(
+      ("HTTPS://Host.COM:443/A?b=2&a=1#f", "https://host.com/A?a=1&b=2"), // default port + frag + sort
+      ("http://host.com:8080/x", "http://host.com:8080/x"),               // non-default port kept
+      ("http://HOST.com:80", "http://host.com/"),                         // default port + empty path
+      ("https://h.co/p?utm_source=a&utm_medium=b&fbclid=c", "https://h.co/p"), // all tracking -> no '?'
+      ("https://h.co/p?ref=x&real=1&gclid=2", "https://h.co/p?real=1"),
+      ("https://h.co/CaseKept/Path?Z=1", "https://h.co/CaseKept/Path?Z=1") // path/query case preserved
+    ).toDF("url", "expected")
+    val out = cases
+      .withColumn("canonical", Curation.canonicalizeUrl($"url"))
+      .filter($"canonical" =!= $"expected")
+      .collect()
+    assert(out.isEmpty, s"mismatches: ${out.mkString("; ")}")
+  }
+
   test("mixCorpus hits per-source token budgets via downsample and epoch repeat") {
     import org.apache.spark.sql.functions._
     val docs = (1 to 200).map { i =>
