@@ -374,6 +374,18 @@ object PipelineQueries extends QueryPack {
         .stripDuplicatedSpans(Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
     },
+    // int8 vector quantization: scale + code checksums per vector
+    // (q_sum / q_max_abs pin the exact integer codes cross-engine)
+    "q_embed_quantize" -> { (s, dir) =>
+      Similarity
+        .quantizeInt8(Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(
+          col("vec_id"),
+          round(col("scale"), 9).as("scale"),
+          coalesce(expr("aggregate(q, 0L, (a, v) -> a + v)"), lit(0L)).as("q_sum"),
+          coalesce(array_max(expr("transform(q, v -> abs(v))")), lit(0L)).as("q_max_abs"))
+        .orderBy(col("vec_id"))
+    },
     // URL-level dedup prep: messy synthesized variants (case-mangled
     // host, default port, utm/fbclid params, fragment, shuffled param
     // order) collapse onto one canonical key per (source, doc_id%50)
@@ -973,6 +985,26 @@ object PipelineQueries extends QueryPack {
         |         AS BIGINT) AS n_removed
         |FROM toks t LEFT JOIN spans sp USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
+    "q_embed_quantize" ->
+      """WITH m AS (
+        |  SELECT vec_id,
+        |         list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+        |                        'max') AS mx
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT e.vec_id,
+        |         m.mx / 127.0 AS scale,
+        |         CASE WHEN m.mx = 0 THEN NULL
+        |              ELSE list_transform(e.embedding,
+        |                     x -> CAST(floor(CAST(x AS DOUBLE) / (m.mx / 127.0) + 0.5)
+        |                          AS BIGINT)) END AS qv
+        |  FROM embeddings e JOIN m USING (vec_id))
+        |SELECT vec_id,
+        |       ROUND(scale, 9) AS scale,
+        |       CAST(COALESCE(list_aggregate(qv, 'sum'), 0) AS BIGINT) AS q_sum,
+        |       CAST(COALESCE(list_aggregate(list_transform(qv, v -> abs(v)), 'max'), 0)
+        |         AS BIGINT) AS q_max_abs
+        |FROM q ORDER BY vec_id""".stripMargin,
     // identical RE2 regexes both sides (scrubPii convention); DuckDB
     // array_to_string(NULL-prone) coalesced like the Spark empty guard
     "q_url_canonical" ->

@@ -60,6 +60,28 @@ class SkewAndIvfSpec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("int8 quantization: codes bounded, round-trip within scale/2, zero vector safe") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .union(Seq((99999L, Array.fill(8)(0.0f), 0)).toDF("vec_id", "embedding", "label"))
+    val q = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+    val joined = emb.join(q, "vec_id")
+    // every code in [-127, 127]
+    val outOfRange = joined
+      .filter(expr("exists(q, v -> abs(v) > 127)")).count()
+    assert(outOfRange == 0)
+    // dequantized max abs error <= scale/2 (plus float->double epsilon)
+    val badErr = joined
+      .filter(col("scale") > 0)
+      .withColumn("err",
+        array_max(expr("zip_with(embedding, q, (x, v) -> abs(cast(x as double) - v * scale))")))
+      .filter(col("err") > col("scale") * 0.5000001)
+      .count()
+    assert(badErr == 0, "reconstruction error exceeded scale/2")
+    // the all-zero vector carries scale 0 and a null code array
+    val zero = q.filter(col("vec_id") === 99999L).collect()(0)
+    assert(zero.getAs[Double]("scale") == 0.0 && zero.isNullAt(zero.fieldIndex("q")))
+  }
+
   test("KMeans-trained centroids partition the corpus into nlist cells") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val centroids = Similarity.trainCentroidsKMeans(emb, "embedding", nlist = 4)
