@@ -75,6 +75,147 @@ object Similarity {
         .as("q"))
   }
 
+  /** Product-quantization codebooks (Jégou et al. 2011): the vector is
+    * cut into `m` subvectors and each subspace gets its own `k`-word
+    * codebook from seeded KMeans — the FAISS-standard companion of IVF
+    * for memory-bounded ANN. The model is tiny (m·k·d/m floats) and
+    * driver-side, like [[randomPlanes]]; training scans the corpus once
+    * per subspace through Spark ML's distributed KMeans.
+    */
+  def trainPQ(
+      corpus: DataFrame,
+      vecCol: String,
+      m: Int = 8,
+      k: Int = 16,
+      seed: Long = 42L
+  ): Seq[Array[Array[Float]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    require(dim % m == 0, s"vector dim $dim must divide into $m subspaces")
+    val sub = dim / m
+    (0 until m).map { j =>
+      val feats = corpus.select(
+        array_to_vector(slice(col(vecCol), j * sub + 1, sub).cast("array<double>"))
+          .as("features"))
+      val model = new KMeans().setK(k).setSeed(seed + j).setFeaturesCol("features").fit(feats)
+      model.clusterCenters.map(_.toArray.map(_.toFloat))
+    }
+  }
+
+  /** Fixed data-derived codebooks: codeword c of subspace j is the j-th
+    * slice of the c-th sample row. Like [[trainPQ]]'s KMeans centers
+    * this is MODEL extraction (a handful of rows to the driver, not a
+    * data path) — it exists so the PQ pipeline has a deterministic,
+    * SQL-mirrorable form for the oracle gate; production trains with
+    * [[trainPQ]].
+    */
+  def codebooksFromRows(
+      samples: DataFrame,
+      vecCol: String,
+      m: Int
+  ): Seq[Array[Array[Float]]] = {
+    val rows = samples.select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
+    require(rows.nonEmpty, "codebook sample set is empty")
+    val dim = rows.head.length
+    require(dim % m == 0, s"vector dim $dim must divide into $m subspaces")
+    val sub = dim / m
+    (0 until m).map(j => rows.map(r => r.slice(j * sub, (j + 1) * sub)).toArray)
+  }
+
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double")
+        d * d
+      }),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** PQ encoding: per subspace, the argmin codeword index — an
+    * argmin-fold over the BROADCAST-LITERAL codebook (the same
+    * no-blow-up shape as [[assignCells]]: no corpus×k rows ever
+    * materialize, no shuffle). Codes are `m` small ints — at 100 TB the
+    * encoded corpus is d·4/m·⌈log2 k / 8⌉× smaller than the floats
+    * (32× at d=64, m=8, k=16).
+    */
+  def pqEncode(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: Seq[Array[Array[Float]]]
+  ): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val codeCols = (0 until m).map { j =>
+      val subVec = slice(col(vecCol), j * sub + 1, sub)
+      val words = array(codebooks(j).zipWithIndex.map { case (w, c) =>
+        struct(typedlit(w.toSeq).as("w"), lit(c).as("c"))
+      }: _*)
+      aggregate(
+        words,
+        struct(lit(Double.MaxValue).as("best"), lit(-1).as("code")),
+        (acc, cw) => {
+          val d = sqDist(subVec, cw.getField("w"))
+          when(d < acc.getField("best"), struct(d.as("best"), cw.getField("c").as("code")))
+            .otherwise(acc)
+        }
+      ).getField("code")
+    }
+    df.select(col(idCol), array(codeCols: _*).as("pq_code"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over a PQ-encoded corpus: the raw
+    * query meets only codewords, so accuracy beats symmetric
+    * code-vs-code lookups. Queries broadcast (like [[bruteForceTopK]]);
+    * per row the distance is Σ_j ‖q_sub_j − codebook_j[code_j]‖² —
+    * pure column math over the literal codebooks, no shuffle beyond
+    * the per-query rank window.
+    */
+  /** @param reRank when > 0, the top `reRank` ADC candidates per query
+    *   are re-scored with EXACT distances against `vecCol` (which must
+    *   then be present on `encoded`) — the standard PQ accuracy
+    *   recovery: the expensive exact math touches only reRank rows per
+    *   query instead of the corpus, and the stored corpus stays codes.
+    */
+  def pqTopK(
+      queries: DataFrame,
+      encoded: DataFrame,
+      idCol: String,
+      qVecCol: String,
+      codebooks: Seq[Array[Array[Float]]],
+      k: Int,
+      reRank: Int = 0,
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val q = queries.select(col(idCol).as("query_id"), col(qVecCol).as("qvec"))
+    val dist = (0 until m).map { j =>
+      val subQ = slice(col("qvec"), j * sub + 1, sub)
+      val cb = typedlit(codebooks(j).map(_.toSeq).toSeq) // array<array<float>>
+      sqDist(subQ, element_at(cb, element_at(col("pq_code"), j + 1) + 1))
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adist").asc, col(idCol))
+    val byAdc = encoded
+      .join(broadcast(q), col("query_id") =!= col(idCol))
+      .withColumn("adist", round(dist, 6))
+      .withColumn("rank", row_number().over(w))
+    if (reRank <= 0)
+      byAdc
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col(idCol).as("neighbor_id"), col("adist"), col("rank"))
+    else {
+      val we = Window.partitionBy(col("query_id")).orderBy(col("edist").asc, col(idCol))
+      byAdc
+        .filter(col("rank") <= reRank)
+        .withColumn("edist", round(sqDist(col("qvec"), col(vecCol)), 6))
+        .withColumn("rank", row_number().over(we))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col(idCol).as("neighbor_id"), col("edist"), col("rank"))
+    }
+  }
+
   /** Exact top-k neighbors for each query vector. The query set is
     * expected to be small (it is broadcast); the corpus is scanned once
     * and never shuffled — the window ranks within each query's

@@ -374,6 +374,19 @@ object PipelineQueries extends QueryPack {
         .stripDuplicatedSpans(Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
     },
+    // product quantization with asymmetric distance: fixed data-derived
+    // codebooks (first 8 vectors' slices — deterministic and
+    // SQL-mirrorable, the q_ann_ivf convention; production trains with
+    // Similarity.trainPQ and re-ranks, recall floors in SkewAndIvfSpec)
+    "q_ann_pq" -> { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val cbs = Similarity.codebooksFromRows(
+        emb.filter(col("vec_id") < 8).orderBy("vec_id"), "embedding", m = 4)
+      val enc = Similarity.pqEncode(emb, "vec_id", "embedding", cbs)
+      Similarity
+        .pqTopK(emb.filter(col("vec_id") < 3), enc, "vec_id", "embedding", cbs, 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
     // int8 vector quantization: scale + code checksums per vector
     // (q_sum / q_max_abs pin the exact integer codes cross-engine)
     "q_embed_quantize" -> { (s, dir) =>
@@ -985,6 +998,41 @@ object PipelineQueries extends QueryPack {
         |         AS BIGINT) AS n_removed
         |FROM toks t LEFT JOIN spans sp USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
+    // PQ: codeword c of subspace j = 16-dim slice of vec_id c; encode =
+    // per-(vec, subspace) argmin; ADC = sum over subspaces of the
+    // query-slice-to-matched-codeword distance
+    "q_ann_pq" ->
+      """WITH cw AS (
+        |  SELECT j.j, c.vec_id AS c, c.embedding[j.j*16+1 : j.j*16+16] AS w
+        |  FROM (SELECT unnest(range(0,4)) AS j) j,
+        |       (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) c),
+        |enc AS (
+        |  SELECT vec_id, j, c AS code FROM (
+        |    SELECT e.vec_id, cw.j, cw.c,
+        |           ROW_NUMBER() OVER (PARTITION BY e.vec_id, cw.j ORDER BY
+        |             LIST_SUM(LIST_TRANSFORM(RANGE(1, 17),
+        |               i -> (CAST(e.embedding[CAST(cw.j*16+i AS INT)] AS DOUBLE) -
+        |                     CAST(cw.w[CAST(i AS INT)] AS DOUBLE))
+        |                  * (CAST(e.embedding[CAST(cw.j*16+i AS INT)] AS DOUBLE) -
+        |                     CAST(cw.w[CAST(i AS INT)] AS DOUBLE)))) ASC,
+        |             cw.c ASC) AS rn
+        |    FROM embeddings e, cw) WHERE rn = 1),
+        |adc AS (
+        |  SELECT q.vec_id AS query_id, enc.vec_id AS neighbor_id,
+        |         ROUND(SUM(LIST_SUM(LIST_TRANSFORM(RANGE(1, 17),
+        |           i -> (CAST(q.embedding[CAST(enc.j*16+i AS INT)] AS DOUBLE) -
+        |                 CAST(cw.w[CAST(i AS INT)] AS DOUBLE))
+        |              * (CAST(q.embedding[CAST(enc.j*16+i AS INT)] AS DOUBLE) -
+        |                 CAST(cw.w[CAST(i AS INT)] AS DOUBLE))))), 6) AS adist
+        |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) q
+        |  JOIN enc ON enc.vec_id <> q.vec_id
+        |  JOIN cw ON cw.j = enc.j AND cw.c = enc.code
+        |  GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, adist,
+        |       ROW_NUMBER() OVER (PARTITION BY query_id
+        |                          ORDER BY adist ASC, neighbor_id ASC) AS rank
+        |FROM adc QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     "q_embed_quantize" ->
       """WITH m AS (
         |  SELECT vec_id,
