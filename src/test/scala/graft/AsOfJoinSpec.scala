@@ -163,6 +163,8 @@ class AsOfJoinSpec extends SparkSpec {
       "the quick brown fox and the lazy dog with more text to fill",
       "  leading and trailing whitespace  ",
       "#### symbols ... everywhere ...... and .... partial dots ..",
+      "text ending in exactly three dots...",
+      "...",
       "THE Of AnD case insensitive stop words",
       "no1 a1pha 123 456 !!! ???",
       "",
