@@ -142,6 +142,45 @@ object Curation {
       .withWatermark(tsCol, dedupDelay)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** [[curateStream]] with ROUTED drops — the curation analog of the
+    * reference's DLQ policy (`ErrorSink`): instead of silently
+    * filtering, the gate splits the stream into (kept, dropped) where
+    * every dropped record carries its first failing gate as
+    * `drop_reason`. At 100 TB/day the reasons stream IS the
+    * observability: aggregated by reason it answers "why did volume
+    * drop 30% today" without re-running the pipeline. Both sides are
+    * stateless projections of ONE gate computation; only the kept side
+    * pays the dedup state.
+    */
+  def curateStreamRouted(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String,
+      dedupDelay: String,
+      keepLang: String = "en",
+      minQuality: Double = 0.5
+  ): (DataFrame, DataFrame) = {
+    val gated = docs
+      .withColumn("__lang", TextAnalysis.langId(col(textCol)))
+      .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
+      .withColumn(
+        "drop_reason",
+        when(col("__lang") =!= keepLang, concat(lit("lang:"), col("__lang")))
+          .when(col("quality") < minQuality, lit("quality")))
+    val dropped = gated
+      .filter(col("drop_reason").isNotNull)
+      .select(col(idCol), col(tsCol), col("drop_reason"), col("quality"))
+    val kept = gated
+      .filter(col("drop_reason").isNull)
+      .withColumn(textCol, scrubPii(col(textCol)))
+      .withColumn("content_hash", md5(normalize(col(textCol)).cast("binary")))
+      .drop("__lang", "drop_reason")
+      .withWatermark(tsCol, dedupDelay)
+      .dropDuplicatesWithinWatermark("content_hash")
+    (kept, dropped)
+  }
+
   /** Shared corpus side of both decontamination variants: one shingle
     * pass (distinct shingles, n_shingles riding the explode), a per-doc
     * hit count, and the flag. `probe` attaches a boolean `__hit` column

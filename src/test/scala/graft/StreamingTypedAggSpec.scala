@@ -79,6 +79,33 @@ class StreamingTypedAggSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curateStreamRouted splits kept from dropped-with-reason on one gate pass") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String)]
+    val (kept, dropped) = graft.operators.Curation.curateStreamRouted(
+      mem.toDF().toDF("doc_id", "ts", "text"),
+      "doc_id", "text", "ts", dedupDelay = "1 minute")
+    val qk = kept.writeStream
+      .format("memory").queryName("routed_kept").outputMode("append").start()
+    val qd = dropped.writeStream
+      .format("memory").queryName("routed_dropped").outputMode("append").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      val good = "the quick brown fox and the lazy dog walk to a river of calm water every day"
+      mem.addData(
+        (1L, t("2024-01-01 00:00:00"), good),
+        (2L, t("2024-01-01 00:00:10"), "der und nicht das die der und nicht das die"), // lang gate
+        (3L, t("2024-01-01 00:00:20"), "the a of") // quality gate
+      )
+      qk.processAllAvailable(); qd.processAllAvailable()
+      assert(spark.table("routed_kept").select($"doc_id").as[Long].collect().toSet == Set(1L))
+      val reasons = spark.table("routed_dropped")
+        .select($"doc_id", $"drop_reason").as[(Long, String)].collect().toMap
+      assert(reasons == Map(2L -> "lang:de", 3L -> "quality"))
+    } finally { qk.stop(); qd.stop() }
+  }
+
   test("bounded_topk and histogram aggregate across micro-batches in update mode") {
     implicit val sqlCtx = spark.sqlContext
     BoundedTopK.register(spark)
