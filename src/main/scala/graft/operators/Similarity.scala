@@ -216,6 +216,106 @@ object Similarity {
     }
   }
 
+  /** IVF-PQ encoding (the full FAISS composition): assign each vector
+    * to its nearest coarse centroid, then PQ-encode the RESIDUAL
+    * (vec − centroid). Residuals are far more compressible than raw
+    * vectors — the coarse quantizer removes the corpus-level structure
+    * and each codebook only has to cover a cell-sized neighborhood.
+    * Output: (id, cell, pq_code). Same plan shapes as the parts:
+    * centroid argmax fold + literal-codebook argmin fold, no shuffle.
+    */
+  def ivfPqEncode(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      codebooks: Seq[Array[Array[Float]]]
+  ): DataFrame = {
+    val celled = assignCells(df, centroids, vecCol)
+      .join(broadcast(centroids), col("cell") === col("centroid_id"))
+      .withColumn("__res",
+        zip_with(col(vecCol), col("centroid_vec"), (x, c) => (x - c).cast("float")))
+    pqEncode(celled.select(col(idCol), col("cell"), col("__res")), idCol, "__res", codebooks)
+      .join(celled.select(col(idCol), col("cell")), Seq(idCol))
+  }
+
+  /** Residual-space PQ training for [[ivfPqEncode]]: the codebooks are
+    * fit on (vec − assigned centroid), the space the codes live in.
+    */
+  def trainIvfPq(
+      corpus: DataFrame,
+      vecCol: String,
+      centroids: DataFrame,
+      m: Int = 16,
+      k: Int = 64,
+      seed: Long = 42L
+  ): Seq[Array[Array[Float]]] = {
+    val res = assignCells(corpus, centroids, vecCol)
+      .join(broadcast(centroids), col("cell") === col("centroid_id"))
+      .select(zip_with(col(vecCol), col("centroid_vec"),
+        (x, c) => (x - c).cast("float")).as("__res"))
+    trainPQ(res, "__res", m, k, seed)
+  }
+
+  /** IVF-PQ search: probe the `nprobe` nearest cells per query, ADC
+    * against the RESIDUAL codebooks (query residual = q − centroid of
+    * the row's cell, so the distance is computed in the same centered
+    * space the codes were trained in), optional exact re-rank. The
+    * cell filter is the IVF win — only |corpus|·nprobe/nlist rows are
+    * scored per query; the codes are the PQ win — those rows are
+    * 16-byte lookups, not float vectors.
+    */
+  def ivfPqTopK(
+      queries: DataFrame,
+      encoded: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      qVecCol: String,
+      codebooks: Seq[Array[Array[Float]]],
+      k: Int,
+      nprobe: Int = 2,
+      reRank: Int = 0,
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    // nprobe nearest cells per query (tiny: queries × nlist)
+    val qCells = queries
+      .select(col(idCol).as("query_id"), col(qVecCol).as("qvec"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("__d", sqDist(col("qvec"), col("centroid_vec")))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("__d").asc, col("centroid_id"))))
+      .filter(col("__r") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("centroid_id").as("cell"),
+        col("centroid_vec"))
+    val dist = (0 until m).map { j =>
+      val qRes = zip_with(
+        slice(col("qvec"), j * sub + 1, sub),
+        slice(col("centroid_vec"), j * sub + 1, sub),
+        (x, c) => x.cast("double") - c.cast("double"))
+      val cb = typedlit(codebooks(j).map(_.toSeq).toSeq)
+      sqDist(qRes, element_at(cb, element_at(col("pq_code"), j + 1) + 1))
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adist").asc, col(idCol))
+    val byAdc = encoded
+      .join(broadcast(qCells), Seq("cell"))
+      .filter(col("query_id") =!= col(idCol))
+      .withColumn("adist", round(dist, 6))
+      .withColumn("rank", row_number().over(w))
+    if (reRank <= 0)
+      byAdc.filter(col("rank") <= k)
+        .select(col("query_id"), col(idCol).as("neighbor_id"), col("adist"), col("rank"))
+    else {
+      val we = Window.partitionBy(col("query_id")).orderBy(col("edist").asc, col(idCol))
+      byAdc.filter(col("rank") <= reRank)
+        .withColumn("edist", round(sqDist(col("qvec"), col(vecCol)), 6))
+        .withColumn("rank", row_number().over(we))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col(idCol).as("neighbor_id"), col("edist"), col("rank"))
+    }
+  }
+
   /** Exact top-k neighbors for each query vector. The query set is
     * expected to be small (it is broadcast); the corpus is scanned once
     * and never shuffled — the window ranks within each query's
