@@ -150,6 +150,37 @@ object Dedup {
       .distinct()
   }
 
+  /** Exact-Jaccard VERIFICATION of candidate pairs — the confirm step
+    * after any LSH generator (banding admits false positives by
+    * design; a real dedup pipeline verifies before deleting). Each
+    * pair is scored with the true shingle-set Jaccard; cost is
+    * bounded by the CANDIDATES (pairs ≪ corpus after banding + the
+    * hot-bucket cap), two id-keyed equi-joins to fetch the shingle
+    * sets, zero corpus self-joins.
+    */
+  def verifyCandidates(
+      pairs: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minJaccard: Double = 0.5
+  ): DataFrame = {
+    val sh = docs.select(
+      col(idCol),
+      array_distinct(shinglesNative(col(textCol), n)).as("__s"))
+    pairs
+      .join(sh.select(col(idCol).as("doc1"), col("__s").as("__s1")), "doc1")
+      .join(sh.select(col(idCol).as("doc2"), col("__s").as("__s2")), "doc2")
+      .withColumn(
+        "jaccard",
+        round(
+          size(array_intersect(col("__s1"), col("__s2"))).cast("double") /
+            size(array_union(col("__s1"), col("__s2"))), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc1"), col("doc2"), col("jaccard"))
+  }
+
   /** SimHash fingerprint (Charikar '02): per-token hash bits vote ±1,
     * the sign of each bit-sum forms the fingerprint. `bits` ≤ 32 here —
     * bit i comes from hex digit i of md5(token), so 16 bits per md5 is
