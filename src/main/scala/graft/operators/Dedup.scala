@@ -166,9 +166,17 @@ object Dedup {
       n: Int = 3,
       minJaccard: Double = 0.5
   ): DataFrame = {
-    val sh = docs.select(
-      col(idCol),
-      array_distinct(shinglesNative(col(textCol), n)).as("__s"))
+    // shingle sets ONLY for docs that appear in a candidate pair — the
+    // left-semi keeps the corpus scan from materializing per-doc
+    // arrays for the (overwhelming at scale) non-candidate majority
+    val candidateIds = pairs
+      .select(explode(array(col("doc1"), col("doc2"))).as(idCol))
+      .distinct()
+    val sh = docs
+      .join(candidateIds, Seq(idCol), "left_semi")
+      .select(
+        col(idCol),
+        array_distinct(shinglesNative(col(textCol), n)).as("__s"))
     pairs
       .join(sh.select(col(idCol).as("doc1"), col("__s").as("__s1")), "doc1")
       .join(sh.select(col(idCol).as("doc2"), col("__s").as("__s2")), "doc2")
