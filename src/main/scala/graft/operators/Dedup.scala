@@ -189,6 +189,28 @@ object Dedup {
       .select(col("doc1"), col("doc2"), col("jaccard"))
   }
 
+  /** One-call near-duplicate REMOVAL — the composed pipeline a user
+    * actually wants: minhash-LSH candidates → exact-Jaccard confirm →
+    * connected components → drop every cluster member except the
+    * smallest id. Non-candidates pass through untouched; the corpus is
+    * only ever touched by equi-keyed stages (the LSH band shuffle, the
+    * candidate-bounded verify joins, the final anti-join on the loser
+    * ids).
+    */
+  def dropNearDuplicates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minJaccard: Double = 0.4,
+      maxIter: Int = 20
+  ): DataFrame = {
+    val verified = verifyCandidates(
+      minhashCandidates(docs, idCol, textCol), docs, idCol, textCol, minJaccard = minJaccard)
+    val labels = clusters(verified.select(col("doc1"), col("doc2")), "doc1", "doc2", maxIter)
+    val losers = labels.filter(col("node") =!= col("label")).select(col("node").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** SimHash fingerprint (Charikar '02): per-token hash bits vote ±1,
     * the sign of each bit-sum forms the fingerprint. `bits` ≤ 32 here —
     * bit i comes from hex digit i of md5(token), so 16 bits per md5 is

@@ -29,6 +29,14 @@ object PipelineQueries extends QueryPack {
         .simhash(Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
     },
+    // the whole near-dup removal pipeline in one call: candidates →
+    // verify → components → keep the smallest id per cluster
+    "q_dedup_apply" -> { (s, dir) =>
+      Dedup
+        .dropNearDuplicates(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
     // the LSH confirm step: exact shingle-set Jaccard over the minhash
     // candidates, banding false positives dropped
     "q_dedup_verified" -> { (s, dir) =>
@@ -505,6 +513,64 @@ object PipelineQueries extends QueryPack {
          |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
          | AND a.doc_id < b.doc_id
          |ORDER BY doc1, doc2""".stripMargin
+    },
+    // verified pairs → recursive-CTE components → anti-join the losers
+    "q_dedup_apply" -> {
+      val mins = (1 to 16)
+        .map(j => s"MIN((h1 + $j*h2) % 4294967296) AS m$j")
+        .mkString(",\n        ")
+      val bandCase = (0 until 4)
+        .map { b =>
+          val hs = (1 to 4)
+            .map(r => s"CAST(m${b * 4 + r} AS VARCHAR)")
+            .mkString(" || '|' || ")
+          s"WHEN $b THEN MD5($hs)"
+        }
+        .mkString(" ")
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+         |sh AS (SELECT doc_id,
+         |              UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(t) - 1, 2)),
+         |                     i -> ARRAY_TO_STRING(t[i:i+2], ' '))) AS shingle
+         |       FROM toks),
+         |hx AS (SELECT doc_id,
+         |              CAST('0x' || SUBSTRING(MD5(shingle), 1, 8) AS BIGINT) AS h1,
+         |              CAST('0x' || SUBSTRING(MD5(shingle), 9, 8) AS BIGINT) AS h2
+         |       FROM sh),
+         |sig AS (SELECT doc_id, $mins
+         |        FROM hx GROUP BY doc_id),
+         |bands AS (SELECT doc_id, band_idx,
+         |                 CASE band_idx $bandCase END AS band_hash
+         |          FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) b(band_idx)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+         |         FROM bands a JOIN bands b
+         |           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |          AND a.doc_id < b.doc_id),
+         |shs AS (SELECT doc_id,
+         |               LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(t) - 1, 2)),
+         |                      i -> ARRAY_TO_STRING(t[i:i+2], ' '))) AS s
+         |        FROM toks),
+         |verified AS (
+         |  SELECT doc1, doc2 FROM (
+         |    SELECT p.doc1, p.doc2,
+         |           ROUND(LEN(LIST_INTERSECT(a.s, b.s)) * 1.0 /
+         |                 LEN(LIST_DISTINCT(LIST_CONCAT(a.s, b.s))), 6) AS jaccard
+         |    FROM cand p
+         |    JOIN shs a ON a.doc_id = p.doc1
+         |    JOIN shs b ON b.doc_id = p.doc2)
+         |  WHERE jaccard >= 0.4),
+         |edges AS (SELECT doc1 AS a, doc2 AS b FROM verified
+         |          UNION SELECT doc2, doc1 FROM verified),
+         |reach(a, b) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |losers AS (
+         |  SELECT a AS node FROM (SELECT a, MIN(b) AS lbl FROM reach GROUP BY a)
+         |  WHERE node <> lbl)
+         |SELECT d.doc_id, d.source
+         |FROM documents d LEFT JOIN losers l ON d.doc_id = l.node
+         |WHERE l.node IS NULL
+         |ORDER BY d.doc_id""".stripMargin
     },
     // minhash candidates (same construction as q_dedup_minhash) +
     // exact shingle-SET Jaccard confirm
