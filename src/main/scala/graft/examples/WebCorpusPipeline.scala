@@ -55,11 +55,18 @@ object WebCorpusPipeline {
     println("gate drops by reason:"); failures.show(truncate = false)
     val gated = urlDeduped.join(ruled.filter(col("pass")).select("doc_id"), "doc_id")
 
-    // 3. substring-level dedup by deletion: non-canonical copies lose
-    // their duplicated spans
-    val stripped = Dedup.stripDuplicatedSpans(gated, "doc_id", "text")
+    // 3a. document-level near-dup removal: candidates → exact-Jaccard
+    // confirm → components → keep the smallest id per cluster
+    val docDeduped = Dedup.dropNearDuplicates(gated, "doc_id", "text")
+    println(s"after near-dup removal: ${docDeduped.count()}")
+
+    // 3b. substring-level dedup by deletion on the survivors:
+    // non-canonical copies lose their duplicated spans
+    val stripped = Dedup.stripDuplicatedSpans(docDeduped, "doc_id", "text")
     val cut = stripped.agg(sum("n_removed")).first().getLong(0)
-    println(s"span dedup removed $cut duplicated tokens")
+    println(s"span dedup removed $cut duplicated tokens" +
+      (if (cut == 0) " (doc-level removal already subsumed the copies at this corpus size)"
+       else ""))
 
     // 4. mix to per-source token budgets (epoch-repeat scarce sources)
     val mixed = Curation.mixCorpus(

@@ -96,6 +96,19 @@ class DedupSpec extends SparkSpec {
     assert(hamming <= 6, s"near-dup hamming was $hamming")
   }
 
+  test("dropNearDuplicates keeps one doc per verified transitive cluster") {
+    val base = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    val docs = Seq(
+      (10L, base),
+      (11L, base + " extra"),                 // near-dup of 10
+      (12L, base + " extra words appended"),  // near-dup of 11 (transitively of 10)
+      (20L, "completely different content about distributed query engines and storage layers")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicates(docs, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(10L, 20L), s"expected cluster collapse to smallest id, got $kept")
+  }
+
   test("native SimHashText is bit-identical to the composed explode+agg form") {
     import org.apache.spark.sql.functions.not
     val tricky = docs.union(Seq(
