@@ -13,6 +13,13 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // Spark writes startup banners ("Setting default log level...") to
+    // stdout, which breaks the driver's parse of the one-line JSON
+    // contract. Route everything to stderr for the duration of the run
+    // and print the JSON line on the real stdout at the end — it is then
+    // the first AND only stdout line.
+    val realOut = System.out
+    System.setOut(System.err)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession
@@ -36,24 +43,34 @@ object Bench {
     // the minimum (steady-state cost, excludes first-run listing/JIT).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
-    val selected = SparkEntry.queries.toSeq
+    val selected = SparkEntry.benchQueries.toSeq
       .sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val results = selected.map { case (name, fn) =>
-      val times = (1 to repeat).map { _ =>
+      // A failed run must not win min() with its (fast) time-to-throw:
+      // only successful runs are timed; a query with zero successes is
+      // reported in "failed", not in "queries".
+      val times = (1 to repeat).flatMap { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: $e"); None
+        }
       }
-      name -> times.min
+      name -> times.minOption
     }
-    val qs = results
+    val ok = results.collect { case (k, Some(v)) => k -> v }
+    val failed = results.collect { case (k, None) => k }
+    val qs = ok
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = ok.map(_._2).sum
+    realOut.println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     )
     spark.stop()
   }

@@ -12,7 +12,7 @@ object Explain {
     val dir = "/root/testdata/sf0.001"
     for (n <- args) {
       println(s"===== $n =====")
-      SparkEntry.queries(n)(spark, dir).explain("formatted")
+      SparkEntry.benchQueries(n)(spark, dir).explain("formatted")
     }
     spark.stop()
   }

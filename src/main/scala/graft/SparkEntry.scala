@@ -22,9 +22,18 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_groupby_agg")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Every entry is
+    * oracle-gated by the driver (DuckDB compare) or rows-only checked.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     packs.map(_.defs).reduce(_ ++ _)
+
+  /** [[queries]] plus bench-only production-hash twins (no DuckDB mirror;
+    * value identity spec-pinned). Timed by `graft.Bench`, excluded from
+    * `graft.Verify`'s oracle dump.
+    */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    queries ++ packs.map(_.benchDefs).reduce(_ ++ _)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

@@ -196,17 +196,31 @@ object Dedup {
     * only ever touched by equi-keyed stages (the LSH band shuffle, the
     * candidate-bounded verify joins, the final anti-join on the loser
     * ids).
+    *
+    * Production knobs are threaded through, with scale-safe defaults:
+    * `maxBucketSize` caps hot band buckets at 1000 members (a b-member
+    * bucket yields b² candidate pairs — one boilerplate bucket would
+    * otherwise dominate the whole job; pass `None` to disable),
+    * `hashFamily` selects the minhash base hash, and `checkpointDir`
+    * makes the label-propagation loop survive executor loss (see
+    * [[clusters]]).
     */
   def dropNearDuplicates(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       minJaccard: Double = 0.4,
-      maxIter: Int = 20
+      maxIter: Int = 20,
+      maxBucketSize: Option[Int] = Some(1000),
+      hashFamily: HashFamily = HashFamily.Md5,
+      checkpointDir: Option[String] = None
   ): DataFrame = {
     val verified = verifyCandidates(
-      minhashCandidates(docs, idCol, textCol), docs, idCol, textCol, minJaccard = minJaccard)
-    val labels = clusters(verified.select(col("doc1"), col("doc2")), "doc1", "doc2", maxIter)
+      minhashCandidates(docs, idCol, textCol,
+        maxBucketSize = maxBucketSize, hashFamily = hashFamily),
+      docs, idCol, textCol, minJaccard = minJaccard)
+    val labels =
+      clusters(verified.select(col("doc1"), col("doc2")), "doc1", "doc2", maxIter, checkpointDir)
     val losers = labels.filter(col("node") =!= col("label")).select(col("node").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
   }
@@ -328,10 +342,21 @@ object Dedup {
     * diameter) rounds — near-dup clusters are shallow (duplicates of a
     * common source), so a handful of rounds suffices at any scale. The
     * iterate-until-fixpoint loop is driver-COORDINATED but never
-    * driver-MATERIALIZED: the convergence check ships one count, and
-    * `localCheckpoint` truncates lineage each round so plans stay flat;
-    * each round's superseded checkpoint is unpersisted immediately
-    * (not left for the ContextCleaner).
+    * driver-MATERIALIZED: the convergence check ships one count, and a
+    * per-round checkpoint truncates lineage so plans stay flat; each
+    * round's superseded checkpoint is unpersisted immediately (not left
+    * for the ContextCleaner).
+    *
+    * Durability: by default rounds are `localCheckpoint`ed — blocks
+    * live on executors, so losing ONE executor mid-iteration kills the
+    * job (lineage is truncated, the blocks are unrecomputable). Fine on
+    * local[n]; on a real cluster running an hours-long labeling job,
+    * pass `checkpointDir` (HDFS/S3) to use RELIABLE `checkpoint()`
+    * instead: each round persists to the shared store and survives any
+    * executor loss, at the cost of one distributed write per round —
+    * cheap, since the frame is (node, label) pairs, not the corpus.
+    * Superseded reliable checkpoint files are left for the configured
+    * cleaner (`spark.cleaner.referenceTracking.cleanCheckpoints`).
     *
     * Non-convergence is an ERROR, not a silent partial answer: labels
     * stopped mid-propagation would deduplicate wrongly downstream.
@@ -339,19 +364,29 @@ object Dedup {
     * nearby ids, so a near-dup run across the id space forms a path)
     * can exceed a small diameter — raise `maxIter` for such graphs.
     */
-  def clusters(pairs: DataFrame, id1: String = "doc1", id2: String = "doc2", maxIter: Int = 20): DataFrame = {
+  def clusters(
+      pairs: DataFrame,
+      id1: String = "doc1",
+      id2: String = "doc2",
+      maxIter: Int = 20,
+      checkpointDir: Option[String] = None
+  ): DataFrame = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    // reliable (survives executor loss) vs local (fast, executor-pinned)
+    def ckpt(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     // materialize the edge list once — it is re-read every round, and
     // without this the (possibly expensive) candidate-pair plan above it
     // would re-execute per iteration
-    val edges = pairs
-      .select(col(id1).as("a"), col(id2).as("b"))
-      .union(pairs.select(col(id2).as("a"), col(id1).as("b")))
-      .localCheckpoint()
-    var labels = edges
-      .select(col("a").as("node"))
-      .distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
+    val edges = ckpt(
+      pairs
+        .select(col(id1).as("a"), col(id2).as("b"))
+        .union(pairs.select(col(id2).as("a"), col(id1).as("b"))))
+    var labels = ckpt(
+      edges
+        .select(col("a").as("node"))
+        .distinct()
+        .withColumn("label", col("node")))
     // `maxIter` bounds label-CHANGING rounds: a diameter-d component
     // needs d changing rounds, and the zero-change confirmation round
     // after the last change is free — so maxIter = 20 fully resolves

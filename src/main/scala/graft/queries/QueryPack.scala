@@ -17,4 +17,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 trait QueryPack {
   def defs: Map[String, (SparkSession, String) => DataFrame]
   def oracles: Map[String, String]
+
+  /** Bench-only queries: run and timed by `graft.Bench`, excluded from the
+    * driver's oracle gate (`graft.Verify`). For production-hash variants of
+    * oracle-green queries (xxhash64 has no DuckDB mirror) whose value
+    * identity is spec-pinned instead.
+    */
+  def benchDefs: Map[String, (SparkSession, String) => DataFrame] = Map.empty
 }

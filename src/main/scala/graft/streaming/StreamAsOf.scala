@@ -26,9 +26,12 @@ import java.sql.Timestamp
   *   - a ListState of left events awaiting finalization,
   * plus one live timer at the earliest pending left. When the timer
   * fires (watermark passed it), every sealed left is matched and
-  * emitted, and rights older than the latest right at-or-below the
-  * watermark are evicted — older entries can never win an as-of race
-  * again. State per key is therefore bounded by ONE carry entry plus
+  * emitted. Rights older than the latest right at-or-below the
+  * watermark are evicted EVERY batch, whether or not any left is
+  * pending — older entries can never win an as-of race again, and a
+  * key receiving only right-side updates (a ticker nobody queries)
+  * must stay bounded too. State per key is therefore bounded by ONE
+  * carry entry plus
   * the in-flight rows inside the watermark delay, regardless of
   * stream length: the property that lets this run forever at 100 TB/day.
   */
@@ -94,11 +97,28 @@ object StreamAsOf {
       }.toArray
       pending.clear()
       open.foreach(pending.appendValue)
-      // carry = latest right <= watermark; strictly older rights are dead
-      val carryIdx = rightArr.lastIndexWhere(_._1 <= wmMs)
-      if (carryIdx > 0) rightArr.take(carryIdx).foreach(r => rights.removeKey(r._1))
       if (open.nonEmpty) rearm(math.max(open.map(_.tsMs).min, wmMs + 1))
       out.iterator
+    }
+
+    /** Evict rights that can never win an as-of race again: everything
+      * strictly older than the carry (= latest right at-or-below the
+      * watermark). Runs EVERY batch, after [[drain]] — independent of
+      * whether any left is pending, so a key receiving only right-side
+      * updates stays bounded instead of accumulating state forever.
+      * (Lefts with ts <= watermark are late data, dropped upstream, so
+      * no future left can need a pre-carry right.)
+      */
+    private def pruneRights(wmMs: Long): Unit = {
+      var carry = Long.MinValue
+      rights.iterator().foreach { p =>
+        if (p._1 <= wmMs && p._1 > carry) carry = p._1
+      }
+      if (carry != Long.MinValue) {
+        // snapshot keys first: no structural mutation mid-iteration
+        val dead = rights.iterator().map(_._1).filter(_ < carry).toArray
+        dead.foreach(rights.removeKey)
+      }
     }
 
     override def handleInputRows(
@@ -112,6 +132,7 @@ object StreamAsOf {
       }
       val wm = tv.getCurrentWatermarkInMs()
       val out = drain(key, wm)
+      pruneRights(wm)
       // always keep one timer ahead of the earliest pending left so a
       // batch with no rows for this key still finalizes it
       val stillPending = pending.get()
@@ -124,8 +145,12 @@ object StreamAsOf {
         key: String,
         tv: TimerValues,
         expired: ExpiredTimerInfo
-    ): Iterator[Out] =
-      drain(key, tv.getCurrentWatermarkInMs())
+    ): Iterator[Out] = {
+      val wm = tv.getCurrentWatermarkInMs()
+      val out = drain(key, wm)
+      pruneRights(wm)
+      out
+    }
   }
 
   /** Wire the operator onto a watermarked, union-tagged stream (build

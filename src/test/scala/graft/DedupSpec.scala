@@ -88,6 +88,33 @@ class DedupSpec extends SparkSpec {
     assert(ok.values.toSet == Set(0L) && ok.size == 13)
   }
 
+  test("clusters: reliable checkpoint path yields identical labels to localCheckpoint") {
+    // the durability knob must not change semantics — same pair graph,
+    // both checkpoint modes, identical label maps
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L), (4L, 8L), (8L, 9L)).toDF("doc1", "doc2")
+    val local = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val reliable =
+      Dedup.clusters(pairs, checkpointDir = Some(dir)).as[(Long, Long)].collect().toMap
+    assert(reliable == local)
+    // the reliable path really did write to the shared store
+    assert(new java.io.File(dir).listFiles().nonEmpty, "no reliable checkpoint written")
+  }
+
+  test("dropNearDuplicates threads the hot-bucket cap through to candidate generation") {
+    // four identical docs share every band bucket (bucket size 4): with
+    // the cap below 4 no candidates form and nothing is dropped; with
+    // the default cap the three higher ids are removed
+    val clones = (1L to 4L).map(i => (i, base)).toDF("doc_id", "text")
+    val capped = Dedup
+      .dropNearDuplicates(clones, "doc_id", "text", maxBucketSize = Some(3))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(capped == Set(1L, 2L, 3L, 4L), s"cap=3 should suppress the bucket, got $capped")
+    val default = Dedup.dropNearDuplicates(clones, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(default == Set(1L), s"default cap keeps the smallest id only, got $default")
+  }
+
   test("simhash: identical docs share a fingerprint, near dups are close in hamming") {
     val fp = Dedup.simhash(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap

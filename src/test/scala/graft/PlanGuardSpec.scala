@@ -11,7 +11,7 @@ class PlanGuardSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   private def physical(name: String): String =
-    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+    SparkEntry.benchQueries(name)(spark, dir).queryExecution.executedPlan.toString
 
   test("filters and projections are pushed to the parquet scan") {
     val plan = physical("q_filter_project")
@@ -34,7 +34,7 @@ class PlanGuardSpec extends SparkSpec {
     // sides unbroadcast) is never acceptable. SortAggregate means some
     // aggregate buffer type kicked the whole Aggregate off the hash
     // path (see RewriteArgExtremum) — also never acceptable here.
-    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+    SparkEntry.benchQueries.keys.toSeq.sorted.foreach { name =>
       val plan = physical(name)
       assert(
         !plan.contains("CartesianProduct"),

@@ -69,4 +69,32 @@ class StreamAsOfSpec extends SparkSpec {
       assert(rows.length == 1 && rows(0).getAs[Double]("right_value") == 5.0)
     } finally q.stop()
   }
+
+  test("a rights-only key is pruned every batch — state stays bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[In]
+    val ckpt = java.nio.file.Files.createTempDirectory("asof_ckpt").toString
+    val out = StreamAsOf(mem.toDF().withWatermark("ts", "0 seconds").as[In])
+    val q = out.writeStream.format("memory").queryName("asof_prune")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      // 30 right-side updates for key R, one per batch, never a left —
+      // each batch advances the watermark, so eviction must happen in
+      // handleInputRows (no pending left ever arms a timer for R)
+      (1 to 30).foreach { i =>
+        mem.addData(quote("R", f"2024-01-01 00:00:$i%02d", i.toDouble))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // read the operator's "rights" map state back from the checkpoint:
+    // bounded = carry (latest right <= wm) + rights above the watermark,
+    // NOT one entry per update ever received
+    val state = spark.read
+      .format("statestore")
+      .option("path", ckpt)
+      .option("stateVarName", "rights")
+      .load()
+    val n = state.count()
+    assert(n <= 3, s"rights-only key retains $n state entries after 30 updates — leak")
+  }
 }
