@@ -378,6 +378,33 @@ object PipelineQueries extends QueryPack {
         .pqTopK(emb.filter(col("vec_id") < 3), enc, "vec_id", "embedding", cbs, 5)
         .orderBy(col("query_id"), col("rank"))
     },
+    // IVF-PQ — the full FAISS composition: coarse cells (cosine
+    // assignment, the q_ann_ivf convention) + PQ over RESIDUALS
+    // (vec − centroid) + nprobe=2 ADC search. Deterministic, SQL-
+    // mirrorable model: centroids = vec_id < 8, residual codebooks =
+    // residuals of vec_id 8..15 sliced per subspace (float32 residuals
+    // — double-subtract-then-round matches zip_with float math both
+    // sides). Production trains with Similarity.trainIvfPq and
+    // re-ranks; recall floors in SkewAndIvfSpec.
+    "q_ann_ivfpq" -> { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val centroids = emb
+        .filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("centroid_id"), col("embedding").as("centroid_vec"))
+      val resSamples = Similarity
+        .assignCells(emb.filter(col("vec_id") >= 8 && col("vec_id") < 16), centroids, "embedding")
+        .join(broadcast(centroids), col("cell") === col("centroid_id"))
+        .orderBy(col("vec_id"))
+        .select(
+          zip_with(col("embedding"), col("centroid_vec"),
+            (x, c) => (x.cast("double") - c.cast("double")).cast("float")).as("res"))
+      val cbs = Similarity.codebooksFromRows(resSamples, "res", m = 4)
+      val enc = Similarity.ivfPqEncode(emb, "vec_id", "embedding", centroids, cbs)
+      Similarity
+        .ivfPqTopK(emb.filter(col("vec_id") < 3), enc, centroids, "vec_id", "embedding",
+          cbs, k = 5, nprobe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    },
     // int8 vector quantization: scale + code checksums per vector
     // (q_sum / q_max_abs pin the exact integer codes cross-engine)
     "q_embed_quantize" -> { (s, dir) =>
@@ -1159,6 +1186,73 @@ object PipelineQueries extends QueryPack {
         |SELECT query_id, neighbor_id, adist,
         |       ROW_NUMBER() OVER (PARTITION BY query_id
         |                          ORDER BY adist ASC, neighbor_id ASC) AS rank
+        |FROM adc QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    // IVF-PQ: cosine cell assignment (q_ann_ivf convention) + float32
+    // residuals (double-subtract-then-round == Spark's zip_with float
+    // math) + residual codebooks from rows 8..15 + L2 nprobe=2 probe +
+    // residual-space ADC, all mirrored expression-for-expression
+    "q_ann_ivfpq" ->
+      """WITH centroids AS (
+        |  SELECT CAST(vec_id AS INT) AS centroid_id, embedding AS cvec
+        |  FROM embeddings WHERE vec_id < 8),
+        |assign AS (
+        |  SELECT e.vec_id, e.embedding, c.centroid_id,
+        |         ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |           LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(e.embedding) + 1),
+        |             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE))) /
+        |           (SQRT(LIST_SUM(LIST_TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |            SQRT(LIST_SUM(LIST_TRANSFORM(c.cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC,
+        |           c.centroid_id) AS rn
+        |  FROM embeddings e CROSS JOIN centroids c),
+        |cells AS (SELECT vec_id, embedding, centroid_id AS cell FROM assign WHERE rn = 1),
+        |res AS (
+        |  SELECT s.vec_id, s.cell,
+        |         LIST_TRANSFORM(RANGE(1, LEN(s.embedding) + 1),
+        |           i -> CAST(CAST(s.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE) AS FLOAT)) AS r
+        |  FROM cells s JOIN centroids c ON c.centroid_id = s.cell),
+        |cw AS (
+        |  SELECT j.j, CAST(s.vec_id - 8 AS INT) AS c, s.r[j.j*16+1 : j.j*16+16] AS w
+        |  FROM (SELECT unnest(range(0,4)) AS j) j,
+        |       (SELECT vec_id, r FROM res WHERE vec_id >= 8 AND vec_id < 16) s),
+        |enc AS (
+        |  SELECT vec_id, cell, j, c AS code FROM (
+        |    SELECT r.vec_id, r.cell, cw.j, cw.c,
+        |           ROW_NUMBER() OVER (PARTITION BY r.vec_id, cw.j ORDER BY
+        |             LIST_SUM(LIST_TRANSFORM(RANGE(1, 17),
+        |               i -> (CAST(r.r[CAST(cw.j*16+i AS INT)] AS DOUBLE) -
+        |                     CAST(cw.w[CAST(i AS INT)] AS DOUBLE))
+        |                  * (CAST(r.r[CAST(cw.j*16+i AS INT)] AS DOUBLE) -
+        |                     CAST(cw.w[CAST(i AS INT)] AS DOUBLE)))) ASC,
+        |             cw.c ASC) AS rn
+        |    FROM res r, cw) WHERE rn = 1),
+        |qc AS (
+        |  SELECT query_id, qvec, cell, cvec FROM (
+        |    SELECT q.vec_id AS query_id, q.embedding AS qvec, c.centroid_id AS cell, c.cvec,
+        |           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |             LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(q.embedding) + 1),
+        |               i -> (CAST(q.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
+        |                  * (CAST(q.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)))) ASC,
+        |             c.centroid_id ASC) AS pr
+        |    FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) q
+        |    CROSS JOIN centroids c)
+        |  WHERE pr <= 2),
+        |adc AS (
+        |  SELECT qc.query_id, enc.vec_id AS neighbor_id,
+        |         ROUND(SUM(LIST_SUM(LIST_TRANSFORM(RANGE(1, 17),
+        |           i -> (CAST(qc.qvec[CAST(enc.j*16+i AS INT)] AS DOUBLE)
+        |                 - CAST(qc.cvec[CAST(enc.j*16+i AS INT)] AS DOUBLE)
+        |                 - CAST(cw.w[CAST(i AS INT)] AS DOUBLE))
+        |              * (CAST(qc.qvec[CAST(enc.j*16+i AS INT)] AS DOUBLE)
+        |                 - CAST(qc.cvec[CAST(enc.j*16+i AS INT)] AS DOUBLE)
+        |                 - CAST(cw.w[CAST(i AS INT)] AS DOUBLE))))), 6) AS adist
+        |  FROM qc
+        |  JOIN enc ON enc.cell = qc.cell AND enc.vec_id <> qc.query_id
+        |  JOIN cw ON cw.j = enc.j AND cw.c = enc.code
+        |  GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, adist,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |                               ORDER BY adist ASC, neighbor_id ASC) AS INT) AS rank
         |FROM adc QUALIFY rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
     "q_embed_quantize" ->
