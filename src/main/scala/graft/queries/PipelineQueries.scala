@@ -29,6 +29,14 @@ object PipelineQueries extends QueryPack {
         .simhash(Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
     },
+    // Hamming-banded simhash pairing: near-dups differing in <= 3
+    // fingerprint bits, found via the pigeonhole band join (no
+    // all-pairs scan) + exact bit_count verify
+    "q_dedup_simhash_near" -> { (s, dir) =>
+      Dedup
+        .simhashNearDup(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc1"), col("doc2"))
+    },
     // the whole near-dup removal pipeline in one call: candidates →
     // verify → components → keep the smallest id per cluster
     "q_dedup_apply" -> { (s, dir) =>
@@ -662,6 +670,30 @@ object PipelineQueries extends QueryPack {
         |       CAST(SUM(CASE WHEN s > 0 THEN CAST(POW(2, i - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS fingerprint
         |FROM bits GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+    // 32-bit fingerprint (md5 hex digits 1..32), then the pigeonhole
+    // band join ((fp >> 8b) & 255 over 4 bands) + bit_count verify
+    "q_dedup_simhash_near" ->
+      """WITH tok AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents),
+        |bits AS (
+        |  SELECT doc_id, i,
+        |         SUM(CASE WHEN SUBSTRING(MD5(t), i, 1) >= '8' THEN 1 ELSE -1 END) AS s
+        |  FROM tok CROSS JOIN (SELECT UNNEST(RANGE(1, 33)) AS i) g
+        |  GROUP BY doc_id, i),
+        |fp AS (
+        |  SELECT doc_id,
+        |         CAST(SUM(CASE WHEN s > 0 THEN CAST(POW(2, i - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS fingerprint
+        |  FROM bits GROUP BY doc_id),
+        |banded AS (
+        |  SELECT doc_id, fingerprint, g.b AS band_idx,
+        |         (fingerprint >> CAST(g.b * 8 AS INT)) & 255 AS band_bits
+        |  FROM fp CROSS JOIN (SELECT UNNEST(RANGE(0, 4)) AS b) g),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+        |         CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS INT) AS hamming
+        |  FROM banded a JOIN banded b
+        |    ON a.band_idx = b.band_idx AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 3)
+        |SELECT doc1, doc2, hamming FROM pairs ORDER BY doc1, doc2""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH d AS (
         |  SELECT doc_id, source, LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS toks

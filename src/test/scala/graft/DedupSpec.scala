@@ -123,6 +123,40 @@ class DedupSpec extends SparkSpec {
     assert(hamming <= 6, s"near-dup hamming was $hamming")
   }
 
+  test("simhashNearDup pairs near-dups within the hamming bound via band join") {
+    // 16-bit here to match the simhash() default the expected-set oracle
+    // below uses; also exercises the uneven band widths (16 bits over 7
+    // bands -> 3,3,2,2,2,2,2)
+    val pairs = Dedup.simhashNearDup(docs, "doc_id", "text", bits = 16, maxHamming = 6)
+      .select($"doc1", $"doc2", $"hamming").as[(Long, Long, Int)].collect()
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    // exact dup: hamming 0, always recalled (all bands agree)
+    assert(byPair.get((1L, 2L)).contains(0))
+    // one-word near dup: recalled with its true fingerprint distance
+    val fp = Dedup.simhash(docs, "doc_id", "text").as[(Long, Long)].collect().toMap
+    val trueHamming = java.lang.Long.bitCount(fp(1L) ^ fp(3L))
+    assert(byPair.get((1L, 3L)).contains(trueHamming))
+    // every reported pair respects the bound — banding false positives
+    // were verified away
+    assert(pairs.forall(_._3 <= 6))
+    // pigeonhole completeness on this corpus: every fingerprint pair
+    // within the bound is reported (no candidate was missed by banding)
+    val all = fp.keys.toSeq.sorted
+    val expected = (for {
+      a <- all; b <- all if a < b
+      if java.lang.Long.bitCount(fp(a) ^ fp(b)) <= 6
+    } yield (a, b)).toSet
+    assert(pairs.map(p => (p._1, p._2)).toSet == expected)
+  }
+
+  test("simhashNearDup maxBucketSize drops degenerate buckets") {
+    // many identical docs share every band bucket; cap below the clone
+    // count suppresses the bucket entirely
+    val clones = (1L to 5L).map(i => (i, base)).toDF("doc_id", "text")
+    val capped = Dedup.simhashNearDup(clones, "doc_id", "text", maxBucketSize = Some(4))
+    assert(capped.isEmpty)
+  }
+
   test("dropNearDuplicates keeps one doc per verified transitive cluster") {
     val base = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
     val docs = Seq(
