@@ -18,8 +18,15 @@ import org.apache.spark.sql.functions._
   * key, one in-partition sort by (ts, side), then carry the most recent
   * right payload forward with `last(..., ignoreNulls)` — O(n+m) rows
   * shuffled, zero join blow-up, and Catalyst plans it as a single
-  * Window over Exchange. Tie rule: a right row at exactly left.ts wins
-  * (right sorts before left on equal ts), matching DuckDB/kdb ASOF.
+  * Window over Exchange. Tie rules: a right row at exactly left.ts wins
+  * (right sorts before left on equal ts), matching DuckDB/kdb ASOF; and
+  * DUPLICATE right rows at the same (key, ts) resolve deterministically
+  * to the GREATEST payload struct (field-wise comparison over
+  * (matched right ts, payload...), i.e. SQL `max(struct)`) — without
+  * that sort key the winner would be partition-order dependent and
+  * could differ run to run. When the payload contains a non-orderable
+  * type (a map column), the tie-break cannot apply and uniqueness of
+  * right rows per (key, ts) becomes a caller precondition.
   *
   * At 100 TB the per-key history lives in ONE task's sort run; keys are
   * independent, so skew is bounded by the hottest single key (salt the
@@ -61,9 +68,17 @@ object AsOfJoin {
       keyCols.map(col) ++ leftRest.map(f => lit(null).cast(f.dataType).as(f.name)) ++
         Seq(col("__ts"), col("__side"), col("__p")): _*)
 
+    // deterministic tie-break among duplicate rights at one (key, ts):
+    // ascending payload struct puts the greatest last, so `last()` picks
+    // it. Skipped (precondition instead) for non-orderable payloads.
+    val tieBreak =
+      if (org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .isOrderable(r.schema("__p").dataType))
+        Seq(col("__p").asc_nulls_first)
+      else Seq.empty
     val w = Window
       .partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__ts").asc, col("__side").asc)
+      .orderBy(Seq(col("__ts").asc, col("__side").asc) ++ tieBreak: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = l.unionByName(rAligned)
       .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))

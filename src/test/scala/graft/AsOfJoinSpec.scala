@@ -48,6 +48,23 @@ class AsOfJoinSpec extends SparkSpec {
     assert(Option(out(1).getAs[Any]("bid")).contains(11.0)) // 0s stale survives
   }
 
+  test("duplicate right rows at one (key, ts) resolve to the greatest payload") {
+    // three quotes at the SAME instant: the winner must be the max
+    // payload struct (bid 30.0), every run — not partition-order luck
+    val dupQuotes = Seq(
+      ("X", t("2024-01-01 00:00:05"), 10.0),
+      ("X", t("2024-01-01 00:00:05"), 30.0),
+      ("X", t("2024-01-01 00:00:05"), 20.0)
+    ).toDF("sym", "qts", "bid")
+    val trade = Seq(("X", t("2024-01-01 00:00:06"), 1L)).toDF("sym", "tts", "trade_id")
+    (1 to 5).foreach { i =>
+      val bid = AsOfJoin
+        .asOf(trade, dupQuotes.repartition(8), Seq("sym"), "tts", "qts", Seq("bid"))
+        .select($"bid").as[Double].head()
+      assert(bid == 30.0, s"run $i picked $bid, not the greatest payload")
+    }
+  }
+
   test("plan is one keyed window over a union — no join operator at all") {
     val out = AsOfJoin.asOf(trades, quotes, Seq("sym"), "tts", "qts", Seq("bid"))
     out.collect() // finalize the AQE plan before inspecting it
