@@ -10,6 +10,7 @@ values normalized). Usage:
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -41,8 +42,13 @@ def main():
     only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
+        # driver testdata ships single files; ScaleUp writes Spark-style
+        # directories of part files — accept both
+        path = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+            f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     failed = []
     for name, sql in sorted(oracle.items()):
