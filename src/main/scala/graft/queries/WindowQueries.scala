@@ -373,15 +373,15 @@ object WindowQueries extends QueryPack {
         |ORDER BY window_start, event_type""".stripMargin,
     "q_window_session" ->
       """WITH marked AS (
-        |  SELECT event_type, ts,
+        |  SELECT event_type, ts, event_id,
         |         CASE WHEN LAG(ts) OVER w IS NULL
         |               OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
         |              THEN 1 ELSE 0 END AS new_s
         |  FROM events
-        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts)),
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
         |sess AS (
         |  SELECT event_type, ts,
-        |         SUM(new_s) OVER (PARTITION BY event_type ORDER BY ts
+        |         SUM(new_s) OVER (PARTITION BY event_type ORDER BY ts, event_id
         |                          ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM marked)
         |SELECT MIN(ts) AS window_start,
