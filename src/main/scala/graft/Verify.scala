@@ -16,6 +16,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // a reused outDir may hold results for queries that no longer exist
+    // (e.g. ones moved to the bench-only registry) — remove them so the
+    // driver's compare never reads a stale row
+    Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("q_")
+        && !SparkEntry.queries.contains(f.getName))
+      .foreach { dir =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete()
+        }
+        System.err.println(s"[verify] removing stale result ${dir.getName}")
+        rm(dir)
+      }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
