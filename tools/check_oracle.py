@@ -47,6 +47,17 @@ def main():
         path = f"{sfdir}/{t}.parquet"
         if os.path.isdir(path):
             path = f"{path}/*.parquet"
+        if t == "events":
+            # driver testdata: TIMESTAMP(NANOS), DuckDB reads natively;
+            # ScaleUp output: raw INT64 nanos (the Tables.load contract) —
+            # apply the same ns->us truncation Tables.load does
+            typ = con.execute(
+                f"SELECT typeof(ts) FROM '{path}' LIMIT 1").fetchone()[0]
+            if typ == "BIGINT":
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * REPLACE "
+                    f"(make_timestamp(ts // 1000) AS ts) FROM '{path}'")
+                continue
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
