@@ -28,6 +28,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // static conf, default 100: an 84-query suite generates far more
+      // codegen'd classes than that, so the LRU thrashes and queries
+      // re-compile classes the suite already built
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
