@@ -90,6 +90,42 @@ object Dedup {
       maxBucketSize: Option[Int] = None,
       hashFamily: HashFamily = HashFamily.Md5
   ): DataFrame = {
+    val banded =
+      bandedKeys(df, idCol, textCol, numHashes, bands, shingleSize, maxBucketSize, hashFamily)
+    // self-join on the banded signatures: pin ONE exchange on the band
+    // key so both join inputs are GUARANTEED to consume the same
+    // runtime shuffle stage — without the pin, reuse depends on both
+    // branches canonicalizing identically after per-branch filter
+    // pushdown, which is exactly what silently broke in
+    // substringDupStats (a re-run of the whole signature pipeline)
+    val bandedPart = banded.repartition(col("band_idx"), col("band_hash"))
+    bandedPart
+      .alias("a")
+      .join(
+        bandedPart.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col(s"a.$idCol") < col(s"b.$idCol")
+      )
+      .select(col(s"a.$idCol").as("doc1"), col(s"b.$idCol").as("doc2"))
+      .distinct()
+  }
+
+  /** Shared LSH banding stage: (id, band_idx, band_hash) per document —
+    * minhash signature → bands, with the optional hot-bucket cap.
+    * Consumed by the corpus self-join ([[minhashCandidates]]) and the
+    * incremental cross-join ([[minhashCandidatesAgainst]]).
+    */
+  private def bandedKeys(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int,
+      bands: Int,
+      shingleSize: Int,
+      maxBucketSize: Option[Int],
+      hashFamily: HashFamily
+  ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
     val sh = df
@@ -123,7 +159,7 @@ object Dedup {
     // so one boilerplate-heavy bucket can dominate the whole job. Buckets
     // over the cap are dropped here (route them to exact dedup instead —
     // members that similar share a content hash anyway).
-    val banded = maxBucketSize.fold(banded0) { cap =>
+    maxBucketSize.fold(banded0) { cap =>
       val sizes = banded0
         .groupBy(col("band_idx"), col("band_hash"))
         .agg(count(lit(1)).as("__bsize"))
@@ -131,23 +167,73 @@ object Dedup {
         .drop("__bsize")
       banded0.join(sizes, Seq("band_idx", "band_hash"), "left_semi")
     }
-    // self-join on the banded signatures: pin ONE exchange on the band
-    // key so both join inputs are GUARANTEED to consume the same
-    // runtime shuffle stage — without the pin, reuse depends on both
-    // branches canonicalizing identically after per-branch filter
-    // pushdown, which is exactly what silently broke in
-    // substringDupStats (a re-run of the whole signature pipeline)
-    val bandedPart = banded.repartition(col("band_idx"), col("band_hash"))
-    bandedPart
-      .alias("a")
+  }
+
+  /** INCREMENTAL near-dup candidates: pair each NEW document against the
+    * EXISTING corpus — the continuous-ingestion shape. The corpus is
+    * already deduplicated, so re-running the self-join over
+    * corpus ∪ batch would re-pair the whole corpus with itself for
+    * nothing; here each side is banded independently and the join is
+    * new×corpus ONLY: cost scales with |batch| + the touched corpus
+    * buckets, not |corpus|². At 100 TB the corpus banding is computed
+    * once per batch cadence (or maintained as a banded-signature table)
+    * while the batch side is small. Ids must be distinct across the two
+    * inputs. Output: (new_id, corpus_id).
+    */
+  def minhashCandidatesAgainst(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      shingleSize: Int = 3,
+      maxBucketSize: Option[Int] = None,
+      hashFamily: HashFamily = HashFamily.Md5
+  ): DataFrame = {
+    val bn =
+      bandedKeys(newDocs, idCol, textCol, numHashes, bands, shingleSize, maxBucketSize, hashFamily)
+        .repartition(col("band_idx"), col("band_hash"))
+    val bc =
+      bandedKeys(corpus, idCol, textCol, numHashes, bands, shingleSize, maxBucketSize, hashFamily)
+        .repartition(col("band_idx"), col("band_hash"))
+    bn.alias("n")
       .join(
-        bandedPart.alias("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col(s"a.$idCol") < col(s"b.$idCol")
-      )
-      .select(col(s"a.$idCol").as("doc1"), col(s"b.$idCol").as("doc2"))
+        bc.alias("c"),
+        col("n.band_idx") === col("c.band_idx") &&
+          col("n.band_hash") === col("c.band_hash"))
+      .select(col(s"n.$idCol").as("new_id"), col(s"c.$idCol").as("corpus_id"))
       .distinct()
+  }
+
+  /** One-call INCREMENTAL dedup: drop every new document that is a
+    * verified near-duplicate of the existing corpus. Candidates from
+    * [[minhashCandidatesAgainst]], exact shingle-Jaccard confirm, then
+    * an anti-join on the condemned new ids — the corpus is canonical
+    * and never modified, so no cluster labeling is needed (a new doc
+    * matching ANY corpus doc is dropped). Within-batch duplicates are
+    * NOT removed here — run [[dropNearDuplicates]] on the surviving
+    * batch (bounded by the batch size, not the corpus) if ingestion
+    * batches can self-duplicate.
+    */
+  def dropIncrementalDuplicates(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      minJaccard: Double = 0.4,
+      maxBucketSize: Option[Int] = Some(1000),
+      hashFamily: HashFamily = HashFamily.Md5
+  ): DataFrame = {
+    val cands = minhashCandidatesAgainst(
+      newDocs, corpus, idCol, textCol,
+      maxBucketSize = maxBucketSize, hashFamily = hashFamily)
+      .select(col("new_id").as("doc1"), col("corpus_id").as("doc2"))
+    val both = newDocs.select(col(idCol), col(textCol))
+      .union(corpus.select(col(idCol), col(textCol)))
+    val verified = verifyCandidates(cands, both, idCol, textCol, minJaccard = minJaccard)
+    val losers = verified.select(col("doc1").as(idCol)).distinct()
+    newDocs.join(losers, Seq(idCol), "left_anti")
   }
 
   /** Exact-Jaccard VERIFICATION of candidate pairs — the confirm step

@@ -45,6 +45,18 @@ object PipelineQueries extends QueryPack {
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
     },
+    // incremental ingestion dedup: odd doc_ids are the arriving batch,
+    // even doc_ids the existing (canonical) corpus — new docs that
+    // verify as near-dups of the corpus are dropped, corpus untouched
+    "q_dedup_incremental" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      Dedup
+        .dropIncrementalDuplicates(
+          d.filter(col("doc_id") % 2 === 1), d.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
     // the LSH confirm step: exact shingle-set Jaccard over the minhash
     // candidates, banding false positives dropped
     "q_dedup_verified" -> { (s, dir) =>
@@ -611,6 +623,64 @@ object PipelineQueries extends QueryPack {
          |SELECT d.doc_id, d.source
          |FROM documents d LEFT JOIN losers l ON d.doc_id = l.node
          |WHERE l.node IS NULL
+         |ORDER BY d.doc_id""".stripMargin
+    },
+    // incremental dedup: same signature construction, split into batch
+    // (odd ids) and corpus (even ids) band sets, cross-joined only —
+    // no corpus self-pairing; per-side bucket caps mirror the Spark
+    // maxBucketSize default
+    "q_dedup_incremental" -> {
+      val mins = (1 to 16)
+        .map(j => s"MIN((h1 + $j*h2) % 4294967296) AS m$j")
+        .mkString(",\n        ")
+      val bandCase = (0 until 4)
+        .map { b =>
+          val hs = (1 to 4)
+            .map(r => s"CAST(m${b * 4 + r} AS VARCHAR)")
+            .mkString(" || '|' || ")
+          s"WHEN $b THEN MD5($hs)"
+        }
+        .mkString(" ")
+      s"""WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+         |sh AS (SELECT doc_id,
+         |              UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(t) - 1, 2)),
+         |                     i -> ARRAY_TO_STRING(t[i:i+2], ' '))) AS shingle
+         |       FROM toks),
+         |hx AS (SELECT doc_id,
+         |              CAST('0x' || SUBSTRING(MD5(shingle), 1, 8) AS BIGINT) AS h1,
+         |              CAST('0x' || SUBSTRING(MD5(shingle), 9, 8) AS BIGINT) AS h2
+         |       FROM sh),
+         |sig AS (SELECT doc_id, $mins
+         |        FROM hx GROUP BY doc_id),
+         |bands0 AS (SELECT doc_id, band_idx,
+         |                  CASE band_idx $bandCase END AS band_hash
+         |           FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) b(band_idx)),
+         |bn0 AS (SELECT * FROM bands0 WHERE doc_id % 2 = 1),
+         |bc0 AS (SELECT * FROM bands0 WHERE doc_id % 2 = 0),
+         |bn AS (SELECT b.* FROM bn0 b JOIN (SELECT band_idx, band_hash FROM bn0
+         |        GROUP BY band_idx, band_hash HAVING COUNT(*) <= 1000) k USING (band_idx, band_hash)),
+         |bc AS (SELECT b.* FROM bc0 b JOIN (SELECT band_idx, band_hash FROM bc0
+         |        GROUP BY band_idx, band_hash HAVING COUNT(*) <= 1000) k USING (band_idx, band_hash)),
+         |cand AS (SELECT DISTINCT n.doc_id AS doc1, c.doc_id AS doc2
+         |         FROM bn n JOIN bc c
+         |           ON n.band_idx = c.band_idx AND n.band_hash = c.band_hash),
+         |shs AS (SELECT doc_id,
+         |               LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(t) - 1, 2)),
+         |                      i -> ARRAY_TO_STRING(t[i:i+2], ' '))) AS s
+         |        FROM toks),
+         |verified AS (
+         |  SELECT doc1 FROM (
+         |    SELECT p.doc1, p.doc2,
+         |           ROUND(LEN(LIST_INTERSECT(a.s, b.s)) * 1.0 /
+         |                 LEN(LIST_DISTINCT(LIST_CONCAT(a.s, b.s))), 6) AS jaccard
+         |    FROM cand p
+         |    JOIN shs a ON a.doc_id = p.doc1
+         |    JOIN shs b ON b.doc_id = p.doc2)
+         |  WHERE jaccard >= 0.4),
+         |losers AS (SELECT DISTINCT doc1 AS node FROM verified)
+         |SELECT d.doc_id, d.source
+         |FROM documents d LEFT JOIN losers l ON d.doc_id = l.node
+         |WHERE d.doc_id % 2 = 1 AND l.node IS NULL
          |ORDER BY d.doc_id""".stripMargin
     },
     // minhash candidates (same construction as q_dedup_minhash) +

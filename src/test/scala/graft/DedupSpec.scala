@@ -170,6 +170,21 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(10L, 20L), s"expected cluster collapse to smallest id, got $kept")
   }
 
+  test("incremental dedup drops new docs matching the corpus, keeps novel ones") {
+    val corpus = Seq((100L, base)).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, base.replace("oscar", "OSCAR")), // near-dup of corpus doc 100
+      (2L, "entirely new material about adaptive query execution in spark engines today")
+    ).toDF("doc_id", "text")
+    val cands = Dedup.minhashCandidatesAgainst(batch, corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((1L, 100L)))
+    assert(!cands.exists(_._1 == 2L), "novel doc must not pair with the corpus")
+    val kept = Dedup.dropIncrementalDuplicates(batch, corpus, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L), s"only the novel doc survives, got $kept")
+  }
+
   test("native SimHashText is bit-identical to the composed explode+agg form") {
     import org.apache.spark.sql.functions.not
     val tricky = docs.union(Seq(
