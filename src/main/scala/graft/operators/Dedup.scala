@@ -190,13 +190,51 @@ object Dedup {
       shingleSize: Int = 3,
       maxBucketSize: Option[Int] = None,
       hashFamily: HashFamily = HashFamily.Md5
+  ): DataFrame =
+    candidatesAgainstBanded(
+      newDocs,
+      bandedSignatures(corpus, idCol, textCol, numHashes, bands, shingleSize,
+        maxBucketSize, hashFamily),
+      idCol, textCol, numHashes, bands, shingleSize, maxBucketSize, hashFamily)
+
+  /** The corpus band table of [[minhashCandidatesAgainst]], exposed so a
+    * batch-cadence pipeline computes it ONCE and reuses it: persist with
+    * [[graft.sources.Bucketing.materialize]] on (band_idx, band_hash)
+    * (or plain parquet) and each arriving batch joins against the stored
+    * table instead of re-shingling the 100 TB corpus per batch. Columns:
+    * (idCol, band_idx, band_hash).
+    */
+  def bandedSignatures(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      shingleSize: Int = 3,
+      maxBucketSize: Option[Int] = None,
+      hashFamily: HashFamily = HashFamily.Md5
+  ): DataFrame =
+    bandedKeys(docs, idCol, textCol, numHashes, bands, shingleSize, maxBucketSize, hashFamily)
+
+  /** [[minhashCandidatesAgainst]] with a precomputed (possibly persisted)
+    * corpus band table from [[bandedSignatures]] — band parameters must
+    * match the ones the table was built with.
+    */
+  def candidatesAgainstBanded(
+      newDocs: DataFrame,
+      bandedCorpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      shingleSize: Int = 3,
+      maxBucketSize: Option[Int] = None,
+      hashFamily: HashFamily = HashFamily.Md5
   ): DataFrame = {
     val bn =
       bandedKeys(newDocs, idCol, textCol, numHashes, bands, shingleSize, maxBucketSize, hashFamily)
         .repartition(col("band_idx"), col("band_hash"))
-    val bc =
-      bandedKeys(corpus, idCol, textCol, numHashes, bands, shingleSize, maxBucketSize, hashFamily)
-        .repartition(col("band_idx"), col("band_hash"))
+    val bc = bandedCorpus.repartition(col("band_idx"), col("band_hash"))
     bn.alias("n")
       .join(
         bc.alias("c"),

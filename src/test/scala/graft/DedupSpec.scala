@@ -183,6 +183,14 @@ class DedupSpec extends SparkSpec {
     val kept = Dedup.dropIncrementalDuplicates(batch, corpus, "doc_id", "text")
       .select($"doc_id").as[Long].collect().toSet
     assert(kept == Set(2L), s"only the novel doc survives, got $kept")
+    // a persisted corpus band table (the batch-cadence shape) yields the
+    // same candidates as banding the corpus inline
+    val dir = java.nio.file.Files.createTempDirectory("graft_bands").toString
+    Dedup.bandedSignatures(corpus, "doc_id", "text").write.mode("overwrite").parquet(dir)
+    val viaTable = Dedup
+      .candidatesAgainstBanded(batch, spark.read.parquet(dir), "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(viaTable == cands)
   }
 
   test("native SimHashText is bit-identical to the composed explode+agg form") {
