@@ -216,6 +216,94 @@ object Dedup {
   ): DataFrame =
     bandedKeys(docs, idCol, textCol, numHashes, bands, shingleSize, maxBucketSize, hashFamily)
 
+  /** Per-ROW banding: the same minhash math as [[bandedSignatures]] but
+    * computed with array folds (`array_min` over per-shingle hash
+    * arrays) instead of explode + groupBy(id). Batch paths use the
+    * aggregation form — it stays in whole-stage codegen and measured
+    * 15–40% faster (higher-order lambdas evaluate interpreted) — but a
+    * STREAM cannot run a keyed aggregation without watermark-delayed
+    * emission, and this form is pure per-row column math: it bands each
+    * micro-batch row immediately. Band values are bit-identical to the
+    * aggregation form (spec-pinned in DedupSpec).
+    */
+  private[graft] def bandedKeysPerRow(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int,
+      bands: Int,
+      shingleSize: Int,
+      hashFamily: HashFamily
+  ): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    val sh = df.select(col(idCol), shinglesNative(col(textCol), shingleSize).as("__sh"))
+    val hashed = hashFamily match {
+      case HashFamily.Md5 =>
+        sh.withColumn("__hx", transform(col("__sh"), s => md5(s.cast("binary"))))
+          .withColumn("__h1",
+            transform(col("__hx"), x => conv(substring(x, 1, 8), 16, 10).cast("long")))
+          .withColumn("__h2",
+            transform(col("__hx"), x => conv(substring(x, 9, 8), 16, 10).cast("long")))
+      case HashFamily.XxHash64 => sh
+    }
+    val sigCols = (1 to numHashes).map { j =>
+      val hj = hashFamily match {
+        case HashFamily.Md5 =>
+          array_min(zip_with(col("__h1"), col("__h2"),
+            (a, b) => (a + lit(j.toLong) * b) % lit(4294967296L)))
+        case HashFamily.XxHash64 =>
+          array_min(transform(col("__sh"), s => xxhash64(s, lit(j))))
+      }
+      hj.as(s"h$j")
+    }
+    val sig = hashed.select(col(idCol) +: sigCols: _*)
+    val bandArray = array((0 until bands).map { b =>
+      val bandCols = (1 to rows).map(r => col(s"h${b * rows + r}"))
+      hashFamily match {
+        case HashFamily.Md5 =>
+          md5(concat_ws("|", bandCols.map(_.cast("string")): _*).cast("binary"))
+        case HashFamily.XxHash64 => xxhash64(bandCols: _*).cast("string")
+      }
+    }: _*)
+    sig.select(col(idCol), posexplode(bandArray).as(Seq("band_idx", "band_hash")))
+  }
+
+  /** STREAMING incremental near-dup candidates: band each arriving
+    * document per row ([[bandedKeysPerRow]] — no aggregation, so no
+    * watermark delay) and stream-static join it against a persisted
+    * corpus band table from [[bandedSignatures]]. The static side is
+    * read fresh per micro-batch by Spark's stream-static join; bucket
+    * it on (band_idx, band_hash) to keep the per-batch join
+    * exchange-free. A pair that matches in several bands is emitted
+    * once per matching band (dedup downstream — `distinct` would be a
+    * stateful streaming aggregation); verification/drop runs in
+    * `foreachBatch`, where the batch API ([[verifyCandidates]],
+    * [[dropIncrementalDuplicates]]) applies directly.
+    */
+  def streamingIncrementalCandidates(
+      streamDocs: DataFrame,
+      bandedCorpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      shingleSize: Int = 3,
+      hashFamily: HashFamily = HashFamily.Md5
+  ): DataFrame = {
+    require(streamDocs.isStreaming, "use minhashCandidatesAgainst for batch inputs")
+    bandedKeysPerRow(streamDocs, idCol, textCol, numHashes, bands, shingleSize, hashFamily)
+      .alias("n")
+      .join(
+        bandedCorpus.alias("c"),
+        col("n.band_idx") === col("c.band_idx") &&
+          col("n.band_hash") === col("c.band_hash"))
+      .select(
+        col(s"n.$idCol").as("new_id"),
+        col(s"c.$idCol").as("corpus_id"),
+        col("n.band_idx").as("band_idx"))
+  }
+
   /** [[minhashCandidatesAgainst]] with a precomputed (possibly persisted)
     * corpus band table from [[bandedSignatures]] — band parameters must
     * match the ones the table was built with.

@@ -193,6 +193,43 @@ class DedupSpec extends SparkSpec {
     assert(viaTable == cands)
   }
 
+  test("per-row band computation is bit-identical to the aggregation form") {
+    // the streaming path bands per row (array folds); batch bands via
+    // explode+agg — same (id, band_idx, band_hash) sets, both families
+    Seq(HashFamily.Md5, HashFamily.XxHash64).foreach { fam =>
+      val agg = Dedup.bandedSignatures(docs, "doc_id", "text", hashFamily = fam)
+        .as[(Long, Int, String)].collect().toSet
+      val perRow = Dedup
+        .bandedKeysPerRow(docs, "doc_id", "text",
+          numHashes = 16, bands = 4, shingleSize = 3, hashFamily = fam)
+        .as[(Long, Int, String)].collect().toSet
+      assert(perRow == agg, s"band mismatch for $fam")
+    }
+  }
+
+  test("streaming incremental candidates flag corpus near-dups per micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((100L, base)).toDF("doc_id", "text")
+    val bandedCorpus = Dedup.bandedSignatures(corpus, "doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val streamDocs = mem.toDF().toDF("doc_id", "text")
+    val out = Dedup.streamingIncrementalCandidates(streamDocs, bandedCorpus, "doc_id", "text")
+    val q = out.writeStream.format("memory").queryName("inc_cands")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, base.replace("oscar", "OSCAR")), // near-dup of corpus doc
+        (2L, "entirely new material about adaptive query execution in spark engines today"))
+      q.processAllAvailable()
+      val got = spark.table("inc_cands")
+        .select($"new_id", $"corpus_id").distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(got.contains((1L, 100L)))
+      assert(!got.exists(_._1 == 2L), "novel doc must not match the corpus")
+    } finally q.stop()
+  }
+
   test("native SimHashText is bit-identical to the composed explode+agg form") {
     import org.apache.spark.sql.functions.not
     val tricky = docs.union(Seq(
