@@ -144,6 +144,25 @@ object Similarity {
       idCol: String,
       vecCol: String,
       codebooks: Seq[Array[Array[Float]]]
+  ): DataFrame =
+    df.select(
+      col(idCol),
+      org.apache.spark.sql.graftbridge.ColumnBridge
+        .column(graft.functions.PqEncode(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col(vecCol)),
+          codebooks))
+        .as("pq_code"))
+
+  /** The composed (literal-array fold) twin of
+    * [[graft.functions.PqEncode]] — the executable value-identity
+    * contract for the spec; not the hot path (the struct-accumulator
+    * lambda evaluates interpreted per codeword).
+    */
+  private[graft] def pqEncodeComposed(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: Seq[Array[Array[Float]]]
   ): DataFrame = {
     val m = codebooks.length
     val sub = codebooks.head.head.length
@@ -188,14 +207,14 @@ object Similarity {
       reRank: Int = 0,
       vecCol: String = "embedding"
   ): DataFrame = {
-    val m = codebooks.length
-    val sub = codebooks.head.head.length
     val q = queries.select(col(idCol).as("query_id"), col(qVecCol).as("qvec"))
-    val dist = (0 until m).map { j =>
-      val subQ = slice(col("qvec"), j * sub + 1, sub)
-      val cb = typedlit(codebooks(j).map(_.toSeq).toSeq) // array<array<float>>
-      sqDist(subQ, element_at(cb, element_at(col("pq_code"), j + 1) + 1))
-    }.reduce(_ + _)
+    val dist = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.PqAdcDistance(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("qvec")),
+        org.apache.spark.sql.catalyst.expressions.Literal(null,
+          org.apache.spark.sql.types.NullType),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("pq_code")),
+        codebooks))
     val w = Window.partitionBy(col("query_id")).orderBy(col("adist").asc, col(idCol))
     val byAdc = encoded
       .join(broadcast(q), col("query_id") =!= col(idCol))
@@ -277,8 +296,6 @@ object Similarity {
       reRank: Int = 0,
       vecCol: String = "embedding"
   ): DataFrame = {
-    val m = codebooks.length
-    val sub = codebooks.head.head.length
     // nprobe nearest cells per query (tiny: queries × nlist)
     val qCells = queries
       .select(col(idCol).as("query_id"), col(qVecCol).as("qvec"))
@@ -289,14 +306,12 @@ object Similarity {
       .filter(col("__r") <= nprobe)
       .select(col("query_id"), col("qvec"), col("centroid_id").as("cell"),
         col("centroid_vec"))
-    val dist = (0 until m).map { j =>
-      val qRes = zip_with(
-        slice(col("qvec"), j * sub + 1, sub),
-        slice(col("centroid_vec"), j * sub + 1, sub),
-        (x, c) => x.cast("double") - c.cast("double"))
-      val cb = typedlit(codebooks(j).map(_.toSeq).toSeq)
-      sqDist(qRes, element_at(cb, element_at(col("pq_code"), j + 1) + 1))
-    }.reduce(_ + _)
+    val dist = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.PqAdcDistance(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("qvec")),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("centroid_vec")),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("pq_code")),
+        codebooks))
     val w = Window.partitionBy(col("query_id")).orderBy(col("adist").asc, col(idCol))
     val byAdc = encoded
       .join(broadcast(qCells), Seq("cell"))

@@ -60,6 +60,49 @@ class SkewAndIvfSpec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("native PqEncode and PqAdcDistance are value-identical to the composed forms") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val cbs = Similarity.codebooksFromRows(
+      emb.filter(col("vec_id") < 8).orderBy("vec_id"), "embedding", m = 4)
+    // encode: native tight loop vs literal-array struct fold
+    val native = Similarity.pqEncode(emb, "vec_id", "embedding", cbs)
+      .select(col("vec_id"), concat_ws(",", col("pq_code")).as("c"))
+      .as[(Long, String)].collect().toMap
+    val composed = Similarity.pqEncodeComposed(emb, "vec_id", "embedding", cbs)
+      .select(col("vec_id"), concat_ws(",", col("pq_code")).as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(native == composed)
+    // ADC distances: native vs the aggregate(zip_with) chain, both the
+    // plain and the centroid-centered (residual) flavors, bit-exact —
+    // no rounding slack
+    val enc = Similarity.pqEncode(emb, "vec_id", "embedding", cbs)
+      .join(emb, "vec_id")
+    val sub = 16
+    val composedDist = (0 until 4).map { j =>
+      val cb = typedlit(cbs(j).map(_.toSeq).toSeq)
+      expr(s"aggregate(zip_with(slice(embedding, ${j * sub + 1}, $sub), " +
+        s"element_at(CBJ$j, element_at(pq_code, ${j + 1}) + 1), " +
+        "(x,y) -> (cast(x as double)-cast(y as double))*(cast(x as double)-cast(y as double))), " +
+        "0D, (acc,v) -> acc+v)")
+    }
+    val withCbs = (0 until 4).foldLeft(enc) { (d, j) =>
+      d.withColumn(s"CBJ$j", typedlit(cbs(j).map(_.toSeq).toSeq))
+    }
+    val nativeDist = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.PqAdcDistance(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("embedding")),
+        org.apache.spark.sql.catalyst.expressions.Literal(null,
+          org.apache.spark.sql.types.NullType),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("pq_code")),
+        cbs))
+    val diff = withCbs
+      .withColumn("nat", nativeDist)
+      .withColumn("com", composedDist.reduce(_ + _))
+      .filter(col("nat") =!= col("com"))
+      .count()
+    assert(diff == 0, s"$diff rows differ between native and composed ADC")
+  }
+
   test("PQ: ADC recall floor and full recovery via exact re-rank") {
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
