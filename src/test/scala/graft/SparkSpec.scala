@@ -19,6 +19,9 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // static conf, default 100 — the suite's hundreds of plans thrash
+      // the generated-class LRU otherwise (see BASELINE.md round 6)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       // transformWithState (GapFill) stores state + timers in separate
       // column families, which only the RocksDB provider supports
       .config(
