@@ -97,7 +97,8 @@ class PlanGuardSpec extends SparkSpec {
   }
 
   test("candidate-pair operators stay equi-joins (no nested-loop)") {
-    Seq("q_dedup_minhash", "q_ngram_jaccard", "q_embedding_neardup", "q_ann_lsh")
+    Seq("q_dedup_minhash", "q_ngram_jaccard", "q_embedding_neardup", "q_ann_lsh",
+      "q_dedup_simhash_near", "q_dedup_incremental")
       .foreach { name =>
         val plan = physical(name)
         assert(
