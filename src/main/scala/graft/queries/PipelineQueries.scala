@@ -365,6 +365,36 @@ object PipelineQueries extends QueryPack {
         )
         .orderBy(col("doc_id"))
     },
+    // frame-sampling plan: every 3rd frame index per video payload,
+    // expanded WITHOUT duplicating the payload bytes
+    "q_multimodal_frames" -> { (s, dir) =>
+      val media = Tables
+        .load(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal
+        .sampleFrames(
+          Multimodal.decodeFeatures(media, "payload")
+            .select(col("doc_id"), col("features.n_frames").as("n_frames")),
+          "n_frames", everyNth = 3)
+        .select(col("doc_id"), col("n_frames"), col("frame_idx"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+    // partition-local resize stage (stub kernel, real plumbing):
+    // deterministic sha-derived dims scaled to maxSide, byte payload
+    // truncated proportionally
+    "q_multimodal_resize" -> { (s, dir) =>
+      val media = Tables
+        .load(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal
+        .resizeStub(media, "payload", maxSide = 256)
+        .select(
+          col("doc_id"),
+          col("resized_width"),
+          col("resized_height"),
+          length(col("resized_payload")).cast("long").as("resized_len"))
+        .orderBy(col("doc_id"))
+    },
     // substring-level dedup (Lee et al.): fraction of each doc's
     // 10-token windows that appear verbatim in another document
     "q_substring_dup" -> { (s, dir) =>
@@ -1165,6 +1195,51 @@ object PipelineQueries extends QueryPack {
         |       ROUND((u5*256+u6) / 65535.0, 6) AS brightness
         |FROM b
         |ORDER BY doc_id""".stripMargin
+    },
+    // frame indices from the sha-derived n_frames; generate_series is
+    // end-inclusive like Spark's sequence
+    "q_multimodal_frames" -> {
+      val u = (0 to 6).map { i =>
+        val p = 2 * i + 1
+        s"(STRPOS('0123456789abcdef', SUBSTRING(hx,$p,1))-1)*16 + " +
+          s"STRPOS('0123456789abcdef', SUBSTRING(hx,${p + 1},1))-1 AS u$i"
+      }.mkString(",\n        |         ")
+      s"""WITH h AS (SELECT doc_id, SHA256(text) AS hx FROM documents),
+        |b AS (SELECT doc_id,
+        |         $u
+        |      FROM h),
+        |f AS (SELECT doc_id, CAST(1 + u4 % 64 AS INT) AS n_frames FROM b)
+        |SELECT doc_id, n_frames, CAST(g.i AS INT) AS frame_idx
+        |FROM f, UNNEST(generate_series(0, greatest(n_frames - 1, 0), 3)) AS g(i)
+        |ORDER BY doc_id, frame_idx""".stripMargin
+    },
+    // resize stub: sha-derived dims scaled to maxSide=256; FLOOR mirrors
+    // Scala's toInt truncation (positive operands), GREATEST(1, ...) the
+    // max(1, ...) guards
+    "q_multimodal_resize" -> {
+      val u = (0 to 6).map { i =>
+        val p = 2 * i + 1
+        s"(STRPOS('0123456789abcdef', SUBSTRING(hx,$p,1))-1)*16 + " +
+          s"STRPOS('0123456789abcdef', SUBSTRING(hx,${p + 1},1))-1 AS u$i"
+      }.mkString(",\n        |         ")
+      s"""WITH h AS (SELECT doc_id, SHA256(text) AS hx,
+        |                  CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS blen
+        |           FROM documents),
+        |b AS (SELECT doc_id, blen,
+        |         $u
+        |      FROM h),
+        |d AS (SELECT doc_id, blen,
+        |             64 + (u0*256+u1) % 1984 AS w,
+        |             64 + (u2*256+u3) % 1984 AS h2
+        |      FROM b),
+        |s AS (SELECT doc_id, blen, w, h2,
+        |             LEAST(1.0, 256.0 / GREATEST(w, h2)) AS scale
+        |      FROM d)
+        |SELECT doc_id,
+        |       CAST(GREATEST(1, CAST(FLOOR(w * scale) AS BIGINT)) AS INT) AS resized_width,
+        |       CAST(GREATEST(1, CAST(FLOOR(h2 * scale) AS BIGINT)) AS INT) AS resized_height,
+        |       GREATEST(1, CAST(FLOOR(blen * scale) AS BIGINT)) AS resized_len
+        |FROM s ORDER BY doc_id""".stripMargin
     },
     // windows: lateral generate_series per doc; a 10-token window at
     // position i is toks[i : i+9] (inclusive 1-based slice); "shared"
