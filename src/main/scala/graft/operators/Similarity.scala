@@ -254,8 +254,16 @@ object Similarity {
       .join(broadcast(centroids), col("cell") === col("centroid_id"))
       .withColumn("__res",
         zip_with(col(vecCol), col("centroid_vec"), (x, c) => (x - c).cast("float")))
-    pqEncode(celled.select(col(idCol), col("cell"), col("__res")), idCol, "__res", codebooks)
-      .join(celled.select(col(idCol), col("cell")), Seq(idCol))
+    // one projection carries id, cell AND the codes — a join-back for
+    // the cell column would plan the whole assignment subtree twice
+    celled.select(
+      col(idCol),
+      col("cell"),
+      org.apache.spark.sql.graftbridge.ColumnBridge
+        .column(graft.functions.PqEncode(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("__res")),
+          codebooks))
+        .as("pq_code"))
   }
 
   /** Residual-space PQ training for [[ivfPqEncode]]: the codebooks are
