@@ -216,6 +216,25 @@ object Dedup {
   ): DataFrame =
     bandedKeys(docs, idCol, textCol, numHashes, bands, shingleSize, maxBucketSize, hashFamily)
 
+  /** [[minhashCandidates]]' self-join over a precomputed (possibly
+    * persisted) band table from [[bandedSignatures]] — for the recurring
+    * full-corpus dedup audit: band once at write (ideally bucketed on
+    * the band key), self-join many times without re-shingling.
+    */
+  def candidatesFromBanded(banded: DataFrame, idCol: String): DataFrame = {
+    val part = banded.repartition(col("band_idx"), col("band_hash"))
+    part
+      .alias("a")
+      .join(
+        part.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col(s"a.$idCol") < col(s"b.$idCol")
+      )
+      .select(col(s"a.$idCol").as("doc1"), col(s"b.$idCol").as("doc2"))
+      .distinct()
+  }
+
   /** Per-ROW banding: the same minhash math as [[bandedSignatures]] but
     * computed with array folds (`array_min` over per-shingle hash
     * arrays) instead of explode + groupBy(id). Batch paths use the

@@ -193,6 +193,16 @@ class DedupSpec extends SparkSpec {
     assert(viaTable == cands)
   }
 
+  test("self-join over a persisted band table equals inline minhashCandidates") {
+    val inline = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_selfbands").toString
+    Dedup.bandedSignatures(docs, "doc_id", "text").write.mode("overwrite").parquet(dir)
+    val fromTable = Dedup.candidatesFromBanded(spark.read.parquet(dir), "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(fromTable == inline)
+  }
+
   test("per-row band computation is bit-identical to the aggregation form") {
     // the streaming path bands per row (array folds); batch bands via
     // explode+agg — same (id, band_idx, band_hash) sets, both families
