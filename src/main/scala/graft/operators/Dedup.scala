@@ -645,17 +645,18 @@ object Dedup {
     * common source), so a handful of rounds suffices at any scale. The
     * iterate-until-fixpoint loop is driver-COORDINATED but never
     * driver-MATERIALIZED: the convergence check ships one count, and a
-    * per-round checkpoint truncates lineage so plans stay flat; each
-    * round's superseded checkpoint is unpersisted immediately (not left
-    * for the ContextCleaner).
+    * per-round checkpoint truncates lineage so plans stay flat; on the
+    * local path each round's superseded checkpoint is unpersisted
+    * immediately (not left for the ContextCleaner).
     *
     * Durability: by default rounds are `localCheckpoint`ed — blocks
     * live on executors, so losing ONE executor mid-iteration kills the
     * job (lineage is truncated, the blocks are unrecomputable). Fine on
     * local[n]; on a real cluster running an hours-long labeling job,
     * pass `checkpointDir` (HDFS/S3) to use RELIABLE `checkpoint()`
-    * instead: each round persists to the shared store and survives any
-    * executor loss, at the cost of one distributed write per round —
+    * instead: the edge list, the seed labels, AND every per-round label
+    * frame persist to the shared store and survive any executor loss,
+    * at the cost of one distributed write per round —
     * cheap, since the frame is (node, label) pairs, not the corpus.
     * Superseded reliable checkpoint files are left for the configured
     * cleaner (`spark.cleaner.referenceTracking.cleanCheckpoints`).
@@ -703,28 +704,37 @@ object Dedup {
       // change detection rides the checkpointed frame, so the
       // convergence probe is a filter over cached rows, not a re-join
       val newLabel = least(labels("label"), coalesce(col("nbr"), labels("label")))
-      val updated = labels
-        .join(nbrMin, labels("node") === nbrMin("n2"), "left")
-        .select(
-          labels("node"),
-          newLabel.as("label"),
-          (newLabel < labels("label")).as("__changed")
-        )
-        .localCheckpoint()
+      // the per-round frame is the state an executor loss would actually
+      // destroy mid-job, so it MUST ride the same reliable/local choice
+      // as the seed frames — a localCheckpoint here would silently void
+      // the checkpointDir durability contract
+      val updated = ckpt(
+        labels
+          .join(nbrMin, labels("node") === nbrMin("n2"), "left")
+          .select(
+            labels("node"),
+            newLabel.as("label"),
+            (newLabel < labels("label")).as("__changed")
+          ))
       converged = updated.filter(col("__changed")).isEmpty
-      org.apache.spark.sql.graftbridge.ColumnBridge.unpersistLocalCheckpoint(labels)
+      // superseded LOCAL blocks are released eagerly; superseded RELIABLE
+      // files are durable state — left for the configured cleaner
+      if (checkpointDir.isEmpty)
+        org.apache.spark.sql.graftbridge.ColumnBridge.unpersistLocalCheckpoint(labels)
       labels = updated.drop("__changed")
       if (!converged) changedRounds += 1
     }
     if (!converged) {
-      org.apache.spark.sql.graftbridge.ColumnBridge.unpersistLocalCheckpoint(edges)
+      if (checkpointDir.isEmpty)
+        org.apache.spark.sql.graftbridge.ColumnBridge.unpersistLocalCheckpoint(edges)
       throw new IllegalStateException(
         s"label propagation still changing after $maxIter rounds — the pair graph " +
           s"has a component of diameter > $maxIter; raise maxIter to at least the " +
           s"expected diameter (partial labels would deduplicate wrongly)"
       )
     }
-    org.apache.spark.sql.graftbridge.ColumnBridge.unpersistLocalCheckpoint(edges)
+    if (checkpointDir.isEmpty)
+      org.apache.spark.sql.graftbridge.ColumnBridge.unpersistLocalCheckpoint(edges)
     labels
   }
 

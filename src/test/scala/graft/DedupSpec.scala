@@ -91,14 +91,27 @@ class DedupSpec extends SparkSpec {
   test("clusters: reliable checkpoint path yields identical labels to localCheckpoint") {
     // the durability knob must not change semantics — same pair graph,
     // both checkpoint modes, identical label maps
-    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L), (4L, 8L), (8L, 9L)).toDF("doc1", "doc2")
+    // a diameter-6 chain forces several label-changing rounds, so the
+    // per-round frames are exercised — not just the two seed frames
+    val pairs = ((0L until 6L).map(i => (i, i + 1)) ++ Seq((7L, 9L), (14L, 18L)))
+      .toDF("doc1", "doc2")
     val local = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     val reliable =
       Dedup.clusters(pairs, checkpointDir = Some(dir)).as[(Long, Long)].collect().toMap
     assert(reliable == local)
-    // the reliable path really did write to the shared store
-    assert(new java.io.File(dir).listFiles().nonEmpty, "no reliable checkpoint written")
+    // EVERY round must persist to the shared store (executor loss
+    // mid-iteration would otherwise kill the job): count the distinct
+    // rdd-* checkpoint dirs — edges + seed labels account for 2, so
+    // anything <= 2 means the per-round frames silently went local
+    def rddDirs(f: java.io.File): Seq[String] =
+      if (f.isDirectory)
+        (if (f.getName.startsWith("rdd-")) Seq(f.getName) else Seq.empty) ++
+          f.listFiles().toSeq.flatMap(rddDirs)
+      else Seq.empty
+    val nRdds = rddDirs(new java.io.File(dir)).distinct.size
+    assert(nRdds > 2, s"only $nRdds reliable checkpoints written — per-round label " +
+      "frames are not durable (expected one per propagation round beyond the 2 seeds)")
   }
 
   test("dropNearDuplicates threads the hot-bucket cap through to candidate generation") {
