@@ -15,6 +15,11 @@ run / fork := true
 // it with an "[info] " prefix — Bench's one-line JSON contract requires a
 // machine-parseable bare line on stdout.
 run / outputStrategy := Some(StdoutOutput)
+// ...and suppress sbt's own "[success] Total time: ..." trailer, which
+// otherwise lands on stdout AFTER the JSON line and breaks a
+// take-the-last-line parse of `sbt "runMain graft.Bench"`.
+ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -73,9 +73,16 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2).sum
-    realOut.println(
+    val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
-    )
+    realOut.println(line)
+    // belt-and-braces for the stdout contract: also drop the line in a
+    // file next to the repo, so a consumer whose stdout capture got
+    // polluted (sbt banners, JVM warnings) still has the structured form
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LAST.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     spark.stop()
   }
 }
