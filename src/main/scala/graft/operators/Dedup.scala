@@ -158,7 +158,9 @@ object Dedup {
     // Hot-bucket cap: a bucket with b members yields b² candidate pairs,
     // so one boilerplate-heavy bucket can dominate the whole job. Buckets
     // over the cap are dropped here (route them to exact dedup instead —
-    // members that similar share a content hash anyway).
+    // members that similar share a content hash anyway). What was dropped
+    // is never silent: [[minhashDroppedBuckets]] reports the excluded
+    // buckets + sizes for the same parameters.
     maxBucketSize.fold(banded0) { cap =>
       val sizes = banded0
         .groupBy(col("band_idx"), col("band_hash"))
@@ -167,6 +169,44 @@ object Dedup {
         .drop("__bsize")
       banded0.join(sizes, Seq("band_idx", "band_hash"), "left_semi")
     }
+  }
+
+  /** Buckets a hot-bucket cap EXCLUDES, with their sizes — the coverage
+    * audit for every capped candidate generator. A cap keeps the pair
+    * count bounded, but what it drops is by construction the MOST
+    * duplicated content (boilerplate — exactly what a dedup run most
+    * wants to see); a run that caps silently cannot claim it covered
+    * everything. One row per over-cap (band_idx, band_hash) bucket,
+    * `bucket_size` = member documents. Empty ⇒ the cap excluded nothing
+    * and the capped run was exhaustive. Lazy like every frame here: the
+    * audit costs one banding + aggregation only when evaluated; reuse a
+    * cached/persisted band table ([[bandedSignatures]] with no cap +
+    * [[droppedBucketsFromBanded]]) to audit without re-shingling.
+    */
+  def minhashDroppedBuckets(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxBucketSize: Int,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      shingleSize: Int = 3,
+      hashFamily: HashFamily = HashFamily.Md5
+  ): DataFrame =
+    droppedBucketsFromBanded(
+      bandedKeys(docs, idCol, textCol, numHashes, bands, shingleSize, None, hashFamily),
+      maxBucketSize)
+
+  /** [[minhashDroppedBuckets]] over a precomputed UNCAPPED band table
+    * (band_idx, band_hash[, ...]) — the zero-reshingle audit path for a
+    * persisted [[bandedSignatures]] table.
+    */
+  def droppedBucketsFromBanded(banded: DataFrame, maxBucketSize: Int): DataFrame = {
+    val keyCols = Seq("band_idx", banded.columns.find(_ == "band_bits").getOrElse("band_hash"))
+    banded
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucketSize)
   }
 
   /** INCREMENTAL near-dup candidates: pair each NEW document against the
@@ -456,6 +496,39 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** [[dropNearDuplicates]] plus its coverage audit: `(kept,
+    * droppedBuckets)` where `droppedBuckets` is
+    * [[minhashDroppedBuckets]] for the same banding parameters — the
+    * band buckets the cap excluded from candidate generation (empty
+    * when `maxBucketSize` is None or nothing hit the cap). Both frames
+    * are lazy; evaluating the audit costs one extra banding pass, so a
+    * production run should log `droppedBuckets.count()` (and route the
+    * over-cap content through exact dedup) rather than assume the
+    * capped run covered everything.
+    */
+  def dropNearDuplicatesAudited(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minJaccard: Double = 0.4,
+      maxIter: Int = 20,
+      maxBucketSize: Option[Int] = Some(1000),
+      hashFamily: HashFamily = HashFamily.Md5,
+      checkpointDir: Option[String] = None
+  ): (DataFrame, DataFrame) = {
+    val kept = dropNearDuplicates(
+      docs, idCol, textCol, minJaccard, maxIter, maxBucketSize, hashFamily, checkpointDir)
+    val dropped = maxBucketSize match {
+      case Some(cap) =>
+        minhashDroppedBuckets(docs, idCol, textCol, cap, hashFamily = hashFamily)
+      case None =>
+        // no cap ⇒ nothing excluded, by definition
+        minhashDroppedBuckets(docs, idCol, textCol, Int.MaxValue, hashFamily = hashFamily)
+          .limit(0)
+    }
+    (kept, dropped)
+  }
+
   /** SimHash fingerprint (Charikar '02): per-token hash bits vote ±1,
     * the sign of each bit-sum forms the fingerprint. `bits` ≤ 32 here —
     * bit i comes from hex digit i of md5(token), so 16 bits per md5 is
@@ -529,21 +602,7 @@ object Dedup {
       maxHamming: Int = 3,
       maxBucketSize: Option[Int] = None
   ): DataFrame = {
-    require(maxHamming >= 1 && maxHamming < bits, "need 1 <= maxHamming < bits")
-    val bands = maxHamming + 1
-    val base = bits / bands
-    val rem = bits % bands
-    val fp = simhash(df, idCol, textCol, bits)
-    // band b = fingerprint bits [start, start+width): the first `rem`
-    // bands take one extra bit when bands don't divide evenly
-    val bandBits = (0 until bands).map { b =>
-      val start = b * base + math.min(b, rem)
-      val width = base + (if (b < rem) 1 else 0)
-      shiftrightunsigned(col("fingerprint"), start).bitwiseAND(lit((1L << width) - 1))
-    }
-    val banded0 = fp.select(
-      col(idCol), col("fingerprint"),
-      posexplode(array(bandBits: _*)).as(Seq("band_idx", "band_bits")))
+    val banded0 = simhashBanded(df, idCol, textCol, bits, maxHamming)
     val banded = maxBucketSize.fold(banded0) { cap =>
       val sizes = banded0
         .groupBy(col("band_idx"), col("band_bits"))
@@ -569,6 +628,48 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Shared Hamming-banding stage of [[simhashNearDup]]: one row per
+    * (id, fingerprint, band_idx, band_bits), UNCAPPED.
+    */
+  private def simhashBanded(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bits: Int,
+      maxHamming: Int
+  ): DataFrame = {
+    require(maxHamming >= 1 && maxHamming < bits, "need 1 <= maxHamming < bits")
+    val bands = maxHamming + 1
+    val base = bits / bands
+    val rem = bits % bands
+    val fp = simhash(df, idCol, textCol, bits)
+    // band b = fingerprint bits [start, start+width): the first `rem`
+    // bands take one extra bit when bands don't divide evenly
+    val bandBits = (0 until bands).map { b =>
+      val start = b * base + math.min(b, rem)
+      val width = base + (if (b < rem) 1 else 0)
+      shiftrightunsigned(col("fingerprint"), start).bitwiseAND(lit((1L << width) - 1))
+    }
+    fp.select(
+      col(idCol), col("fingerprint"),
+      posexplode(array(bandBits: _*)).as(Seq("band_idx", "band_bits")))
+  }
+
+  /** [[minhashDroppedBuckets]]' simhash twin: the Hamming band buckets a
+    * `maxBucketSize` cap on [[simhashNearDup]] would exclude, with their
+    * sizes. Empty ⇒ the capped run was exhaustive.
+    */
+  def simhashDroppedBuckets(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxBucketSize: Int,
+      bits: Int = 32,
+      maxHamming: Int = 3
+  ): DataFrame =
+    droppedBucketsFromBanded(
+      simhashBanded(df, idCol, textCol, bits, maxHamming), maxBucketSize)
 
   /** N-gram Jaccard similarity on candidate pairs produced by a blocking
     * key (here: same `blockCol`, ids within `window` of each other).

@@ -42,6 +42,35 @@ class DedupSpec extends SparkSpec {
     assert(capped.count() == 0)
   }
 
+  test("droppedBucket audits report exactly what a cap excludes") {
+    // 30 identical docs: every one of the 4 minhash bands has a single
+    // 30-member bucket, so a cap of 10 excludes 4 buckets of size 30 —
+    // and the audit must say so, not let the run claim full coverage
+    val many = (1L to 30L).map(i => (i, "same same same text for every single one of them"))
+      .toDF("doc_id", "text")
+    val dropped = Dedup.minhashDroppedBuckets(many, "doc_id", "text", maxBucketSize = 10)
+      .select($"band_idx", $"bucket_size").as[(Int, Long)].collect()
+    assert(dropped.length == 4, s"expected 4 over-cap band buckets, got ${dropped.toSeq}")
+    assert(dropped.forall(_._2 == 30L), s"every bucket holds all 30 clones: ${dropped.toSeq}")
+    // a cap nothing hits reports an empty audit (coverage was exhaustive)
+    assert(Dedup.minhashDroppedBuckets(many, "doc_id", "text", maxBucketSize = 30).isEmpty)
+    // the one-call pipeline surfaces the same audit frame
+    val (kept, audit) = Dedup.dropNearDuplicatesAudited(
+      many, "doc_id", "text", maxBucketSize = Some(10))
+    assert(kept.count() == 30, "cap suppressed all candidates, so nothing was dropped")
+    assert(audit.count() == 4, "the pipeline's audit must expose the 4 excluded buckets")
+    // ...and with no cap the audit is empty by definition
+    val (_, none) = Dedup.dropNearDuplicatesAudited(
+      many, "doc_id", "text", maxBucketSize = None)
+    assert(none.isEmpty)
+    // simhash twin: 5 clones share one bucket per Hamming band (4 bands
+    // at maxHamming=3); cap 4 excludes all 4, each of size 5
+    val clones = (1L to 5L).map(i => (i, base)).toDF("doc_id", "text")
+    val shDropped = Dedup.simhashDroppedBuckets(clones, "doc_id", "text", maxBucketSize = 4)
+      .select($"band_idx", $"bucket_size").as[(Int, Long)].collect()
+    assert(shDropped.length == 4 && shDropped.forall(_._2 == 5L), shDropped.toSeq.toString)
+  }
+
   test("native WordShingles is byte-identical to the composed split+transform form") {
     import org.apache.spark.sql.functions.{col, split}
     // edge shapes: empty string, single word, double spaces (empty
