@@ -3,7 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
+  * SPARK_GRAFT_SF_DIR and prints ONE SHORT JSON summary line on stdout
+  * (total seconds, query count, failures). The per-query seconds map is
+  * written to BENCH_LAST.json only — stdout consumers keep a bounded
+  * tail, and the full 87-query map does not fit it.
   *
   * Measurement protocol (BASELINE.md): local[32], shuffle partitions =
   * cores, AQE on, UTC, noop-format write to force full execution of
@@ -73,16 +76,27 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2).sum
-    val line =
+    // stdout gets a SHORT summary line only: downstream captures keep a
+    // bounded tail of stdout, and an 87-query map (~2 KB) overflows it.
+    // The per-query detail goes to BENCH_LAST.json exclusively.
+    val summary =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${ok.size},"failed":$failedJson,"sf":"$sfDir"}"""
+    val full =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
-    realOut.println(line)
-    // belt-and-braces for the stdout contract: also drop the line in a
-    // file next to the repo, so a consumer whose stdout capture got
-    // polluted (sbt banners, JVM warnings) still has the structured form
+    realOut.println(summary)
+    // The per-query map lives here; the path is anchored to the repo root
+    // (BENCH_OUT override > user.dir, which sbt's fork sets to baseDirectory)
+    // so launching Bench outside sbt still lands the file predictably.
+    val benchOut = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_OUT",
+      java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_LAST.json").toString)
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_LAST.json"),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
+      java.nio.file.Paths.get(benchOut),
+      (full + "\n").getBytes("UTF-8"))
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] file write failed: $e")
+    }
     spark.stop()
   }
 }
