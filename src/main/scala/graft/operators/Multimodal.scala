@@ -11,14 +11,16 @@ import org.apache.spark.sql.{DataFrame, Row}
   * payloads stay out of every shuffle (metadata-only projections prune
   * them at the parquet scan), and decode runs partition-local.
   *
-  * The decode kernel itself is STUBBED (`decodeStub`): this container
-  * ships no image/audio codecs, so the stub derives deterministic fake
-  * features from the bytes (size, sha-derived dims). The Spark-side
-  * contract — schema, batch shape, partition-local execution via
-  * `mapPartitions`, metadata pruning — is real and is what the tests
-  * cover. Swap `decodeStub` for a JNI/FFmpeg/Pillow-equivalent kernel
-  * (or a Python `mapInPandas` stage in PySpark) without touching the
-  * plan shape.
+  * IMAGE decode/resize is REAL: `decodeImage`/`decodeImages`/
+  * `resizeImages` run javax.imageio (stock JDK readers: PNG, GIF, BMP,
+  * JPEG, WBMP) partition-local — actual raster dims, frame counts, mean
+  * luminance, bilinear resample + PNG re-encode. VIDEO remains STUBBED
+  * (`decodeStub`): no video codec ships in a bare JVM, so the stub
+  * derives deterministic fake features from the bytes; swap it for a
+  * JNI/FFmpeg kernel (or a Python `mapInPandas` stage in PySpark)
+  * without touching the plan shape — schema, batch shape,
+  * partition-local execution, and metadata pruning are the same
+  * contract on both paths.
   */
 object Multimodal {
 
@@ -114,9 +116,194 @@ object Multimodal {
       .otherwise(struct(lit("unknown").as("format"), nullInt.as("width"), nullInt.as("height")))
   }
 
+  // -- real image codec (javax.imageio — pure JDK, no new deps) ------
+
+  /** Synthesize a REAL single-frame PNG: `width`×`height`, filled with
+    * the constant gray level `gray` (0..255). The PNG bytes are a real
+    * encoder output — `decodeImage` (or any PNG reader) recovers the
+    * exact dims and, because the fill is constant, a mean luminance of
+    * exactly gray/255. Used to build image fixtures whose ground truth
+    * is closed-form (so a SQL oracle can check a real decode).
+    */
+  def synthPng(width: Int, height: Int, gray: Int): Array[Byte] = {
+    val img = grayImage(width, height, gray)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Synthesize a REAL animated GIF with `frames` identical frames of
+    * constant gray. A GIF palette built from a single used color is
+    * lossless, so frame 0 decodes to mean luminance exactly gray/255,
+    * and `decodeImage` counts `frames` image descriptors.
+    */
+  def synthGif(width: Int, height: Int, gray: Int, frames: Int): Array[Byte] = {
+    val img = grayImage(width, height, gray)
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var i = 0
+      while (i < frames) {
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        i += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  private def grayImage(width: Int, height: Int, gray: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g2 = img.createGraphics()
+    try {
+      g2.setColor(new java.awt.Color(gray, gray, gray))
+      g2.fillRect(0, 0, width, height)
+    } finally g2.dispose()
+    img
+  }
+
+  /** Attach a REAL synthetic image payload derived from a numeric id
+    * column — the fixture generator for oracle-checked decode: every
+    * parameter is closed-form in the id, so a SQL oracle can compute
+    * the ground truth that the real decoder must recover.
+    *   width  = 16 + (id % 40)
+    *   height = 16 + ((id * 3) % 40)
+    *   gray   = id % 256
+    *   id % 3 == 0 → animated GIF with 1 + (id % 4) frames
+    *   otherwise  → single-frame PNG
+    * Runs partition-local (mapPartitions); payload never shuffles.
+    */
+  def withSyntheticImages(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField("payload", BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val w = (16 + id % 40).toInt
+        val h = (16 + (id * 3) % 40).toInt
+        val gray = (id % 256).toInt
+        val payload =
+          if (id % 3 == 0) synthGif(w, h, gray, frames = (1 + id % 4).toInt)
+          else synthPng(w, h, gray)
+        Row.fromSeq(r.toSeq :+ payload)
+      }
+    }(enc)
+  }
+
+  /** REAL image decode: javax.imageio parses the container (PNG / GIF /
+    * BMP / JPEG / WBMP with the stock JDK readers), returning the raster
+    * dims, the number of frames in the stream (animated GIF > 1), and
+    * the mean luminance of frame 0 ((r+g+b)/3 averaged over every
+    * pixel, normalized to [0,1]). Returns None for undecodable bytes.
+    */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Int, Double)] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, false, true)
+          val n = reader.getNumImages(true)
+          val img = reader.read(0)
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sum = 0.0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+              x += 1
+            }
+            y += 1
+          }
+          Some((w, h, n, sum / (w.toLong * h) / 255.0))
+        } catch {
+          case scala.util.control.NonFatal(_) => None
+        } finally reader.dispose()
+      }
+    } finally iis.close()
+  }
+
+  /** Partition-local REAL decode over an image payload column: appends
+    * the `features` struct (width, height, n_frames, brightness) from an
+    * actual javax.imageio parse of the bytes. Undecodable payloads get a
+    * null-field struct. Same plan shape as `decodeFeatures`: rows are
+    * processed in partition batches, no shuffle, payload never leaves
+    * the executor.
+    */
+  def decodeImages(df: DataFrame, payloadCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField("features", featureType))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val feat = decodeImage(r.getAs[Array[Byte]](payloadIdx)) match {
+          case Some((w, h, n, b)) => Row(w, h, n, b)
+          case None               => Row(null, null, null, null)
+        }
+        Row.fromSeq(r.toSeq :+ feat)
+      }
+    }(enc)
+  }
+
+  /** Partition-local REAL resize: decode frame 0, bilinear-resample so
+    * the longer side fits `maxSide` (never upsizes), re-encode as PNG.
+    * Output columns: `resized_payload` (real PNG bytes — re-decodable),
+    * `resized_width`, `resized_height`. Undecodable payloads pass
+    * through with nulls. Dims math matches `resizeStub`:
+    * scale = min(1, maxSide/max(w,h)); dim' = max(1, floor(dim*scale)).
+    */
+  def resizeImages(df: DataFrame, payloadCol: String, maxSide: Int): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("resized_payload", BinaryType),
+      StructField("resized_width", IntegerType),
+      StructField("resized_height", IntegerType)
+    ))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        val decoded =
+          try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+          catch { case scala.util.control.NonFatal(_) => None }
+        decoded match {
+          case Some(img) =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
+            val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+            val out = new java.awt.image.BufferedImage(
+              nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g2 = out.createGraphics()
+            try {
+              g2.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g2.drawImage(img, 0, 0, nw, nh, null)
+            } finally g2.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            Row.fromSeq(r.toSeq ++ Seq(bos.toByteArray, nw, nh))
+          case None =>
+            Row.fromSeq(r.toSeq ++ Seq(null, null, null))
+        }
+      }
+    }(enc)
+  }
+
   /** Deterministic fake decode: features derived from payload bytes.
-    * STUB — replace with a real codec kernel; signature and batch shape
-    * are the real contract.
+    * STUB retained for VIDEO payloads only — this container ships no
+    * video codec; image decode is REAL (`decodeImage`/`decodeImages`).
+    * Signature and batch shape are the real contract.
     */
   def decodeStub(payload: Array[Byte]): (Int, Int, Int, Double) = {
     val h = java.security.MessageDigest.getInstance("SHA-256").digest(payload)

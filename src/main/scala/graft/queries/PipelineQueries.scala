@@ -348,25 +348,26 @@ object PipelineQueries extends QueryPack {
         )
         .orderBy(col("doc_id"))
     },
-    // mapPartitions decode stage — deliberately NOT SQL-expressible
-    // (no oracle → driver rows-only check); covered by MultimodalSpec
+    // REAL image decode: synthesize an actual PNG / animated-GIF payload
+    // per doc (closed-form params in doc_id), then javax.imageio decodes
+    // it partition-local — raster dims, frame count, mean luminance. The
+    // oracle recomputes the ground truth the real decoder must recover.
     "q_multimodal_decode" -> { (s, dir) =>
-      val media = Tables
-        .load(s, dir, "documents")
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      val ids = Tables.load(s, dir, "documents").select(col("doc_id"))
       Multimodal
-        .decodeFeatures(media, "payload")
+        .decodeImages(Multimodal.withSyntheticImages(ids, "doc_id"), "payload")
         .select(
           col("doc_id"),
           col("features.width").as("width"),
           col("features.height").as("height"),
           col("features.n_frames").as("n_frames"),
-          round(col("features.brightness"), 6).as("brightness")
+          col("features.brightness").as("brightness")
         )
         .orderBy(col("doc_id"))
     },
-    // frame-sampling plan: every 3rd frame index per video payload,
-    // expanded WITHOUT duplicating the payload bytes
+    // frame-sampling plan: every 3rd frame index per VIDEO payload
+    // (decodeFeatures is the documented video stub — no video codec in
+    // a bare JVM), expanded WITHOUT duplicating the payload bytes
     "q_multimodal_frames" -> { (s, dir) =>
       val media = Tables
         .load(s, dir, "documents")
@@ -379,20 +380,23 @@ object PipelineQueries extends QueryPack {
         .select(col("doc_id"), col("n_frames"), col("frame_idx"))
         .orderBy(col("doc_id"), col("frame_idx"))
     },
-    // partition-local resize stage (stub kernel, real plumbing):
-    // deterministic sha-derived dims scaled to maxSide, byte payload
-    // truncated proportionally
+    // REAL partition-local resize: decode the synthesized image,
+    // bilinear-resample to fit maxSide=32, re-encode PNG — then RE-decode
+    // the resized payload, so the oracle checks that actual resampled
+    // pixels (dims + preserved constant luminance) came back out
     "q_multimodal_resize" -> { (s, dir) =>
-      val media = Tables
-        .load(s, dir, "documents")
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      val ids = Tables.load(s, dir, "documents").select(col("doc_id"))
+      val resized = Multimodal.resizeImages(
+        Multimodal.withSyntheticImages(ids, "doc_id"), "payload", maxSide = 32)
       Multimodal
-        .resizeStub(media, "payload", maxSide = 256)
+        .decodeImages(resized, "resized_payload")
         .select(
           col("doc_id"),
           col("resized_width"),
           col("resized_height"),
-          length(col("resized_payload")).cast("long").as("resized_len"))
+          col("features.width").as("redecoded_width"),
+          col("features.height").as("redecoded_height"),
+          col("features.brightness").as("brightness"))
         .orderBy(col("doc_id"))
     },
     // substring-level dedup (Lee et al.): fraction of each doc's
@@ -1173,29 +1177,19 @@ object PipelineQueries extends QueryPack {
         |       SHA256(text) AS payload_sha256
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
-    // the decode stub's features are sha256-derived (Multimodal.decodeStub),
-    // so DuckDB can recompute them exactly: unsigned bytes u0..u6 of the
-    // digest via hex-digit arithmetic on SHA256's hex output
-    "q_multimodal_decode" -> {
-      val u = (0 to 6).map { i =>
-        val p = 2 * i + 1
-        s"(STRPOS('0123456789abcdef', SUBSTRING(hx,$p,1))-1)*16 + " +
-          s"STRPOS('0123456789abcdef', SUBSTRING(hx,${p + 1},1))-1 AS u$i"
-      }.mkString(",\n        |         ")
-      s"""WITH h AS (
-        |  SELECT doc_id, SHA256(text) AS hx FROM documents
-        |), b AS (
-        |  SELECT doc_id,
-        |         $u
-        |  FROM h)
-        |SELECT doc_id,
-        |       CAST(64 + (u0*256+u1) % 1984 AS INT) AS width,
-        |       CAST(64 + (u2*256+u3) % 1984 AS INT) AS height,
-        |       CAST(1 + u4 % 64 AS INT) AS n_frames,
-        |       ROUND((u5*256+u6) / 65535.0, 6) AS brightness
-        |FROM b
-        |ORDER BY doc_id""".stripMargin
-    },
+    // REAL decode oracle: the synthesized payload's parameters are
+    // closed-form in doc_id (Multimodal.withSyntheticImages), so DuckDB
+    // computes the ground truth the javax.imageio decode must recover.
+    // Constant-gray fill → mean luminance is exactly gray/255 (both
+    // engines: exact integer sums then one double division).
+    "q_multimodal_decode" ->
+      """SELECT doc_id,
+        |       CAST(16 + doc_id % 40 AS INT) AS width,
+        |       CAST(16 + (doc_id * 3) % 40 AS INT) AS height,
+        |       CAST(CASE WHEN doc_id % 3 = 0 THEN 1 + doc_id % 4 ELSE 1 END AS INT) AS n_frames,
+        |       (doc_id % 256) / 255.0 AS brightness
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
     // frame indices from the sha-derived n_frames; generate_series is
     // end-inclusive like Spark's sequence
     "q_multimodal_frames" -> {
@@ -1213,34 +1207,30 @@ object PipelineQueries extends QueryPack {
         |FROM f, UNNEST(generate_series(0, greatest(n_frames - 1, 0), 3)) AS g(i)
         |ORDER BY doc_id, frame_idx""".stripMargin
     },
-    // resize stub: sha-derived dims scaled to maxSide=256; FLOOR mirrors
-    // Scala's toInt truncation (positive operands), GREATEST(1, ...) the
-    // max(1, ...) guards
-    "q_multimodal_resize" -> {
-      val u = (0 to 6).map { i =>
-        val p = 2 * i + 1
-        s"(STRPOS('0123456789abcdef', SUBSTRING(hx,$p,1))-1)*16 + " +
-          s"STRPOS('0123456789abcdef', SUBSTRING(hx,${p + 1},1))-1 AS u$i"
-      }.mkString(",\n        |         ")
-      s"""WITH h AS (SELECT doc_id, SHA256(text) AS hx,
-        |                  CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS blen
+    // REAL resize oracle: dims from the synthesized payload's closed
+    // form scaled to maxSide=32 (FLOOR mirrors Scala's toInt truncation
+    // on positive operands); redecoded_* prove the output payload is a
+    // real PNG of exactly those dims, and bilinear resample of a
+    // constant-gray image preserves luminance exactly
+    "q_multimodal_resize" ->
+      """WITH d AS (SELECT doc_id,
+        |                  16 + doc_id % 40 AS w,
+        |                  16 + (doc_id * 3) % 40 AS h2
         |           FROM documents),
-        |b AS (SELECT doc_id, blen,
-        |         $u
-        |      FROM h),
-        |d AS (SELECT doc_id, blen,
-        |             64 + (u0*256+u1) % 1984 AS w,
-        |             64 + (u2*256+u3) % 1984 AS h2
-        |      FROM b),
-        |s AS (SELECT doc_id, blen, w, h2,
-        |             LEAST(1.0, 256.0 / GREATEST(w, h2)) AS scale
-        |      FROM d)
+        |s AS (SELECT doc_id, w, h2,
+        |             LEAST(1.0, 32.0 / GREATEST(w, h2)) AS scale
+        |      FROM d),
+        |r AS (SELECT doc_id,
+        |             CAST(GREATEST(1, CAST(FLOOR(w * scale) AS BIGINT)) AS INT) AS rw,
+        |             CAST(GREATEST(1, CAST(FLOOR(h2 * scale) AS BIGINT)) AS INT) AS rh
+        |      FROM s)
         |SELECT doc_id,
-        |       CAST(GREATEST(1, CAST(FLOOR(w * scale) AS BIGINT)) AS INT) AS resized_width,
-        |       CAST(GREATEST(1, CAST(FLOOR(h2 * scale) AS BIGINT)) AS INT) AS resized_height,
-        |       GREATEST(1, CAST(FLOOR(blen * scale) AS BIGINT)) AS resized_len
-        |FROM s ORDER BY doc_id""".stripMargin
-    },
+        |       rw AS resized_width,
+        |       rh AS resized_height,
+        |       rw AS redecoded_width,
+        |       rh AS redecoded_height,
+        |       (doc_id % 256) / 255.0 AS brightness
+        |FROM r ORDER BY doc_id""".stripMargin,
     // windows: lateral generate_series per doc; a 10-token window at
     // position i is toks[i : i+9] (inclusive 1-based slice); "shared"
     // mirrors the min!=max two-distinct-docs test

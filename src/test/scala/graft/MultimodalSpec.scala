@@ -99,6 +99,65 @@ class MultimodalSpec extends SparkSpec {
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("real decode: synthesized PNG/GIF round-trip exact dims, frames, brightness") {
+    // PNG: single frame, constant gray fill → mean luminance exactly g/255
+    val Some((pw, ph, pn, pb)) = Multimodal.decodeImage(Multimodal.synthPng(37, 21, 200))
+    assert((pw, ph, pn) == ((37, 21, 1)))
+    assert(pb == 200.0 / 255.0)
+    // animated GIF: frame count from the real image descriptors
+    val Some((gw, gh, gn, gb)) = Multimodal.decodeImage(Multimodal.synthGif(24, 16, 64, frames = 3))
+    assert((gw, gh, gn) == ((24, 16, 3)))
+    assert(gb == 64.0 / 255.0)
+    // non-image bytes → None, no throw
+    assert(Multimodal.decodeImage("just text".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("decodeImages appends real features; undecodable rows get null fields") {
+    val df = Seq(
+      (1L, Multimodal.synthPng(40, 30, 100)),
+      (2L, Multimodal.synthGif(20, 20, 50, frames = 2)),
+      (3L, "not an image".getBytes("UTF-8"))
+    ).toDF("id", "payload")
+    val out = Multimodal.decodeImages(df, "payload")
+      .select("id", "features.*").collect().sortBy(_.getLong(0))
+    assert((out(0).getInt(1), out(0).getInt(2), out(0).getInt(3)) == ((40, 30, 1)))
+    assert(out(0).getDouble(4) == 100.0 / 255.0)
+    assert((out(1).getInt(1), out(1).getInt(2), out(1).getInt(3)) == ((20, 20, 2)))
+    assert(out(2).isNullAt(1) && out(2).isNullAt(3))
+  }
+
+  test("resizeImages produces real resampled PNG bytes that re-decode to the new dims") {
+    val df = Seq((1L, Multimodal.synthPng(100, 60, 150))).toDF("id", "payload")
+    val r = Multimodal.resizeImages(df, "payload", maxSide = 50).collect().head
+    val (nw, nh) = (r.getAs[Int]("resized_width"), r.getAs[Int]("resized_height"))
+    assert((nw, nh) == ((50, 30)))
+    // the payload is a REAL PNG: javax.imageio re-decodes it to the
+    // claimed dims, and bilinear resample of a constant image is exact
+    val Some((dw, dh, dn, db)) =
+      Multimodal.decodeImage(r.getAs[Array[Byte]]("resized_payload"))
+    assert((dw, dh, dn) == ((50, 30, 1)))
+    assert(db == 150.0 / 255.0)
+    // never upsizes: an image already within maxSide is size-preserved
+    val small = Seq((1L, Multimodal.synthPng(30, 20, 10))).toDF("id", "payload")
+    val s = Multimodal.resizeImages(small, "payload", maxSide = 50).collect().head
+    assert((s.getAs[Int]("resized_width"), s.getAs[Int]("resized_height")) == ((30, 20)))
+  }
+
+  test("withSyntheticImages payload parameters are closed-form in the id") {
+    val df = Seq(0L, 1L, 5L, 6L).toDF("doc_id")
+    val out = Multimodal.decodeImages(
+      Multimodal.withSyntheticImages(df, "doc_id"), "payload")
+      .select("doc_id", "features.*").collect().sortBy(_.getLong(0))
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == (16 + id % 40).toInt)
+      assert(r.getInt(2) == (16 + (id * 3) % 40).toInt)
+      val expFrames = if (id % 3 == 0) (1 + id % 4).toInt else 1
+      assert(r.getInt(3) == expFrames)
+      assert(r.getDouble(4) == (id % 256).toDouble / 255.0)
+    }
+  }
+
   test("sampleFrames expands every Nth frame without payload duplication in plan") {
     val withFrames = media.withColumn("n_frames", lit(10))
     val frames = Multimodal.sampleFrames(withFrames, "n_frames", everyNth = 3)
