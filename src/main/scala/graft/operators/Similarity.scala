@@ -123,6 +123,141 @@ object Similarity {
     (0 until m).map(j => rows.map(r => r.slice(j * sub, (j + 1) * sub)).toArray)
   }
 
+  /** Deterministic Lloyd's k-means, DRIVER-SIDE on a bounded sample —
+    * model extraction like [[codebooksFromRows]] (a few thousand rows to
+    * the driver, not a data path), but the codewords are TRAINED
+    * centroids instead of raw sample rows, which measurably raises ADC
+    * recall at identical (m, k) (SkewAndIvfSpec pins the comparison).
+    * Unlike Spark ML's kmeans|| init, this is bit-deterministic across
+    * runs AND partitionings: fixed-seed k-means++ init over the
+    * caller's sort order, fixed `iters` Lloyd's iterations, empty
+    * clusters keep their previous center. Callers must pass an ORDERED
+    * sample.
+    */
+  private[graft] def lloydTrain(
+      points: Array[Array[Float]],
+      k: Int,
+      iters: Int,
+      seed: Long = 42L
+  ): Array[Array[Float]] = {
+    require(points.nonEmpty, "k-means sample set is empty")
+    val n = points.length
+    val dim = points.head.length
+    // k-means++ init (Arthur & Vassilvitskii 2007) with a FIXED-seed
+    // RNG: D²-weighted sampling spreads centers without the outlier
+    // capture of farthest-first, and the fixed seed keeps the whole
+    // train bit-deterministic for a given sample order
+    val rng = new scala.util.Random(seed)
+    val kk = math.min(k, n)
+    val chosen = new Array[Int](kk)
+    val minD = Array.fill(n)(Double.MaxValue)
+    chosen(0) = rng.nextInt(n)
+    var c0 = 1
+    while (c0 < kk) {
+      val last = points(chosen(c0 - 1))
+      var i = 0
+      var total = 0.0
+      while (i < n) {
+        var d = 0.0; var j = 0
+        val p = points(i)
+        while (j < dim) { val t = p(j) - last(j); d += t * t; j += 1 }
+        if (d < minD(i)) minD(i) = d
+        total += minD(i)
+        i += 1
+      }
+      // cumulative D² sampling; degenerate all-zero distances fall back
+      // to a uniform pick so duplicates can't stall the init
+      var target = rng.nextDouble() * total
+      var pick = if (total > 0) -1 else rng.nextInt(n)
+      i = 0
+      while (pick < 0 && i < n) {
+        target -= minD(i)
+        if (target <= 0) pick = i
+        i += 1
+      }
+      chosen(c0) = if (pick >= 0) pick else n - 1
+      c0 += 1
+    }
+    val centers = Array.tabulate(kk)(c => points(chosen(c)).map(_.toDouble))
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Long](kk)
+      var i = 0
+      while (i < n) {
+        val p = points(i)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < kk) {
+          var d = 0.0; var j = 0
+          while (j < dim) { val t = p(j) - centers(c)(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        val s = sums(best)
+        var j = 0
+        while (j < dim) { s(j) += p(j); j += 1 }
+        counts(best) += 1
+        i += 1
+      }
+      var c = 0
+      while (c < kk) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < dim) { centers(c)(j) = sums(c)(j) / counts(c); j += 1 }
+        } // empty cluster: keep previous center (deterministic, no reseed)
+        c += 1
+      }
+      it += 1
+    }
+    centers.map(_.map(_.toFloat))
+  }
+
+  /** Lloyd's-trained PQ codebooks: [[lloydTrain]] per subspace over a
+    * bounded ordered sample. Same signature family as
+    * [[codebooksFromRows]]; swap-in for higher recall when the model
+    * need not be SQL-mirrorable.
+    */
+  def lloydCodebooks(
+      samples: DataFrame,
+      vecCol: String,
+      m: Int,
+      k: Int = 16,
+      iters: Int = 20,
+      sampleCap: Int = 4096
+  ): Seq[Array[Array[Float]]] = {
+    val rows = samples.select(col(vecCol)).limit(sampleCap)
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(rows.nonEmpty, "codebook sample set is empty")
+    val dim = rows.head.length
+    require(dim % m == 0, s"vector dim $dim must divide into $m subspaces")
+    val sub = dim / m
+    (0 until m).map { j =>
+      lloydTrain(rows.map(r => r.slice(j * sub, (j + 1) * sub)), k, iters)
+    }
+  }
+
+  /** Lloyd's-trained IVF coarse centroids over a bounded ordered sample,
+    * in the (centroid_id, centroid_vec) frame shape [[assignCells]] and
+    * [[ivfTopK]] consume. Deterministic twin of [[trainCentroidsKMeans]].
+    */
+  def lloydCentroids(
+      samples: DataFrame,
+      vecCol: String,
+      nlist: Int,
+      iters: Int = 20,
+      sampleCap: Int = 4096
+  ): DataFrame = {
+    val rows = samples.select(col(vecCol)).limit(sampleCap)
+      .collect().map(_.getSeq[Float](0).toArray)
+    val centers = lloydTrain(rows, nlist, iters)
+    val spark = samples.sparkSession
+    import spark.implicits._
+    centers.zipWithIndex.toSeq
+      .map { case (v, i) => (i, v) }
+      .toDF("centroid_id", "centroid_vec")
+  }
+
   private def sqDist(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => {

@@ -552,6 +552,40 @@ object PipelineQueries extends QueryPack {
         .substringDupStats(Tables.load(s, dir, "documents"), "doc_id", "text",
           family = HashFamily.XxHash64, sampleMod = Some(2))
         .orderBy(col("doc_id"))
+    },
+    // PQ with Lloyd's-TRAINED codebooks (the production model path —
+    // higher recall than q_ann_pq's sampled-row codebooks at identical
+    // (m, k); SkewAndIvfSpec pins the comparison). No DuckDB mirror:
+    // the trained model isn't SQL-recomputable, so this is bench-only.
+    "q_ann_pq_trained" -> { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val cbs = Similarity.lloydCodebooks(
+        emb.orderBy("vec_id"), "embedding", m = 16, k = 64)
+      val enc = Similarity.pqEncode(emb, "vec_id", "embedding", cbs)
+      Similarity
+        .pqTopK(emb.filter(col("vec_id") < 3), enc, "vec_id", "embedding", cbs, 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    // IVF-PQ with Lloyd's-trained coarse centroids AND residual
+    // codebooks — the full trained FAISS composition, bench-only twin
+    // of q_ann_ivfpq's sampled-row model
+    "q_ann_ivfpq_trained" -> { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val centroids = Similarity.lloydCentroids(
+        emb.orderBy("vec_id"), "embedding", nlist = 8, iters = 5)
+      val resSamples = Similarity
+        .assignCells(emb, centroids, "embedding")
+        .join(broadcast(centroids), col("cell") === col("centroid_id"))
+        .orderBy(col("vec_id"))
+        .select(
+          zip_with(col("embedding"), col("centroid_vec"),
+            (x, c) => (x.cast("double") - c.cast("double")).cast("float")).as("res"))
+      val cbs = Similarity.lloydCodebooks(resSamples, "res", m = 16, k = 64)
+      val enc = Similarity.ivfPqEncode(emb, "vec_id", "embedding", centroids, cbs)
+      Similarity
+        .ivfPqTopK(emb.filter(col("vec_id") < 3), enc, centroids, "vec_id", "embedding",
+          cbs, k = 5, nprobe = 2)
+        .orderBy(col("query_id"), col("rank"))
     }
   )
 

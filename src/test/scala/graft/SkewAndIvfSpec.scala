@@ -162,6 +162,52 @@ class SkewAndIvfSpec extends SparkSpec {
     assert(recall(8, 50) >= 0.9, "full-probe recall below floor")
   }
 
+  test("Lloyd's-trained codebooks beat sampled-row codebooks at identical (m, k)") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val d = expr("aggregate(zip_with(qvec, embedding, (x,y) -> " +
+      "(cast(x as double)-cast(y as double))*(cast(x as double)-cast(y as double))), " +
+      "0D, (acc,v) -> acc+v)")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("d").asc, col("vec_id"))
+    val exact = emb.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .withColumn("d", d).withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    def recallOf(cbs: Seq[Array[Array[Float]]]): Double = {
+      val enc = Similarity.pqEncode(emb, "vec_id", "embedding", cbs)
+      Similarity.pqTopK(queries, enc, "vec_id", "embedding", cbs, 5)
+        .select("query_id", "neighbor_id").intersect(exact).count() / 50.0
+    }
+    // production settings (m=16 -> 4-dim subspaces, k=64 codewords):
+    // 64 sampled ROWS as codewords vs 64 TRAINED centroids per subspace
+    val sampled = recallOf(Similarity.codebooksFromRows(
+      emb.filter(col("vec_id") < 64).orderBy("vec_id"), "embedding", m = 16))
+    val trained = recallOf(Similarity.lloydCodebooks(
+      emb.orderBy("vec_id"), "embedding", m = 16, k = 64, iters = 20))
+    info(s"ADC recall@5 — sampled-row codebooks: $sampled, Lloyd's-trained: $trained")
+    assert(trained >= sampled,
+      s"trained codebooks ($trained) should not lose to sampled rows ($sampled)")
+    assert(trained >= 0.45, s"trained ADC recall $trained below floor")
+    // bit-determinism: same ordered sample -> identical codebooks
+    val a = Similarity.lloydCodebooks(emb.orderBy("vec_id"), "embedding", m = 16, k = 64)
+    val b = Similarity.lloydCodebooks(emb.orderBy("vec_id"), "embedding", m = 16, k = 64)
+    assert(a.zip(b).forall { case (x, y) =>
+      x.length == y.length && x.zip(y).forall { case (u, v) => u.sameElements(v) }
+    })
+  }
+
+  test("Lloyd's centroids partition into nlist cells deterministically") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = Similarity.lloydCentroids(emb.orderBy("vec_id"), "embedding", nlist = 8)
+    assert(cents.count() == 8)
+    // every corpus vector lands in a valid cell
+    val cells = Similarity.assignCells(emb, cents, "embedding")
+    assert(cells.filter(col("cell") < 0 || col("cell") >= 8).count() == 0)
+    // non-degenerate: the corpus spreads over more than one cell
+    assert(cells.select("cell").distinct().count() > 1)
+  }
+
   test("int8 quantization: codes bounded, round-trip within scale/2, zero vector safe") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
       .union(Seq((99999L, Array.fill(8)(0.0f), 0)).toDF("vec_id", "embedding", "label"))
