@@ -15,6 +15,18 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Dedup {
 
+  /** The ONE default banding model, shared by every default-parameter
+    * minhash entry point — candidate generators, one-call drops, AND
+    * their audits. An audit only describes the run it claims to audit
+    * if both use the same (numHashes, bands, shingleSize); hoisting the
+    * defaults here makes that true by construction instead of by
+    * coincidence (changing one callsite's default can no longer
+    * silently desynchronize the audit).
+    */
+  val DefaultNumHashes = 16
+  val DefaultBands = 4
+  val DefaultShingleSize = 3
+
   /** Exact dedup: hash-groupBy on content, keep the smallest id as the
     * canonical representative. One shuffle on the content hash.
     */
@@ -84,9 +96,9 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      numHashes: Int = 16,
-      bands: Int = 4,
-      shingleSize: Int = 3,
+      numHashes: Int = DefaultNumHashes,
+      bands: Int = DefaultBands,
+      shingleSize: Int = DefaultShingleSize,
       maxBucketSize: Option[Int] = None,
       hashFamily: HashFamily = HashFamily.Md5
   ): DataFrame = {
@@ -188,18 +200,26 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxBucketSize: Int,
-      numHashes: Int = 16,
-      bands: Int = 4,
-      shingleSize: Int = 3,
+      numHashes: Int = DefaultNumHashes,
+      bands: Int = DefaultBands,
+      shingleSize: Int = DefaultShingleSize,
       hashFamily: HashFamily = HashFamily.Md5
   ): DataFrame =
     droppedBucketsFromBanded(
       bandedKeys(docs, idCol, textCol, numHashes, bands, shingleSize, None, hashFamily),
       maxBucketSize)
 
-  /** [[minhashDroppedBuckets]] over a precomputed UNCAPPED band table
+  /** [[minhashDroppedBuckets]] over a precomputed band table
     * (band_idx, band_hash[, ...]) — the zero-reshingle audit path for a
     * persisted [[bandedSignatures]] table.
+    *
+    * WARNING: the band table MUST have been built UNCAPPED
+    * ([[bandedSignatures]] with `maxBucketSize = None`). A capped table
+    * has already removed its over-cap buckets, so auditing it returns
+    * empty — the exact silent "covered everything" claim this audit
+    * exists to prevent. The frame alone cannot reveal how it was built;
+    * keep audit tables uncapped by construction (the cap belongs on the
+    * candidate join, not on the persisted signatures).
     */
   def droppedBucketsFromBanded(banded: DataFrame, maxBucketSize: Int): DataFrame = {
     val keyCols = Seq("band_idx", banded.columns.find(_ == "band_bits").getOrElse("band_hash"))
@@ -225,9 +245,9 @@ object Dedup {
       corpus: DataFrame,
       idCol: String,
       textCol: String,
-      numHashes: Int = 16,
-      bands: Int = 4,
-      shingleSize: Int = 3,
+      numHashes: Int = DefaultNumHashes,
+      bands: Int = DefaultBands,
+      shingleSize: Int = DefaultShingleSize,
       maxBucketSize: Option[Int] = None,
       hashFamily: HashFamily = HashFamily.Md5
   ): DataFrame =
@@ -243,14 +263,20 @@ object Dedup {
     * (or plain parquet) and each arriving batch joins against the stored
     * table instead of re-shingling the 100 TB corpus per batch. Columns:
     * (idCol, band_idx, band_hash).
+    *
+    * Persist the table UNCAPPED (`maxBucketSize = None`): it then also
+    * serves [[droppedBucketsFromBanded]] as a free audit source, and the
+    * hot-bucket cap can be applied per-join instead of being baked
+    * irreversibly into the stored signatures (see the WARNING on
+    * [[droppedBucketsFromBanded]]).
     */
   def bandedSignatures(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      numHashes: Int = 16,
-      bands: Int = 4,
-      shingleSize: Int = 3,
+      numHashes: Int = DefaultNumHashes,
+      bands: Int = DefaultBands,
+      shingleSize: Int = DefaultShingleSize,
       maxBucketSize: Option[Int] = None,
       hashFamily: HashFamily = HashFamily.Md5
   ): DataFrame =
@@ -345,9 +371,9 @@ object Dedup {
       bandedCorpus: DataFrame,
       idCol: String,
       textCol: String,
-      numHashes: Int = 16,
-      bands: Int = 4,
-      shingleSize: Int = 3,
+      numHashes: Int = DefaultNumHashes,
+      bands: Int = DefaultBands,
+      shingleSize: Int = DefaultShingleSize,
       hashFamily: HashFamily = HashFamily.Md5
   ): DataFrame = {
     require(streamDocs.isStreaming, "use minhashCandidatesAgainst for batch inputs")
@@ -372,9 +398,9 @@ object Dedup {
       bandedCorpus: DataFrame,
       idCol: String,
       textCol: String,
-      numHashes: Int = 16,
-      bands: Int = 4,
-      shingleSize: Int = 3,
+      numHashes: Int = DefaultNumHashes,
+      bands: Int = DefaultBands,
+      shingleSize: Int = DefaultShingleSize,
       maxBucketSize: Option[Int] = None,
       hashFamily: HashFamily = HashFamily.Md5
   ): DataFrame = {
@@ -522,9 +548,59 @@ object Dedup {
       case Some(cap) =>
         minhashDroppedBuckets(docs, idCol, textCol, cap, hashFamily = hashFamily)
       case None =>
-        // no cap ⇒ nothing excluded, by definition
-        minhashDroppedBuckets(docs, idCol, textCol, Int.MaxValue, hashFamily = hashFamily)
-          .limit(0)
+        // no cap ⇒ nothing excluded, by definition: an empty frame with
+        // the audit schema (no banding plan is built, let alone run)
+        emptyAuditFrame(docs)
+    }
+    (kept, dropped)
+  }
+
+  /** Empty (band_idx, band_hash, bucket_size) frame — the "nothing was
+    * excluded" audit result, shared by the uncapped branches of the
+    * audited drop variants.
+    */
+  private def emptyAuditFrame(like: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    like.sparkSession.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(
+        StructField("band_idx", IntegerType),
+        StructField("band_hash", StringType),
+        StructField("bucket_size", LongType, nullable = false))))
+  }
+
+  /** [[dropIncrementalDuplicates]] plus its coverage audit: `(kept,
+    * droppedBuckets)` where `droppedBuckets` reports the over-cap band
+    * buckets on EACH side of the incremental join (`side` = "new" |
+    * "corpus") for the same default banding parameters — a capped
+    * new×corpus run silently skips exactly those buckets' pairings.
+    * Empty when `maxBucketSize` is None or nothing hit the cap.
+    *
+    * Pipelines that maintain a PERSISTED uncapped corpus band table
+    * ([[bandedSignatures]] with `maxBucketSize = None`) should instead
+    * audit it for free with [[droppedBucketsFromBanded]] (zero
+    * re-shingling) and only audit the (small) new side here.
+    */
+  def dropIncrementalDuplicatesAudited(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      minJaccard: Double = 0.4,
+      maxBucketSize: Option[Int] = Some(1000),
+      hashFamily: HashFamily = HashFamily.Md5
+  ): (DataFrame, DataFrame) = {
+    val kept = dropIncrementalDuplicates(
+      newDocs, corpus, idCol, textCol, minJaccard, maxBucketSize, hashFamily)
+    val dropped = maxBucketSize match {
+      case Some(cap) =>
+        minhashDroppedBuckets(newDocs, idCol, textCol, cap, hashFamily = hashFamily)
+          .withColumn("side", lit("new"))
+          .unionByName(
+            minhashDroppedBuckets(corpus, idCol, textCol, cap, hashFamily = hashFamily)
+              .withColumn("side", lit("corpus")))
+      case None =>
+        emptyAuditFrame(newDocs).withColumn("side", lit(null).cast("string"))
     }
     (kept, dropped)
   }
@@ -757,7 +833,9 @@ object Dedup {
     * pass `checkpointDir` (HDFS/S3) to use RELIABLE `checkpoint()`
     * instead: the edge list, the seed labels, AND every per-round label
     * frame persist to the shared store and survive any executor loss,
-    * at the cost of one distributed write per round —
+    * at the cost of one distributed write per round (each round's frame
+    * rides a transient persist across the checkpoint so the write reads
+    * cache instead of re-executing the round's plan) —
     * cheap, since the frame is (node, label) pairs, not the corpus.
     * Superseded reliable checkpoint files are left for the configured
     * cleaner (`spark.cleaner.referenceTracking.cleanCheckpoints`).
@@ -776,9 +854,19 @@ object Dedup {
       checkpointDir: Option[String] = None
   ): DataFrame = {
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
-    // reliable (survives executor loss) vs local (fast, executor-pinned)
+    // reliable (survives executor loss) vs local (fast, executor-pinned).
+    // On the reliable path the frame is persisted across the checkpoint:
+    // Dataset.checkpoint() runs one job to materialize and a SECOND to
+    // write the checkpoint files from lineage — without the persist that
+    // second job re-executes the round's whole join+aggregate plan; with
+    // it, the write is a cache read. Unpersisted right after (the
+    // returned frame reads from the checkpoint files, not the cache).
     def ckpt(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      if (checkpointDir.isDefined) {
+        df.persist()
+        try df.checkpoint()
+        finally df.unpersist()
+      } else df.localCheckpoint()
     // materialize the edge list once — it is re-read every round, and
     // without this the (possibly expensive) candidate-pair plan above it
     // would re-execute per iteration

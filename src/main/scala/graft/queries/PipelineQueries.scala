@@ -24,6 +24,16 @@ object PipelineQueries extends QueryPack {
         .minhashCandidates(Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc1"), col("doc2"))
     },
+    // the hot-bucket cap's coverage audit: every band bucket a cap of 1
+    // would exclude, with its member count — i.e. exactly the buckets
+    // that generate candidate pairs, so non-empty wherever near-dups
+    // exist
+    "q_dedup_dropped_buckets" -> { (s, dir) =>
+      Dedup
+        .minhashDroppedBuckets(
+          Tables.load(s, dir, "documents"), "doc_id", "text", maxBucketSize = 1)
+        .orderBy(col("band_idx"), col("band_hash"))
+    },
     "q_dedup_simhash" -> { (s, dir) =>
       Dedup
         .simhash(Tables.load(s, dir, "documents"), "doc_id", "text")
@@ -630,6 +640,41 @@ object PipelineQueries extends QueryPack {
          |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
          | AND a.doc_id < b.doc_id
          |ORDER BY doc1, doc2""".stripMargin
+    },
+    // the q_dedup_minhash banding, inverted: buckets OVER the cap
+    // (HAVING COUNT(*) > 1) instead of the pairs the under-cap buckets
+    // generate
+    "q_dedup_dropped_buckets" -> {
+      val mins = (1 to 16)
+        .map(j => s"MIN((h1 + $j*h2) % 4294967296) AS m$j")
+        .mkString(",\n        ")
+      val bandCase = (0 until 4)
+        .map { b =>
+          val hs = (1 to 4)
+            .map(r => s"CAST(m${b * 4 + r} AS VARCHAR)")
+            .mkString(" || '|' || ")
+          s"WHEN $b THEN MD5($hs)"
+        }
+        .mkString(" ")
+      s"""WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+         |sh AS (SELECT doc_id,
+         |              UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(t) - 1, 2)),
+         |                     i -> ARRAY_TO_STRING(t[i:i+2], ' '))) AS shingle
+         |       FROM toks),
+         |hx AS (SELECT doc_id,
+         |              CAST('0x' || SUBSTRING(MD5(shingle), 1, 8) AS BIGINT) AS h1,
+         |              CAST('0x' || SUBSTRING(MD5(shingle), 9, 8) AS BIGINT) AS h2
+         |       FROM sh),
+         |sig AS (SELECT doc_id, $mins
+         |        FROM hx GROUP BY doc_id),
+         |bands AS (SELECT doc_id, band_idx,
+         |                 CASE band_idx $bandCase END AS band_hash
+         |          FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) b(band_idx))
+         |SELECT band_idx, band_hash, COUNT(*) AS bucket_size
+         |FROM bands
+         |GROUP BY band_idx, band_hash
+         |HAVING COUNT(*) > 1
+         |ORDER BY band_idx, band_hash""".stripMargin
     },
     // verified pairs → recursive-CTE components → anti-join the losers
     "q_dedup_apply" -> {

@@ -71,6 +71,27 @@ class DedupSpec extends SparkSpec {
     assert(shDropped.length == 4 && shDropped.forall(_._2 == 5L), shDropped.toSeq.toString)
   }
 
+  test("incremental audited drop reports over-cap buckets per side") {
+    // 20-clone corpus + a 10-clone batch of the same text: a cap of 8
+    // suppresses the corpus buckets (size 20) AND the batch buckets
+    // (size 10), so NOTHING is dropped — and the audit says which side
+    // excluded what instead of letting the run claim coverage
+    val text = "same same same text for every single one of them"
+    val corpus = (1L to 20L).map(i => (i, text)).toDF("doc_id", "text")
+    val batch = (101L to 110L).map(i => (i, text)).toDF("doc_id", "text")
+    val (kept, audit) = Dedup.dropIncrementalDuplicatesAudited(
+      batch, corpus, "doc_id", "text", maxBucketSize = Some(8))
+    assert(kept.count() == 10, "capped run pairs nothing, so every batch doc survives")
+    val bySide = audit.groupBy($"side").count().as[(String, Long)].collect().toMap
+    assert(bySide == Map("new" -> 4L, "corpus" -> 4L),
+      s"4 over-cap band buckets per side, got $bySide")
+    // uncapped: the batch is actually deduplicated and the audit is empty
+    val (keptAll, auditNone) = Dedup.dropIncrementalDuplicatesAudited(
+      batch, corpus, "doc_id", "text", maxBucketSize = None)
+    assert(keptAll.isEmpty, "every batch doc is a verified near-dup of the corpus")
+    assert(auditNone.isEmpty)
+  }
+
   test("native WordShingles is byte-identical to the composed split+transform form") {
     import org.apache.spark.sql.functions.{col, split}
     // edge shapes: empty string, single word, double spaces (empty
