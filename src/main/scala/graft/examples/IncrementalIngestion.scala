@@ -10,14 +10,10 @@ import org.apache.spark.sql.functions._
   * survivors are appended to the corpus AND to the persisted corpus
   * band table, so the next batch dedups against everything before it.
   *
-  * Plan shape per micro-batch (all equi-joins, SCALE.md):
-  *   1. `streamingIncrementalCandidates`: per-row banding of the batch
-  *      (array folds — no watermark-delayed aggregation) stream-static
-  *      joined against the stored band table;
-  *   2. inside `foreachBatch`: exact-Jaccard verify of the candidates
-  *      (batch API), anti-join the condemned ids, then within-batch
-  *      `dropNearDuplicates` (bounded by the batch, not the corpus);
-  *   3. append survivors + their `bandedSignatures` rows.
+  * The loop itself is [[graft.streaming.IncrementalDedup]] (plan shape
+  * documented there and spec-pinned end-to-end across micro-batches in
+  * IncrementalIngestionSpec); this example seeds a corpus + band table
+  * and drives one batch through it.
   *
   * Run: `sbt "runMain graft.examples.IncrementalIngestion"`
   */
@@ -53,30 +49,7 @@ object IncrementalIngestion {
       (301L, "repeated batch content that appears twice within one ingestion batch here"))
     val arriving = mem.toDF().toDF("doc_id", "text")
 
-    val q = arriving.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        val corpus = spark.read.parquet(corpusDir)
-        // 1+2: against-corpus candidates -> verified drop (batch API
-        // reuses the stored band table via candidatesAgainstBanded)
-        val cands = Dedup
-          .candidatesAgainstBanded(batch, spark.read.parquet(bandsDir), "doc_id", "text")
-          .select(col("new_id").as("doc1"), col("corpus_id").as("doc2"))
-        val both = batch.select(col("doc_id"), col("text"))
-          .union(corpus.select(col("doc_id"), col("text")))
-        val losers = Dedup
-          .verifyCandidates(cands, both, "doc_id", "text", minJaccard = 0.4)
-          .select(col("doc1").as("doc_id")).distinct()
-        val survivors0 = batch.join(losers, Seq("doc_id"), "left_anti")
-        // 3: within-batch dedup, bounded by the batch size
-        val survivors = Dedup.dropNearDuplicates(survivors0, "doc_id", "text")
-        // 4: grow the corpus and its band table
-        survivors.write.mode("append").parquet(corpusDir)
-        Dedup.bandedSignatures(survivors, "doc_id", "text")
-          .write.mode("append").parquet(bandsDir)
-        ()
-      }
-      .start()
+    val q = graft.streaming.IncrementalDedup.attach(arriving, corpusDir, bandsDir)
     q.processAllAvailable()
     q.stop()
 
