@@ -129,6 +129,15 @@ object BarCascade {
     * deterministic dependency order). Parquet sinks + per-stage
     * checkpoints; callers read live tables with `spark.read.parquet`
     * (the TimeBucket pull path).
+    *
+    * Pass a [[Supervisor]] to make the cascade SELF-HEALING: every
+    * stage query launches through `supervise`, so a failed stage is
+    * restarted from its own checkpoint with bounded retries while the
+    * rest of the cascade keeps running — the file sink's metadata log +
+    * the per-stage checkpoints make the restart exactly-once
+    * (CascadeChaosSpec proves kill-and-restart reproduces an
+    * uninterrupted run's sinks byte-for-byte). Re-invoking `start` with
+    * the same `root` after a crash resumes every stage the same way.
     */
   def start(
       spark: SparkSession,
@@ -140,30 +149,37 @@ object BarCascade {
       orderCol: String,
       timeframes: Seq[Period],
       root: String,
-      grace: FiniteDuration = 3.seconds
+      grace: FiniteDuration = 3.seconds,
+      supervisor: Option[Supervisor] = None
   ): CascadePlan = {
+    def launch(name: String)(thunk: () => StreamingQuery): StreamingQuery =
+      supervisor.fold(thunk())(_.supervise(name)(thunk))
     val hubPath = s"$root/${base}_1s_rows"
     new java.io.File(hubPath).mkdirs() // downstream readStream needs the dir
     val hub = hubBars(ticks, keys, tsCol, valueCol, orderCol, grace)
-    val hubQ = hub.writeStream
-      .format("parquet")
-      .option("path", hubPath)
-      .option("checkpointLocation", s"$root/_chk/${base}_1s_rows")
-      .outputMode("append")
-      .start()
+    val hubQ = launch(s"${base}_1s_rows") { () =>
+      hub.writeStream
+        .format("parquet")
+        .option("path", hubPath)
+        .option("checkpointLocation", s"$root/_chk/${base}_1s_rows")
+        .outputMode("append")
+        .start()
+    }
 
     val ordered = timeframes.sortBy(_.fixedSeconds.getOrElse(Long.MaxValue))
     val hubSchema = hub.schema
     val liveQs = ordered.map { tf =>
       val path = s"$root/${base}_${tf.label}_live"
       new java.io.File(path).mkdirs()
-      val finer = spark.readStream.schema(hubSchema).parquet(hubPath)
-      val q = timeframeBars(finer, keys, tf, grace).writeStream
-        .format("parquet")
-        .option("path", path)
-        .option("checkpointLocation", s"$root/_chk/${base}_${tf.label}_live")
-        .outputMode("append")
-        .start()
+      val q = launch(s"${base}_${tf.label}_live") { () =>
+        val finer = spark.readStream.schema(hubSchema).parquet(hubPath)
+        timeframeBars(finer, keys, tf, grace).writeStream
+          .format("parquet")
+          .option("path", path)
+          .option("checkpointLocation", s"$root/_chk/${base}_${tf.label}_live")
+          .outputMode("append")
+          .start()
+      }
       tf.label -> (path, q)
     }
     CascadePlan(
