@@ -126,6 +126,7 @@ object Multimodal {
     * is closed-form (so a SQL oracle can check a real decode).
     */
   def synthPng(width: Int, height: Int, gray: Int): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false) // no temp-file stream cache
     val img = grayImage(width, height, gray)
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
@@ -138,6 +139,7 @@ object Multimodal {
     * and `decodeImage` counts `frames` image descriptors.
     */
   def synthGif(width: Int, height: Int, gray: Int, frames: Int): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false) // no temp-file stream cache
     val img = grayImage(width, height, gray)
     val bos = new java.io.ByteArrayOutputStream()
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
@@ -202,6 +204,10 @@ object Multimodal {
     * pixel, normalized to [0,1]). Returns None for undecodable bytes.
     */
   def decodeImage(payload: Array[Byte]): Option[(Int, Int, Int, Double)] = {
+    // in-memory streams only: the default ImageIO stream cache spills
+    // through temp FILES, which would put a disk round-trip in a
+    // per-row executor loop
+    javax.imageio.ImageIO.setUseCache(false)
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(payload))
     try {
@@ -214,16 +220,15 @@ object Multimodal {
           val n = reader.getNumImages(true)
           val img = reader.read(0)
           val (w, h) = (img.getWidth, img.getHeight)
+          // bulk pixel grab — one call instead of w*h getRGB round-trips
+          // through the color model
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
           var sum = 0.0
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
-              x += 1
-            }
-            y += 1
+          var i = 0
+          while (i < px.length) {
+            val rgb = px(i)
+            sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+            i += 1
           }
           Some((w, h, n, sum / (w.toLong * h) / 255.0))
         } catch {
@@ -271,6 +276,7 @@ object Multimodal {
     val payloadIdx = df.schema.fieldIndex(payloadCol)
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // no temp-file stream cache
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](payloadIdx)
         val decoded =
