@@ -306,9 +306,152 @@ object Multimodal {
     }(enc)
   }
 
+  // -- real audio codec (RIFF/WAV via javax.sound.sampled) -----------
+
+  /** Synthesize a REAL canonical RIFF/WAVE PCM16 payload: 44-byte
+    * header + `frames` constant-amplitude samples per channel. Constant
+    * amplitude makes the decoded peak AND RMS exactly `amplitude` (in
+    * int16 units), so a SQL oracle can check a real decode.
+    */
+  def synthWav(sampleRate: Int, channels: Int, frames: Int, amplitude: Int): Array[Byte] = {
+    val dataLen = frames * channels * 2
+    val bb = java.nio.ByteBuffer
+      .allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1) // PCM
+    bb.putShort(channels.toShort)
+    bb.putInt(sampleRate)
+    bb.putInt(sampleRate * channels * 2) // byte rate
+    bb.putShort((channels * 2).toShort)  // block align
+    bb.putShort(16)                      // bits per sample
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+    var i = 0
+    while (i < frames * channels) { bb.putShort(amplitude.toShort); i += 1 }
+    bb.array()
+  }
+
+  /** REAL WAV header sniffing — the audio face of [[headerDims]]: pure
+    * codegen'd byte math over the canonical 44-byte RIFF/WAVE PCM
+    * layout, the pre-decode format/rate filter a pipeline runs over
+    * billions of clips BEFORE any decode. Returns struct(format,
+    * channels, sample_rate, bits_per_sample, n_frames); non-WAV (or
+    * non-canonical chunk order) → ("unknown", nulls).
+    */
+  def audioMeta(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val nullInt = lit(null).cast("int")
+    val isWav = hex(substring(payload, 1, 4)) === "52494646" && // "RIFF"
+      hex(substring(payload, 9, 8)) === "57415645666D7420"      // "WAVEfmt "
+    val channels = le16(payload, 23)
+    val bits = le16(payload, 35)
+    val dataLen = le32(payload, 41)
+    val frameBytes = channels * (bits / lit(8L))
+    when(isWav && hex(substring(payload, 37, 4)) === "64617461" && frameBytes > 0,
+      struct(
+        lit("wav").as("format"),
+        channels.cast("int").as("channels"),
+        le32(payload, 25).cast("int").as("sample_rate"),
+        bits.cast("int").as("bits_per_sample"),
+        (dataLen / frameBytes).as("n_frames")))
+      .otherwise(struct(
+        lit("unknown").as("format"), nullInt.as("channels"),
+        nullInt.as("sample_rate"), nullInt.as("bits_per_sample"),
+        lit(null).cast("long").as("n_frames")))
+  }
+
+  /** REAL audio decode via the JDK's sampled-audio API: parse the
+    * stream with `javax.sound.sampled.AudioSystem`, pull the PCM16
+    * frames, and compute peak amplitude and RMS (both in int16 units —
+    * sqrt of an exact integer mean, so constant-amplitude fixtures
+    * round-trip exactly). Returns None for undecodable bytes.
+    */
+  def decodeAudio(payload: Array[Byte]): Option[(Int, Int, Int, Long, Double, Double)] = {
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) None
+        else {
+          val frames = ais.getFrameLength
+          val bytes = ais.readAllBytes()
+          var peak = 0L
+          var sumSq = 0.0
+          var i = 0
+          val n = bytes.length / 2
+          while (i < n) {
+            val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toLong
+            if (math.abs(s) > peak) peak = math.abs(s)
+            sumSq += s.toDouble * s
+            i += 1
+          }
+          val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
+          Some((fmt.getChannels, fmt.getSampleRate.toInt, fmt.getSampleSizeInBits,
+            frames, peak.toDouble, rms))
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  val audioFeatureType: StructType = StructType(Seq(
+    StructField("channels", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("bits_per_sample", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("peak", DoubleType),
+    StructField("rms", DoubleType)
+  ))
+
+  /** Partition-local REAL audio decode over a payload column — appends
+    * an `audio` struct from an actual javax.sound.sampled parse. Same
+    * plan contract as [[decodeImages]]: no shuffle, payload never
+    * leaves the executor, undecodable rows get null fields.
+    */
+  def decodeAudioFeatures(df: DataFrame, payloadCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField("audio", audioFeatureType))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val feat = decodeAudio(r.getAs[Array[Byte]](payloadIdx)) match {
+          case Some((c, sr, b, f, p, m)) => Row(c, sr, b, f, p, m)
+          case None                      => Row(null, null, null, null, null, null)
+        }
+        Row.fromSeq(r.toSeq :+ feat)
+      }
+    }(enc)
+  }
+
+  /** Attach a REAL synthetic WAV payload derived from a numeric id
+    * column — closed-form parameters, like [[withSyntheticImages]]:
+    *   sample_rate = 8000 + (id % 8) * 1000
+    *   channels    = 1 + id % 2
+    *   n_frames    = 256 + id % 256
+    *   amplitude   = (id % 1000) * 16   (constant ⇒ peak = rms = amp)
+    */
+  def withSyntheticAudio(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField("payload", BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val payload = synthWav(
+          sampleRate = (8000 + (id % 8) * 1000).toInt,
+          channels = (1 + id % 2).toInt,
+          frames = (256 + id % 256).toInt,
+          amplitude = ((id % 1000) * 16).toInt)
+        Row.fromSeq(r.toSeq :+ payload)
+      }
+    }(enc)
+  }
+
   /** Deterministic fake decode: features derived from payload bytes.
     * STUB retained for VIDEO payloads only — this container ships no
-    * video codec; image decode is REAL (`decodeImage`/`decodeImages`).
+    * video codec; image decode is REAL (`decodeImage`/`decodeImages`)
+    * and audio decode is REAL (`decodeAudio`/`decodeAudioFeatures`).
     * Signature and batch shape are the real contract.
     */
   def decodeStub(payload: Array[Byte]): (Int, Int, Int, Double) = {

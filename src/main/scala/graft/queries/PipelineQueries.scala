@@ -375,6 +375,31 @@ object PipelineQueries extends QueryPack {
         )
         .orderBy(col("doc_id"))
     },
+    // REAL audio: synthesized canonical RIFF/WAV PCM16 payloads
+    // (closed-form params), sniffed twice — header byte math at scan
+    // speed (audioMeta) AND a real javax.sound.sampled decode with
+    // peak/RMS over the PCM frames; the oracle checks both paths agree
+    // on the ground truth
+    "q_multimodal_audio" -> { (s, dir) =>
+      val ids = Tables.load(s, dir, "documents").select(col("doc_id"))
+      val wav = Multimodal.withSyntheticAudio(ids, "doc_id")
+      Multimodal
+        .decodeAudioFeatures(wav, "payload")
+        .withColumn("meta", Multimodal.audioMeta(col("payload")))
+        .select(
+          col("doc_id"),
+          col("meta.format").as("format"),
+          col("meta.channels").as("hdr_channels"),
+          col("meta.sample_rate").as("hdr_sample_rate"),
+          col("meta.bits_per_sample").as("bits_per_sample"),
+          col("meta.n_frames").as("hdr_frames"),
+          col("audio.channels").as("channels"),
+          col("audio.sample_rate").as("sample_rate"),
+          col("audio.n_frames").as("n_frames"),
+          col("audio.peak").as("peak"),
+          col("audio.rms").as("rms"))
+        .orderBy(col("doc_id"))
+    },
     // frame-sampling plan: every 3rd frame index per VIDEO payload
     // (decodeFeatures is the documented video stub — no video codec in
     // a bare JVM), expanded WITHOUT duplicating the payload bytes
@@ -1267,6 +1292,23 @@ object PipelineQueries extends QueryPack {
         |       CAST(16 + (doc_id * 3) % 40 AS INT) AS height,
         |       CAST(CASE WHEN doc_id % 3 = 0 THEN 1 + doc_id % 4 ELSE 1 END AS INT) AS n_frames,
         |       (doc_id % 256) / 255.0 AS brightness
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    // REAL audio oracle: ground truth is closed-form in doc_id
+    // (withSyntheticAudio); constant amplitude ⇒ peak = rms = amplitude
+    // exactly (sqrt of an exact integer square) on both engines
+    "q_multimodal_audio" ->
+      """SELECT doc_id,
+        |       'wav' AS format,
+        |       CAST(1 + doc_id % 2 AS INT) AS hdr_channels,
+        |       CAST(8000 + (doc_id % 8) * 1000 AS INT) AS hdr_sample_rate,
+        |       CAST(16 AS INT) AS bits_per_sample,
+        |       CAST(256 + doc_id % 256 AS BIGINT) AS hdr_frames,
+        |       CAST(1 + doc_id % 2 AS INT) AS channels,
+        |       CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate,
+        |       CAST(256 + doc_id % 256 AS BIGINT) AS n_frames,
+        |       CAST((doc_id % 1000) * 16 AS DOUBLE) AS peak,
+        |       CAST((doc_id % 1000) * 16 AS DOUBLE) AS rms
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
     // frame indices from the sha-derived n_frames; generate_series is

@@ -158,6 +158,34 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real audio: synthesized WAV round-trips through javax.sound.sampled exactly") {
+    // stereo 11025 Hz, 300 frames, constant amplitude 4000
+    val wav = Multimodal.synthWav(sampleRate = 11025, channels = 2, frames = 300, amplitude = 4000)
+    val Some((c, sr, bits, frames, peak, rms)) = Multimodal.decodeAudio(wav)
+    assert((c, sr, bits, frames) == ((2, 11025, 16, 300L)))
+    assert(peak == 4000.0 && rms == 4000.0) // constant signal: exact
+    // silence: peak = rms = 0
+    val Some((_, _, _, _, p0, r0)) =
+      Multimodal.decodeAudio(Multimodal.synthWav(8000, 1, 64, 0))
+    assert(p0 == 0.0 && r0 == 0.0)
+    assert(Multimodal.decodeAudio("not audio at all".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("audioMeta parses the canonical WAV header with codegen'd byte math") {
+    val rows = Seq(
+      (1L, Multimodal.synthWav(16000, 1, 500, 100)),
+      (2L, Multimodal.synthWav(44100, 2, 1000, 2)),
+      (3L, "RIFFjunk that is not wave".getBytes("UTF-8"))
+    ).toDF("id", "payload")
+      .select($"id", Multimodal.audioMeta($"payload").as("m"))
+      .orderBy($"id")
+      .collect()
+    assert(rows(0).getStruct(1).toSeq == Seq("wav", 1, 16000, 16, 500L))
+    assert(rows(1).getStruct(1).toSeq == Seq("wav", 2, 44100, 16, 1000L))
+    assert(rows(2).getStruct(1).getString(0) == "unknown")
+    assert(rows(2).getStruct(1).isNullAt(1))
+  }
+
   test("sampleFrames expands every Nth frame without payload duplication in plan") {
     val withFrames = media.withColumn("n_frames", lit(10))
     val frames = Multimodal.sampleFrames(withFrames, "n_frames", everyNth = 3)
