@@ -448,11 +448,101 @@ object Multimodal {
     }(enc)
   }
 
+  // -- real video container sniffing (RIFF/AVI header math) ----------
+
+  /** Synthesize a REAL canonical RIFF/AVI header (RIFF → "AVI " →
+    * LIST/hdrl → avih MainAVIHeader) followed by an opaque body. The
+    * header layout is the genuine AVI container format; the BODY is
+    * filler — synthesizing decodable video frames needs a codec a bare
+    * JVM does not ship. Good enough for what a pipeline does at scan
+    * time: dimension/fps/frame-count filtering BEFORE any decode.
+    */
+  def synthAvi(
+      width: Int,
+      height: Int,
+      totalFrames: Int,
+      usPerFrame: Int,
+      bodyLen: Int = 64
+  ): Array[Byte] = {
+    val bb = java.nio.ByteBuffer
+      .allocate(72 + bodyLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(64 + bodyLen)
+    bb.put("AVI ".getBytes("US-ASCII"))
+    bb.put("LIST".getBytes("US-ASCII")); bb.putInt(4 + 8 + 56)
+    bb.put("hdrl".getBytes("US-ASCII"))
+    bb.put("avih".getBytes("US-ASCII")); bb.putInt(56)
+    bb.putInt(usPerFrame)  // dwMicroSecPerFrame  (33-36, 1-based)
+    bb.putInt(0)           // dwMaxBytesPerSec
+    bb.putInt(0)           // dwPaddingGranularity
+    bb.putInt(0)           // dwFlags
+    bb.putInt(totalFrames) // dwTotalFrames       (49-52)
+    bb.putInt(0)           // dwInitialFrames
+    bb.putInt(1)           // dwStreams
+    bb.putInt(0)           // dwSuggestedBufferSize
+    bb.putInt(width)       // dwWidth             (65-68)
+    bb.putInt(height)      // dwHeight            (69-72)
+    var i = 0
+    while (i < bodyLen) { bb.put(((width + i) % 251).toByte); i += 1 }
+    bb.array()
+  }
+
+  /** REAL AVI container sniffing — the video face of [[headerDims]] /
+    * [[audioMeta]]: codegen'd byte math over the canonical RIFF/AVI
+    * MainAVIHeader, extracting struct(format, width, height, n_frames,
+    * frame_us) at scan speed with the payload never leaving the scan.
+    * Non-AVI (or non-canonical chunk order) → ("unknown", nulls).
+    * Frame DECODE stays [[decodeStub]] — that needs a codec.
+    */
+  def videoMeta(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val nullInt = lit(null).cast("int")
+    def dim(v: org.apache.spark.sql.Column) =
+      when(v.between(0, Int.MaxValue.toLong), v).otherwise(lit(null)).cast("int")
+    val isAvi = hex(substring(payload, 1, 4)) === "52494646" && // "RIFF"
+      hex(substring(payload, 9, 4)) === "41564920" &&           // "AVI "
+      hex(substring(payload, 13, 4)) === "4C495354" &&          // "LIST"
+      hex(substring(payload, 21, 8)) === "6864726C61766968"     // "hdrlavih"
+    when(isAvi,
+      struct(
+        lit("avi").as("format"),
+        dim(le32(payload, 65)).as("width"),
+        dim(le32(payload, 69)).as("height"),
+        dim(le32(payload, 49)).as("n_frames"),
+        dim(le32(payload, 33)).as("frame_us")))
+      .otherwise(struct(
+        lit("unknown").as("format"), nullInt.as("width"), nullInt.as("height"),
+        nullInt.as("n_frames"), nullInt.as("frame_us")))
+  }
+
+  /** Attach a REAL synthetic AVI-header payload derived from a numeric
+    * id column — closed-form parameters, like [[withSyntheticImages]]:
+    *   width    = 160 + (id % 16) * 16
+    *   height   = 120 + (id % 9) * 8
+    *   n_frames = 100 + id % 900
+    *   frame_us = 33333 (id even) | 40000 (id odd)   (≈30 / 25 fps)
+    */
+  def withSyntheticVideo(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField("payload", BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val payload = synthAvi(
+          width = (160 + (id % 16) * 16).toInt,
+          height = (120 + (id % 9) * 8).toInt,
+          totalFrames = (100 + id % 900).toInt,
+          usPerFrame = if (id % 2 == 0) 33333 else 40000)
+        Row.fromSeq(r.toSeq :+ payload)
+      }
+    }(enc)
+  }
+
   /** Deterministic fake decode: features derived from payload bytes.
-    * STUB retained for VIDEO payloads only — this container ships no
-    * video codec; image decode is REAL (`decodeImage`/`decodeImages`)
-    * and audio decode is REAL (`decodeAudio`/`decodeAudioFeatures`).
-    * Signature and batch shape are the real contract.
+    * STUB retained for VIDEO FRAME DECODE only — this container ships
+    * no video codec; image decode is REAL (`decodeImage`), audio decode
+    * is REAL (`decodeAudio`), and video CONTAINER metadata is REAL
+    * ([[videoMeta]]). Signature and batch shape are the real contract.
     */
   def decodeStub(payload: Array[Byte]): (Int, Int, Int, Double) = {
     val h = java.security.MessageDigest.getInstance("SHA-256").digest(payload)

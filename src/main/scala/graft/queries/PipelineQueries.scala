@@ -400,6 +400,24 @@ object PipelineQueries extends QueryPack {
           col("audio.rms").as("rms"))
         .orderBy(col("doc_id"))
     },
+    // REAL video container sniffing: synthesized canonical RIFF/AVI
+    // headers (closed-form params), MainAVIHeader fields extracted at
+    // scan speed with pure byte math — the pre-decode dimension/fps
+    // filter; frame decode stays the documented stub (needs a codec)
+    "q_multimodal_video" -> { (s, dir) =>
+      val ids = Tables.load(s, dir, "documents").select(col("doc_id"))
+      Multimodal
+        .withSyntheticVideo(ids, "doc_id")
+        .withColumn("m", Multimodal.videoMeta(col("payload")))
+        .select(
+          col("doc_id"),
+          col("m.format").as("format"),
+          col("m.width").as("width"),
+          col("m.height").as("height"),
+          col("m.n_frames").as("n_frames"),
+          col("m.frame_us").as("frame_us"))
+        .orderBy(col("doc_id"))
+    },
     // frame-sampling plan: every 3rd frame index per VIDEO payload
     // (decodeFeatures is the documented video stub — no video codec in
     // a bare JVM), expanded WITHOUT duplicating the payload bytes
@@ -1292,6 +1310,17 @@ object PipelineQueries extends QueryPack {
         |       CAST(16 + (doc_id * 3) % 40 AS INT) AS height,
         |       CAST(CASE WHEN doc_id % 3 = 0 THEN 1 + doc_id % 4 ELSE 1 END AS INT) AS n_frames,
         |       (doc_id % 256) / 255.0 AS brightness
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    // REAL video-container oracle: ground truth closed-form in doc_id
+    // (withSyntheticVideo)
+    "q_multimodal_video" ->
+      """SELECT doc_id,
+        |       'avi' AS format,
+        |       CAST(160 + (doc_id % 16) * 16 AS INT) AS width,
+        |       CAST(120 + (doc_id % 9) * 8 AS INT) AS height,
+        |       CAST(100 + doc_id % 900 AS INT) AS n_frames,
+        |       CAST(CASE WHEN doc_id % 2 = 0 THEN 33333 ELSE 40000 END AS INT) AS frame_us
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
     // REAL audio oracle: ground truth is closed-form in doc_id

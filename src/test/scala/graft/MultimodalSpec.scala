@@ -186,6 +186,21 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(2).getStruct(1).isNullAt(1))
   }
 
+  test("videoMeta parses the canonical AVI MainAVIHeader with codegen'd byte math") {
+    val rows = Seq(
+      (1L, Multimodal.synthAvi(640, 480, 1500, 33333)),
+      (2L, Multimodal.synthAvi(1920, 1080, 250, 40000)),
+      (3L, "RIFF but not an avi container".getBytes("UTF-8"))
+    ).toDF("id", "payload")
+      .select($"id", Multimodal.videoMeta($"payload").as("m"))
+      .orderBy($"id")
+      .collect()
+    assert(rows(0).getStruct(1).toSeq == Seq("avi", 640, 480, 1500, 33333))
+    assert(rows(1).getStruct(1).toSeq == Seq("avi", 1920, 1080, 250, 40000))
+    assert(rows(2).getStruct(1).getString(0) == "unknown")
+    assert(rows(2).getStruct(1).isNullAt(1))
+  }
+
   test("sampleFrames expands every Nth frame without payload duplication in plan") {
     val withFrames = media.withColumn("n_frames", lit(10))
     val frames = Multimodal.sampleFrames(withFrames, "n_frames", everyNth = 3)
