@@ -966,6 +966,31 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** One-call SEMANTIC dedup (SemDeDup, Abbas et al. 2023): embedding
+    * near-dup pairs within a blocking key ([[embeddingNearDup]] — the
+    * banded range join, no all-pairs scan) → connected components →
+    * keep the smallest id per semantic cluster, drop the rest. The
+    * text-space twin of [[dropNearDuplicates]]: same component/anti-join
+    * tail, but similarity lives in embedding space, so paraphrases and
+    * near-copies with low token overlap collapse too.
+    */
+  def dropSemanticDuplicates(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      blockCol: String,
+      window: Long = 50L,
+      threshold: Double = 0.3,
+      maxIter: Int = 20,
+      checkpointDir: Option[String] = None
+  ): DataFrame = {
+    val pairs = embeddingNearDup(df, idCol, vecCol, blockCol, window, threshold)
+      .select(col("id1").as("doc1"), col("id2").as("doc2"))
+    val labels = clusters(pairs, "doc1", "doc2", maxIter, checkpointDir)
+    val losers = labels.filter(col("node") =!= col("label")).select(col("node").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Exact duplicated-SPAN detection — the substring-level dedup signal
     * of "Deduplicating Training Data Makes Language Models Better"
     * (Lee et al., 2021), re-shaped for Spark: instead of a corpus-wide

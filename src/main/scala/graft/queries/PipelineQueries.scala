@@ -87,6 +87,15 @@ object PipelineQueries extends QueryPack {
         .embeddingNearDup(Tables.load(s, dir, "embeddings"), "vec_id", "embedding", "label")
         .orderBy(col("id1"), col("id2"))
     },
+    // one-call SemDeDup: the near-dup pairs above → connected
+    // components → keep the smallest vec_id per semantic cluster
+    "q_semantic_dedup" -> { (s, dir) =>
+      Dedup
+        .dropSemanticDuplicates(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding", "label")
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    },
     // semantic blocking: nearest-centroid cells (the IVF assignment
     // fold, no shuffle) as the near-dup blocking key instead of the
     // label — recalls cross-label near-dups the label block misses
@@ -989,6 +998,31 @@ object PipelineQueries extends QueryPack {
         |    ON a.label = b.label AND b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 50)
         |SELECT id1, id2, cos FROM pairs WHERE cos >= 0.3
         |ORDER BY id1, id2""".stripMargin,
+    // the near-dup pairs CTE + recursive-CTE components + anti-join —
+    // the q_dedup_apply labeling pattern in embedding space
+    "q_semantic_dedup" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |         LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.embedding) + 1),
+        |           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+        |         (SQRT(LIST_SUM(LIST_TRANSFORM(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |          SQRT(LIST_SUM(LIST_TRANSFORM(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 50),
+        |dup AS (SELECT id1, id2 FROM pairs WHERE cos >= 0.3),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM dup
+        |          UNION SELECT id2, id1 FROM dup),
+        |reach(a, b) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |losers AS (
+        |  SELECT a AS node FROM (SELECT a, MIN(b) AS lbl FROM reach GROUP BY a)
+        |  WHERE node <> lbl)
+        |SELECT e.vec_id, e.label
+        |FROM embeddings e LEFT JOIN losers l ON e.vec_id = l.node
+        |WHERE l.node IS NULL
+        |ORDER BY e.vec_id""".stripMargin,
     "q_embedding_neardup_ivf" ->
       """WITH centroids AS (
         |  SELECT CAST(vec_id AS INT) AS centroid_id, embedding AS cvec

@@ -92,6 +92,23 @@ class DedupSpec extends SparkSpec {
     assert(auditNone.isEmpty)
   }
 
+  test("semantic dedup keeps one representative per embedding cluster") {
+    // two semantic clusters in one block (parallel vectors, cosine 1.0
+    // within a cluster, orthogonal across) + one loner; transitivity:
+    // 3 only pairs with 2 (id window), yet joins 1's cluster through it
+    def v(x: Float, y: Float) = Array(x, y, 0f, 0f)
+    val rows = Seq(
+      (1L, v(1f, 0f), 0), (2L, v(2f, 0f), 0), (3L, v(3f, 0f), 0), // cluster -> keep 1
+      (10L, v(0f, 1f), 0), (11L, v(0f, 5f), 0),                   // cluster -> keep 10
+      (20L, v(1f, 1f), 1)                                         // other block: loner
+    ).toDF("vec_id", "embedding", "label")
+    val kept = Dedup
+      .dropSemanticDuplicates(rows, "vec_id", "embedding", "label",
+        window = 50L, threshold = 0.9)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 10L, 20L), s"got $kept")
+  }
+
   test("native WordShingles is byte-identical to the composed split+transform form") {
     import org.apache.spark.sql.functions.{col, split}
     // edge shapes: empty string, single word, double spaces (empty
