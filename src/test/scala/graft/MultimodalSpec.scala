@@ -201,6 +201,31 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(2).getStruct(1).isNullAt(1))
   }
 
+  test("real image decode runs unchanged on a stream (stateless, append mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val decoded = Multimodal.decodeImages(
+      mem.toDF().toDF("id", "payload"), "payload")
+      .select($"id", $"features.width", $"features.height", $"features.n_frames")
+    val q = decoded.writeStream.format("memory").queryName("mm_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, Multimodal.synthPng(33, 44, 9)),
+        (2L, Multimodal.synthGif(10, 12, 7, frames = 4)))
+      q.processAllAvailable()
+      mem.addData((3L, "junk".getBytes("UTF-8"))) // second micro-batch
+      q.processAllAvailable()
+      val out = spark.table("mm_stream").collect()
+        .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))
+        .toMap
+      assert(out(1L) == ((Some(33), Some(44), Some(1))))
+      assert(out(2L) == ((Some(10), Some(12), Some(4))))
+      assert(out(3L) == ((None, None, None)))
+    } finally q.stop()
+  }
+
   test("sampleFrames expands every Nth frame without payload duplication in plan") {
     val withFrames = media.withColumn("n_frames", lit(10))
     val frames = Multimodal.sampleFrames(withFrames, "n_frames", everyNth = 3)
