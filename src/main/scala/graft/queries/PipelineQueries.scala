@@ -621,8 +621,10 @@ object PipelineQueries extends QueryPack {
     // the trained model isn't SQL-recomputable, so this is bench-only.
     "q_ann_pq_trained" -> { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
+      // bounded-id training sample: the filter pushes down to the scan
+      // (an orderBy+limit sample would read the whole corpus)
       val cbs = Similarity.lloydCodebooks(
-        emb.orderBy("vec_id"), "embedding", m = 16, k = 64)
+        emb.filter(col("vec_id") < 4096).orderBy("vec_id"), "embedding", m = 16, k = 64)
       val enc = Similarity.pqEncode(emb, "vec_id", "embedding", cbs)
       Similarity
         .pqTopK(emb.filter(col("vec_id") < 3), enc, "vec_id", "embedding", cbs, 5)
@@ -634,9 +636,12 @@ object PipelineQueries extends QueryPack {
     "q_ann_ivfpq_trained" -> { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
       val centroids = Similarity.lloydCentroids(
-        emb.orderBy("vec_id"), "embedding", nlist = 8, iters = 5)
+        emb.filter(col("vec_id") < 4096).orderBy("vec_id"), "embedding", nlist = 8, iters = 5)
+      // sample FIRST, then compute residuals: residuals-for-everything
+      // followed by limit() would be a full corpus pass for a 4096-row
+      // training sample at 100 TB
       val resSamples = Similarity
-        .assignCells(emb, centroids, "embedding")
+        .assignCells(emb.filter(col("vec_id") < 4096), centroids, "embedding")
         .join(broadcast(centroids), col("cell") === col("centroid_id"))
         .orderBy(col("vec_id"))
         .select(
