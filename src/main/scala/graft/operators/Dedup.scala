@@ -991,6 +991,40 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** INCREMENTAL semantic dedup — the embedding-space twin of
+    * [[dropIncrementalDuplicates]], completing the incremental matrix
+    * (exact / minhash / semantic): drop every NEW document whose
+    * embedding is within `threshold` cosine of ANY corpus document in
+    * the same IVF cell. Both sides are assigned to broadcast-centroid
+    * cells (shuffle-free argmax fold, [[Similarity.assignCells]]) and
+    * joined new×corpus on the cell only — cost is |batch| + the touched
+    * cells' corpus rows, the corpus is never self-paired, and at 100 TB
+    * the corpus side can be a PERSISTED (id, cell, vec) table bucketed
+    * on `cell`, maintained incrementally like [[bandedSignatures]].
+    * Recall is bounded by the cell blocking (a near-dup straddling a
+    * cell boundary is missed) — raise nlist resolution or probe
+    * neighboring cells via [[Similarity.ivfTopK]] when that matters.
+    */
+  def dropIncrementalSemanticDuplicates(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      threshold: Double = 0.9
+  ): DataFrame = {
+    val nc = Similarity.assignCells(newDocs, centroids, vecCol)
+      .select(col(idCol).as("__nid"), col(vecCol).as("__nvec"), col("cell"))
+    val cc = Similarity.assignCells(corpus, centroids, vecCol)
+      .select(col(idCol).as("__cid"), col(vecCol).as("__cvec"), col("cell"))
+    val losers = nc
+      .join(cc, Seq("cell"))
+      .filter(Similarity.cosine(col("__nvec"), col("__cvec")) >= threshold)
+      .select(col("__nid").as(idCol))
+      .distinct()
+    newDocs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Exact duplicated-SPAN detection — the substring-level dedup signal
     * of "Deduplicating Training Data Makes Language Models Better"
     * (Lee et al., 2021), re-shaped for Spark: instead of a corpus-wide

@@ -87,6 +87,22 @@ object PipelineQueries extends QueryPack {
         .embeddingNearDup(Tables.load(s, dir, "embeddings"), "vec_id", "embedding", "label")
         .orderBy(col("id1"), col("id2"))
     },
+    // incremental semantic dedup: odd vec_ids are the arriving batch,
+    // even the corpus; IVF-cell blocking (the q_ann_ivf centroid
+    // convention), new docs within cosine 0.3 of any same-cell corpus
+    // doc are dropped, corpus untouched
+    "q_semantic_incremental" -> { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val centroids = emb
+        .filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("centroid_id"), col("embedding").as("centroid_vec"))
+      Dedup
+        .dropIncrementalSemanticDuplicates(
+          emb.filter(col("vec_id") % 2 === 1), emb.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", centroids, threshold = 0.3)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    },
     // one-call SemDeDup: the near-dup pairs above → connected
     // components → keep the smallest vec_id per semantic cluster
     "q_semantic_dedup" -> { (s, dir) =>
@@ -1003,6 +1019,33 @@ object PipelineQueries extends QueryPack {
         |    ON a.label = b.label AND b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 50)
         |SELECT id1, id2, cos FROM pairs WHERE cos >= 0.3
         |ORDER BY id1, id2""".stripMargin,
+    // incremental semantic: the q_embedding_neardup_ivf assign CTE for
+    // both sides, odd×even join within the cell, anti-join the losers
+    "q_semantic_incremental" ->
+      """WITH centroids AS (
+        |  SELECT CAST(vec_id AS INT) AS centroid_id, embedding AS cvec
+        |  FROM embeddings WHERE vec_id < 8),
+        |assign AS (
+        |  SELECT e.vec_id, e.embedding, c.centroid_id,
+        |         ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |           LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(e.embedding) + 1),
+        |             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE))) /
+        |           (SQRT(LIST_SUM(LIST_TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |            SQRT(LIST_SUM(LIST_TRANSFORM(c.cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC, c.centroid_id) AS rn
+        |  FROM embeddings e CROSS JOIN centroids c),
+        |cells AS (SELECT vec_id, embedding, centroid_id AS cell FROM assign WHERE rn = 1),
+        |losers AS (
+        |  SELECT DISTINCT n.vec_id
+        |  FROM cells n JOIN cells c ON n.cell = c.cell
+        |  WHERE n.vec_id % 2 = 1 AND c.vec_id % 2 = 0
+        |    AND LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(n.embedding) + 1),
+        |          i -> CAST(n.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) /
+        |        (SQRT(LIST_SUM(LIST_TRANSFORM(n.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |         SQRT(LIST_SUM(LIST_TRANSFORM(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.3)
+        |SELECT e.vec_id, e.label
+        |FROM embeddings e LEFT JOIN losers l ON e.vec_id = l.vec_id
+        |WHERE e.vec_id % 2 = 1 AND l.vec_id IS NULL
+        |ORDER BY e.vec_id""".stripMargin,
     // the near-dup pairs CTE + recursive-CTE components + anti-join —
     // the q_dedup_apply labeling pattern in embedding space
     "q_semantic_dedup" ->

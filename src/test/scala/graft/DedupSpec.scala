@@ -109,6 +109,25 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 10L, 20L), s"got $kept")
   }
 
+  test("incremental semantic dedup drops new docs near same-cell corpus docs only") {
+    def v(x: Float, y: Float) = Array(x, y, 0f, 0f)
+    val centroids = Seq((0, v(1f, 0f)), (1, v(0f, 1f)))
+      .toDF("centroid_id", "centroid_vec")
+    val corpus = Seq((100L, v(5f, 0.1f)), (101L, v(0.1f, 5f)))
+      .toDF("vec_id", "embedding")
+    val batch = Seq(
+      (1L, v(4f, 0.2f)),  // cell 0, cosine ~1 with 100 -> dropped
+      (2L, v(0.2f, 4f)),  // cell 1, near 101 -> dropped
+      (3L, v(1f, -1f))    // cell 0 but 45° off (cos ~0.69 vs 100) -> kept
+    ).toDF("vec_id", "embedding")
+    val kept = Dedup
+      .dropIncrementalSemanticDuplicates(batch, corpus, "vec_id", "embedding",
+        centroids, threshold = 0.9)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(kept == Set(3L), s"got $kept")
+    // corpus is never touched: only batch rows appear in the output
+  }
+
   test("native WordShingles is byte-identical to the composed split+transform form") {
     import org.apache.spark.sql.functions.{col, split}
     // edge shapes: empty string, single word, double spaces (empty
