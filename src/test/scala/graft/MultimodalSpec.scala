@@ -110,6 +110,19 @@ class MultimodalSpec extends SparkSpec {
     assert(gb == 64.0 / 255.0)
     // non-image bytes → None, no throw
     assert(Multimodal.decodeImage("just text".getBytes("UTF-8")).isEmpty)
+    // TRUNCATED PNG (valid signature, body cut mid-IDAT): the reader
+    // throws mid-decode — caught, None, the scan survives corrupt rows
+    val whole = Multimodal.synthPng(40, 40, 77)
+    val truncated = java.util.Arrays.copyOf(whole, whole.length / 2)
+    assert(Multimodal.decodeImage(truncated).isEmpty)
+    // truncated WAV: header promises more frames than the body carries;
+    // decodeAudio reports only what is actually there, or None — never
+    // a crash (javax.sound tolerates short reads)
+    val wav = Multimodal.synthWav(8000, 1, 100, 500)
+    val shortWav = java.util.Arrays.copyOf(wav, wav.length - 100)
+    Multimodal.decodeAudio(shortWav).foreach { case (_, _, _, _, peak, _) =>
+      assert(peak == 500.0)
+    }
   }
 
   test("decodeImages appends real features; undecodable rows get null fields") {

@@ -197,6 +197,26 @@ class SkewAndIvfSpec extends SparkSpec {
     })
   }
 
+  test("lloydTrain properties: centers in data hull, k>n degrades, duplicates safe") {
+    // centers stay within the per-dimension bounding box of the data
+    val pts = Array(Array(0f, 0f), Array(10f, 2f), Array(5f, 1f), Array(2f, 9f))
+    val centers = Similarity.lloydTrain(pts, k = 2, iters = 10)
+    centers.foreach { c =>
+      assert(c(0) >= 0f && c(0) <= 10f && c(1) >= 0f && c(1) <= 9f, c.toSeq)
+    }
+    // k > n: exactly n centers, no crash
+    assert(Similarity.lloydTrain(pts, k = 16, iters = 5).length == 4)
+    // all-identical points (zero D² everywhere): init falls back to
+    // uniform picks, converges to the single point
+    val dup = Array.fill(8)(Array(3f, 3f))
+    val dc = Similarity.lloydTrain(dup, k = 3, iters = 5)
+    assert(dc.forall(_.sameElements(Array(3f, 3f))))
+    // determinism across calls
+    val a = Similarity.lloydTrain(pts, k = 2, iters = 10)
+    val b = Similarity.lloydTrain(pts, k = 2, iters = 10)
+    assert(a.zip(b).forall { case (x, y) => x.sameElements(y) })
+  }
+
   test("Lloyd's centroids partition into nlist cells deterministically") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val cents = Similarity.lloydCentroids(emb.orderBy("vec_id"), "embedding", nlist = 8)
