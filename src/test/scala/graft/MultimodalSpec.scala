@@ -184,6 +184,33 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeAudio("not audio at all".getBytes("UTF-8")).isEmpty)
   }
 
+  test("decodeAudioFeatures recovers the closed form and agrees with audioMeta") {
+    // the gated q_multimodal_audio row carries only the header byte
+    // math (environment-proof); THIS pins the javax.sound.sampled
+    // decode path that moved to the q_multimodal_audio_decode bench
+    // twin: the Spark-side mapPartitions decode must recover the
+    // withSyntheticAudio closed form exactly and agree with the header
+    val ids = Seq(0L, 1L, 7L, 42L, 999L, 1003L).toDF("doc_id")
+    val out = Multimodal
+      .decodeAudioFeatures(Multimodal.withSyntheticAudio(ids, "doc_id"), "payload")
+      .withColumn("meta", Multimodal.audioMeta($"payload"))
+      .select($"doc_id", $"audio.*", $"meta")
+      .collect().sortBy(_.getLong(0))
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == (1 + id % 2).toInt, s"channels id=$id")
+      assert(r.getInt(2) == (8000 + (id % 8) * 1000).toInt, s"rate id=$id")
+      assert(r.getInt(3) == 16)
+      assert(r.getLong(4) == 256 + id % 256, s"frames id=$id")
+      // constant amplitude ⇒ peak = rms = amplitude, exact in double
+      val amp = ((id % 1000) * 16).toDouble
+      assert(r.getDouble(5) == amp && r.getDouble(6) == amp, s"peak/rms id=$id")
+      // decode and header byte math agree column-for-column
+      val m = r.getStruct(7)
+      assert(m.toSeq == Seq("wav", r.getInt(1), r.getInt(2), 16, r.getLong(4)))
+    }
+  }
+
   test("audioMeta parses the canonical WAV header with codegen'd byte math") {
     val rows = Seq(
       (1L, Multimodal.synthWav(16000, 1, 500, 100)),
