@@ -1,8 +1,6 @@
 package graft.examples
 
-import graft.operators.Dedup
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Continuous-ingestion dedup — the end-to-end loop a training-data
   * pipeline runs forever: a stream of arriving documents is checked
@@ -34,9 +32,7 @@ object IncrementalIngestion {
       (100L, "the quick brown fox jumps over the lazy dog near the quiet river bank today"),
       (101L, "completely different content about distributed query engines and storage layers")
     ).toDF("doc_id", "text")
-    seed.write.mode("overwrite").parquet(corpusDir)
-    Dedup.bandedSignatures(seed, "doc_id", "text")
-      .write.mode("overwrite").parquet(bandsDir)
+    graft.streaming.IncrementalDedup.seed(seed, corpusDir, bandsDir)
 
     // the arriving stream: one near-dup of doc 100, one novel doc, and
     // a within-batch duplicate pair (300/301)

@@ -1012,10 +1012,33 @@ object Dedup {
       vecCol: String,
       centroids: DataFrame,
       threshold: Double = 0.9
+  ): DataFrame =
+    dropIncrementalSemanticDuplicatesAgainstAssigned(
+      newDocs, Similarity.assignCells(corpus, centroids, vecCol),
+      idCol, vecCol, centroids, threshold)
+
+  /** [[dropIncrementalSemanticDuplicates]] over a PRECOMPUTED corpus
+    * cell assignment — the embedding-space mirror of
+    * [[candidatesAgainstBanded]]: at batch cadence the corpus side's
+    * `(idCol, vecCol, cell)` table is computed ONCE per corpus (or
+    * maintained incrementally by appending each surviving batch's
+    * assignment) and persisted bucketed on `cell`, so every arriving
+    * batch joins against the stored table instead of re-assigning the
+    * 100 TB corpus per call. Build it with [[Similarity.assignCells]]
+    * (same `centroids` — a stored assignment from different centroids
+    * silently mis-blocks).
+    */
+  def dropIncrementalSemanticDuplicatesAgainstAssigned(
+      newDocs: DataFrame,
+      corpusCells: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      threshold: Double = 0.9
   ): DataFrame = {
     val nc = Similarity.assignCells(newDocs, centroids, vecCol)
       .select(col(idCol).as("__nid"), col(vecCol).as("__nvec"), col("cell"))
-    val cc = Similarity.assignCells(corpus, centroids, vecCol)
+    val cc = corpusCells
       .select(col(idCol).as("__cid"), col(vecCol).as("__cvec"), col("cell"))
     val losers = nc
       .join(cc, Seq("cell"))

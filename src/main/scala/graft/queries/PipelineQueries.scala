@@ -13,6 +13,34 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object PipelineQueries extends QueryPack {
 
+  /** Bounded-id model-training sample: the `vec_id < cap` filter pushes
+    * to the parquet scan, so extracting a 4096-row training sample reads
+    * ~4096 rows — NOT the whole corpus the way an orderBy+limit sample
+    * would (full sort before the limit). Every Lloyd's-training input
+    * goes through here or [[trainedResidualSample]];
+    * ModelSampleGuardSpec pins the ≤-cap scan property.
+    */
+  private[graft] def trainedVecSample(emb: DataFrame, cap: Int = 4096): DataFrame =
+    emb.filter(col("vec_id") < cap).orderBy("vec_id")
+
+  /** Residual training sample for IVF-PQ: sample FIRST (bounded-id
+    * filter, pushed to the scan), THEN compute residuals against the
+    * broadcast centroids — residuals-for-everything followed by a limit
+    * would be a full corpus pass for a 4096-row model at 100 TB.
+    */
+  private[graft] def trainedResidualSample(
+      emb: DataFrame,
+      centroids: DataFrame,
+      cap: Int = 4096
+  ): DataFrame =
+    Similarity
+      .assignCells(emb.filter(col("vec_id") < cap), centroids, "embedding")
+      .join(broadcast(centroids), col("cell") === col("centroid_id"))
+      .orderBy(col("vec_id"))
+      .select(
+        zip_with(col("embedding"), col("centroid_vec"),
+          (x, c) => (x.cast("double") - c.cast("double")).cast("float")).as("res"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> { (s, dir) =>
       Dedup
@@ -664,10 +692,8 @@ object PipelineQueries extends QueryPack {
     // the trained model isn't SQL-recomputable, so this is bench-only.
     "q_ann_pq_trained" -> { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
-      // bounded-id training sample: the filter pushes down to the scan
-      // (an orderBy+limit sample would read the whole corpus)
       val cbs = Similarity.lloydCodebooks(
-        emb.filter(col("vec_id") < 4096).orderBy("vec_id"), "embedding", m = 16, k = 64)
+        trainedVecSample(emb), "embedding", m = 16, k = 64)
       val enc = Similarity.pqEncode(emb, "vec_id", "embedding", cbs)
       Similarity
         .pqTopK(emb.filter(col("vec_id") < 3), enc, "vec_id", "embedding", cbs, 5)
@@ -679,17 +705,8 @@ object PipelineQueries extends QueryPack {
     "q_ann_ivfpq_trained" -> { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
       val centroids = Similarity.lloydCentroids(
-        emb.filter(col("vec_id") < 4096).orderBy("vec_id"), "embedding", nlist = 8, iters = 5)
-      // sample FIRST, then compute residuals: residuals-for-everything
-      // followed by limit() would be a full corpus pass for a 4096-row
-      // training sample at 100 TB
-      val resSamples = Similarity
-        .assignCells(emb.filter(col("vec_id") < 4096), centroids, "embedding")
-        .join(broadcast(centroids), col("cell") === col("centroid_id"))
-        .orderBy(col("vec_id"))
-        .select(
-          zip_with(col("embedding"), col("centroid_vec"),
-            (x, c) => (x.cast("double") - c.cast("double")).cast("float")).as("res"))
+        trainedVecSample(emb), "embedding", nlist = 8, iters = 5)
+      val resSamples = trainedResidualSample(emb, centroids)
       val cbs = Similarity.lloydCodebooks(resSamples, "res", m = 16, k = 64)
       val enc = Similarity.ivfPqEncode(emb, "vec_id", "embedding", centroids, cbs)
       Similarity

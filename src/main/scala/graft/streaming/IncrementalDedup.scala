@@ -17,29 +17,97 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   1. [[Dedup.candidatesAgainstBanded]]: band the (small) batch, join
   *      against the stored band table — cost scales with |batch| plus
   *      the touched corpus buckets, never |corpus|²;
-  *   2. exact-Jaccard verify of the candidates, anti-join the condemned
-  *      batch ids (the corpus is canonical and never modified);
+  *   2. exact-Jaccard verify of the candidates, with the corpus TEXT
+  *      fetch pruned to the candidate ids (see below) — the verify
+  *      stage never scans the full corpus text;
   *   3. within-batch [[Dedup.dropNearDuplicates]] (bounded by the batch
   *      size, not the corpus);
-  *   4. append survivors + their [[Dedup.bandedSignatures]] rows.
+  *   4. append survivors + their [[Dedup.bandedSignatures]] rows —
+  *      band table FIRST (a band row without a corpus row is harmless;
+  *      the reverse would silently stop deduping against those docs).
   *
-  * The band table is persisted UNCAPPED so it doubles as the free audit
-  * source for [[Dedup.droppedBucketsFromBanded]] (see the WARNING
-  * there); a hot-bucket cap belongs on the per-batch join, passed via
-  * `maxBucketSize`.
+  * Corpus-text pruning: the candidate corpus ids per batch are bounded
+  * (|batch| × matched buckets, capped further by `maxBucketSize`), so
+  * they are extracted driver-side (a BOUNDED model-style collect, capped
+  * at `idPushdownCap`, like the codebook samples in Similarity) and
+  * pushed into the corpus scan as an `isin` filter. Because ingestion
+  * appends one file-set per batch, corpus files carry disjoint id
+  * ranges, and parquet min/max stats skip every file/row-group holding
+  * no candidate — per-batch corpus-scan BYTES stay flat as the corpus
+  * grows (measured in `examples/IngestionScale`; BASELINE.md). Above
+  * the cap the loop falls back to the previous full-scan left-semi
+  * shape (correct, just not pruned).
   *
   * Exactly-once: `foreachBatch` replays a batch after a failure, and a
-  * plain parquet append would then double-append. Production runs point
-  * `corpusDir`/`bandsDir` at a transactional table format or key the
-  * appends by batchId; the loop itself is idempotent in content (a
-  * replayed batch re-dedups against the same corpus state only if the
-  * append is atomic per batch).
+  * plain parquet append would then double-append. With `batchId` set
+  * (what [[attach]] passes), every appended row is stamped with an
+  * `ingest_batch` column and each store is append-keyed by it:
+  *   - a replayed batch recomputes against reads that EXCLUDE its own
+  *     `ingest_batch` rows (so a half-written earlier attempt cannot
+  *     make survivors match themselves), then appends only to the
+  *     store(s) that do not already contain the batch — a full replay
+  *     is a no-op, a partial failure between the two appends is
+  *     repaired on replay (the computation is deterministic, so the
+  *     missing half gets identical content);
+  *   - seed the stores through [[seed]] so every file carries the
+  *     `ingest_batch` column (mixed schemas across parquet files are
+  *     resolved from an arbitrary file — do not mix stamped and
+  *     unstamped writes in one store).
+  * With `batchId = None` the appends are plain (backfills that manage
+  * idempotence externally).
   */
 object IncrementalDedup {
+
+  private[graft] val BatchCol = "ingest_batch"
+
+  /** Write the initial (already-deduplicated) corpus and its UNCAPPED
+    * band table, stamped with `ingest_batch = -1` so subsequent
+    * [[ingestBatch]] appends keep a uniform schema. Band parameters are
+    * [[Dedup.bandedSignatures]]' defaults — the same ones
+    * [[ingestBatch]] bands each batch with.
+    */
+  def seed(
+      docs: DataFrame,
+      corpusDir: String,
+      bandsDir: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): Unit = {
+    clusterById(docs.select(col(idCol), col(textCol)).withColumn(BatchCol, lit(-1L)), idCol)
+      .write.mode("overwrite").parquet(corpusDir)
+    Dedup.bandedSignatures(docs, idCol, textCol).withColumn(BatchCol, lit(-1L))
+      .write.mode("overwrite").parquet(bandsDir)
+  }
+
+  /** Range-cluster a corpus append on the id so every written file (and
+    * row group) covers a TIGHT contiguous id span — that is what lets
+    * the candidate-id `isin` fetch skip non-candidate files via parquet
+    * min/max stats. An unclustered append (hash-partitioned survivors)
+    * gives every file the full batch's id range and nothing ever skips.
+    */
+  private def clusterById(df: DataFrame, idCol: String): DataFrame =
+    df.repartitionByRange(col(idCol)).sortWithinPartitions(idCol)
+
+  private def hasBatch(df: DataFrame, b: Long): Boolean =
+    df.columns.contains(BatchCol) && !df.filter(col(BatchCol) === lit(b)).isEmpty
+
+  private def withoutBatch(df: DataFrame, bid: Option[Long]): DataFrame =
+    bid match {
+      case Some(b) if df.columns.contains(BatchCol) =>
+        df.filter(col(BatchCol) =!= lit(b))
+      case _ => df
+    }
 
   /** One micro-batch of the ingestion loop — steps 1–4 above, batch
     * API. Callable directly (unit tests, backfills) or from
     * [[attach]]'s `foreachBatch`.
+    *
+    * @param batchId       stamp + idempotence key for the appends (see
+    *                      the object scaladoc); [[attach]] passes the
+    *                      streaming batch id
+    * @param idPushdownCap max candidate-corpus-id count pushed into the
+    *                      corpus scan as an `isin` filter; above it the
+    *                      verify fetch falls back to a full corpus scan
     */
   def ingestBatch(
       spark: SparkSession,
@@ -49,29 +117,78 @@ object IncrementalDedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       minJaccard: Double = 0.4,
-      maxBucketSize: Option[Int] = None
+      maxBucketSize: Option[Int] = None,
+      batchId: Option[Long] = None,
+      idPushdownCap: Int = 100000
   ): Unit = {
-    val corpus = spark.read.parquet(corpusDir)
+    val corpusRaw = spark.read.parquet(corpusDir)
+    val bandsRaw = spark.read.parquet(bandsDir)
+    val (doneBands, doneCorpus) = batchId match {
+      case Some(b) => (hasBatch(bandsRaw, b), hasBatch(corpusRaw, b))
+      case None    => (false, false)
+    }
+    if (doneBands && doneCorpus) return // replayed batch: full no-op
+
+    val corpus = withoutBatch(corpusRaw, batchId)
     val cands = Dedup
-      .candidatesAgainstBanded(batch, spark.read.parquet(bandsDir), idCol, textCol,
+      .candidatesAgainstBanded(batch, withoutBatch(bandsRaw, batchId), idCol, textCol,
         maxBucketSize = maxBucketSize)
       .select(col("new_id").as("doc1"), col("corpus_id").as("doc2"))
-    val both = batch.select(col(idCol), col(textCol))
-      .union(corpus.select(col(idCol), col(textCol)))
+      .persist()
+    // Candidate-id pushdown: fetch corpus text ONLY for docs some batch
+    // doc banded with. The collect is bounded by idPushdownCap (the
+    // justified model-style bound — ids, not data); the isin filter
+    // reaches the parquet scan, and because appends are id-range
+    // clustered ([[clusterById]]) the file/row-group min/max stats skip
+    // the (overwhelming at scale) non-candidate corpus majority: scan
+    // bytes track the CANDIDATE count, not the corpus size. Parquet
+    // degrades an In filter with > inFilterThreshold values to one
+    // min/max range (which spans everything for scattered candidates),
+    // so the threshold is raised to the cap for the duration of the
+    // batch and restored after.
+    val candIdRows = cands.select(col("doc2")).distinct().limit(idPushdownCap + 1).collect()
+    val inThresholdKey = "spark.sql.parquet.pushdown.inFilterThreshold"
+    val prevInThreshold = spark.conf.get(inThresholdKey, "10")
+    val pruned = candIdRows.length <= idPushdownCap
+    if (pruned)
+      spark.conf.set(inThresholdKey, math.max(10, idPushdownCap).toString)
+    try {
+    val corpusText =
+      if (pruned)
+        corpus.select(col(idCol), col(textCol))
+          .filter(col(idCol).isin(candIdRows.map(_.get(0)).toSeq: _*))
+      else corpus.select(col(idCol), col(textCol))
+    val both = batch.select(col(idCol), col(textCol)).union(corpusText)
     val losers = Dedup
       .verifyCandidates(cands, both, idCol, textCol, minJaccard = minJaccard)
       .select(col("doc1").as(idCol)).distinct()
     val survivors0 = batch.join(losers, Seq(idCol), "left_anti")
     val survivors = Dedup.dropNearDuplicates(
       survivors0, idCol, textCol, minJaccard = minJaccard, maxBucketSize = maxBucketSize)
-    survivors.write.mode("append").parquet(corpusDir)
-    Dedup.bandedSignatures(survivors, idCol, textCol)
-      .write.mode("append").parquet(bandsDir)
+      .persist()
+    // materialize BEFORE either append: both writes must consume the
+    // SAME survivor rows — without the pin, the second write would
+    // re-execute the whole chain against a corpusDir listing that the
+    // first write just changed (correct only while Spark's cached
+    // file-index snapshot holds; any relisting would make survivors
+    // match themselves)
+    survivors.count()
+    val stamp = (df: DataFrame) => batchId.fold(df)(b => df.withColumn(BatchCol, lit(b)))
+    if (!doneBands)
+      stamp(Dedup.bandedSignatures(survivors, idCol, textCol))
+        .write.mode("append").parquet(bandsDir)
+    if (!doneCorpus)
+      clusterById(stamp(survivors), idCol).write.mode("append").parquet(corpusDir)
+    cands.unpersist()
+    survivors.unpersist()
+    } finally if (pruned) spark.conf.set(inThresholdKey, prevInThreshold)
   }
 
   /** Attach the ingestion loop to a streaming frame of (idCol, textCol)
-    * documents: every micro-batch runs [[ingestBatch]]. The caller owns
-    * the returned query's lifecycle (awaitTermination / stop).
+    * documents: every micro-batch runs [[ingestBatch]], keyed by the
+    * streaming batch id so a `foreachBatch` replay after failure cannot
+    * double-append. The caller owns the returned query's lifecycle
+    * (awaitTermination / stop). Seed the stores with [[seed]] first.
     */
   def attach(
       arriving: DataFrame,
@@ -86,9 +203,9 @@ object IncrementalDedup {
     val spark = arriving.sparkSession
     val writer = arriving.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
         ingestBatch(spark, batch, corpusDir, bandsDir, idCol, textCol,
-          minJaccard, maxBucketSize)
+          minJaccard, maxBucketSize, batchId = Some(bid))
       }
     checkpointLocation
       .fold(writer)(c => writer.option("checkpointLocation", c))

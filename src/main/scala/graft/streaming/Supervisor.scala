@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener}
 
-import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.{ConcurrentHashMap, Executors, TimeUnit}
 import scala.jdk.CollectionConverters._
 
 /** Streaming-query supervisor — replaces the reference's self-healing
@@ -25,6 +25,15 @@ final class Supervisor(
   private val restarts = new ConcurrentHashMap[String, Integer]()
   private val managed = new ConcurrentHashMap[String, Managed]()
   private val active = new ConcurrentHashMap[String, StreamingQuery]()
+  // backoff runs here, NOT on the shared listener bus thread — a sleep
+  // in onQueryTerminated would stall termination-event delivery (and so
+  // restarts) for every other supervised stage in the session
+  private val scheduler = Executors.newSingleThreadScheduledExecutor { r =>
+    val t = new Thread(r, "graft-supervisor")
+    t.setDaemon(true)
+    t
+  }
+  @volatile private var closed = false
 
   private val listener = new StreamingQueryListener {
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -36,10 +45,11 @@ final class Supervisor(
           .find(m => Option(active.get(m.name)).exists(_.id == e.id))
           .foreach { m =>
             val n = restarts.merge(m.name, 1, (a, b) => a + b)
-            if (n <= maxRestarts) {
-              Thread.sleep(backoffMs * n)
-              active.put(m.name, m.start())
-            }
+            if (n <= maxRestarts)
+              scheduler.schedule(new Runnable {
+                override def run(): Unit =
+                  if (!closed) active.put(m.name, m.start())
+              }, backoffMs * n, TimeUnit.MILLISECONDS)
           }
       }
     }
@@ -58,7 +68,10 @@ final class Supervisor(
   def query(name: String): Option[StreamingQuery] = Option(active.get(name))
 
   override def close(): Unit = {
+    closed = true
     spark.streams.removeListener(listener)
+    scheduler.shutdown()
+    scheduler.awaitTermination(5, TimeUnit.SECONDS)
     active.asScala.values.foreach(q => if (q.isActive) q.stop())
   }
 }

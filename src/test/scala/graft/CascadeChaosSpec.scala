@@ -8,12 +8,15 @@ import org.apache.spark.sql.functions._
 import java.nio.file.Files
 import java.sql.Timestamp
 
-/** CHAOS: kill the whole bar cascade mid-flight — hub drained but the
-  * downstream timeframes lagging, unsealed windows in state, unread
-  * data in the source — then restart every stage from its checkpoint
-  * (through the [[Supervisor]]) and feed the rest. Exactly-once means
-  * the sinks must equal an uninterrupted run's sinks EXACTLY: no lost
-  * bars (state restored), no duplicated bars (file-sink metadata log).
+/** CHAOS: kill the whole bar cascade mid-flight, then restart every
+  * stage from its checkpoint (through the [[Supervisor]]) and feed the
+  * rest. Exactly-once means the sinks must equal an uninterrupted run's
+  * sinks EXACTLY: no lost bars (state restored), no duplicated bars
+  * (file-sink metadata log). Two kill points cover the cascade's two
+  * distinct restart windows:
+  *   - hub drained, 1m/5m stages lagging (die between hub and cascade);
+  *   - hub AND 1m drained, 5m lagging (die inside the 1m→5m handoff,
+  *     where the 5m stage's input is itself a restarted file source).
   */
 class CascadeChaosSpec extends SparkSpec {
   import spark.implicits._
@@ -31,6 +34,9 @@ class CascadeChaosSpec extends SparkSpec {
       Tick("b", sym, ts, 100.0 + (i % 97) * 0.25 - (i % 13), i.toLong)
     }
 
+  private val timeframes = Seq(Period.Minutes(1), Period.Minutes(5))
+  private def chunks = ticks.splitAt(4000)
+
   private def snapshot(plan: BarCascade.CascadePlan): Map[String, Seq[String]] =
     (plan.livePaths + ("hub" -> plan.hubPath)).map { case (label, path) =>
       val df = spark.read.parquet(path)
@@ -42,62 +48,81 @@ class CascadeChaosSpec extends SparkSpec {
         .sorted
     }
 
-  test("mid-cascade kill + checkpoint restart reproduces the uninterrupted run exactly") {
+  /** The ground truth: one uninterrupted run, shared by both kill
+    * scenarios (deterministic input ⇒ deterministic sinks).
+    */
+  private lazy val uninterrupted: Map[String, Seq[String]] = {
     implicit val sqlCtx = spark.sqlContext
-    val all = ticks
-    val (chunk1, chunk2) = all.splitAt(4000)
-    val timeframes = Seq(Period.Minutes(1), Period.Minutes(5))
+    val (chunk1, chunk2) = chunks
+    val root = Files.createTempDirectory("cascade-a").toString
+    val mem = MemoryStream[Tick]
+    val plan = BarCascade.start(spark, mem.toDF(), "bar", Seq("broker", "symbol"),
+      "ts", "bid", "seq", timeframes, root)
+    try {
+      mem.addData(chunk1: _*)
+      plan.queries.foreach(_.processAllAvailable())
+      mem.addData(chunk2: _*)
+      plan.queries.foreach(_.processAllAvailable())
+      plan.queries.foreach(_.processAllAvailable()) // drain the chain
+      snapshot(plan)
+    } finally plan.queries.foreach(_.stop())
+  }
 
-    // ---- run A: uninterrupted ------------------------------------
-    val rootA = Files.createTempDirectory("cascade-a").toString
-    val memA = MemoryStream[Tick]
-    val planA = BarCascade.start(spark, memA.toDF(), "bar", Seq("broker", "symbol"),
-      "ts", "bid", "seq", timeframes, rootA)
-    val sinksA =
-      try {
-        memA.addData(chunk1: _*)
-        planA.queries.foreach(_.processAllAvailable())
-        memA.addData(chunk2: _*)
-        planA.queries.foreach(_.processAllAvailable())
-        planA.queries.foreach(_.processAllAvailable()) // drain the chain
-        snapshot(planA)
-      } finally planA.queries.foreach(_.stop())
-
-    // ---- run B: killed mid-cascade, restarted from checkpoints ----
-    val rootB = Files.createTempDirectory("cascade-b").toString
-    val memB = MemoryStream[Tick]
-    val planB = BarCascade.start(spark, memB.toDF(), "bar", Seq("broker", "symbol"),
-      "ts", "bid", "seq", timeframes, rootB)
-    memB.addData(chunk1: _*)
-    // drain ONLY the hub: its 1s bars are committed, the 1m/5m stages
-    // have unconsumed input and unsealed windows — the worst place to die
-    planB.queries.head.processAllAvailable()
-    planB.queries.foreach(_.stop()) // abrupt halt of every stage
-    memB.addData(chunk2: _*) // data keeps arriving while the cascade is down
+  /** Kill run: feed chunk1, drain only the first `drainStages` queries
+    * (queries are ordered hub, 1m, 5m), abruptly stop every stage, let
+    * chunk2 arrive while the cascade is down, then relaunch everything
+    * from the same root under a Supervisor and drain.
+    */
+  private def killAndHeal(drainStages: Int): Map[String, Seq[String]] = {
+    implicit val sqlCtx = spark.sqlContext
+    val (chunk1, chunk2) = chunks
+    val root = Files.createTempDirectory("cascade-b").toString
+    val mem = MemoryStream[Tick]
+    val plan = BarCascade.start(spark, mem.toDF(), "bar", Seq("broker", "symbol"),
+      "ts", "bid", "seq", timeframes, root)
+    mem.addData(chunk1: _*)
+    plan.queries.take(drainStages).foreach(_.processAllAvailable())
+    plan.queries.foreach(_.stop()) // abrupt halt of every stage
+    mem.addData(chunk2: _*) // data keeps arriving while the cascade is down
 
     // heal: relaunch the whole cascade from the same root — every stage
     // resumes from its own checkpoint; the supervisor now owns the
     // stages and would auto-restart any that fail from here on
     val sup = new Supervisor(spark, maxRestarts = 3, backoffMs = 50)
-    val planB2 = BarCascade.start(spark, memB.toDF(), "bar", Seq("broker", "symbol"),
-      "ts", "bid", "seq", timeframes, rootB, supervisor = Some(sup))
-    val sinksB =
+    val plan2 = BarCascade.start(spark, mem.toDF(), "bar", Seq("broker", "symbol"),
+      "ts", "bid", "seq", timeframes, root, supervisor = Some(sup))
+    val sinks =
       try {
-        planB2.queries.foreach(_.processAllAvailable())
-        planB2.queries.foreach(_.processAllAvailable())
-        snapshot(planB2)
+        plan2.queries.foreach(_.processAllAvailable())
+        plan2.queries.foreach(_.processAllAvailable())
+        snapshot(plan2)
       } finally sup.close()
     assert(sup.restartCount("bar_1s_rows") == 0, "clean restart, not a failure loop")
+    sinks
+  }
 
-    // exactly-once: every sink identical, row for row
-    assert(sinksA.keySet == sinksB.keySet)
-    for (label <- sinksA.keySet) {
-      assert(sinksB(label) == sinksA(label),
+  private def assertExactlyOnce(healed: Map[String, Seq[String]]): Unit = {
+    assert(uninterrupted.keySet == healed.keySet)
+    for (label <- uninterrupted.keySet) {
+      assert(healed(label) == uninterrupted(label),
         s"sink '$label' diverged after kill+restart: " +
-          s"A=${sinksA(label).size} rows, B=${sinksB(label).size} rows")
+          s"A=${uninterrupted(label).size} rows, B=${healed(label).size} rows")
     }
-    assert(sinksA("hub").size > 3000, s"hub volume sanity: ${sinksA("hub").size}")
-    assert(sinksA("1m").size > 50, s"1m volume sanity: ${sinksA("1m").size}")
-    assert(sinksA("5m").size > 8, s"5m volume sanity: ${sinksA("5m").size}")
+    assert(uninterrupted("hub").size > 3000, s"hub volume sanity: ${uninterrupted("hub").size}")
+    assert(uninterrupted("1m").size > 50, s"1m volume sanity: ${uninterrupted("1m").size}")
+    assert(uninterrupted("5m").size > 8, s"5m volume sanity: ${uninterrupted("5m").size}")
+  }
+
+  test("kill after hub drain (1m/5m lagging) + restart reproduces the uninterrupted run") {
+    // hub's 1s bars committed; the 1m/5m stages have unconsumed input
+    // and unsealed windows — the worst place to die for the cascade
+    assertExactlyOnce(killAndHeal(drainStages = 1))
+  }
+
+  test("kill inside the 1m→5m handoff (5m lagging) + restart reproduces it too") {
+    // hub AND 1m drained, the 5m stage mid-consumption of 1m bars —
+    // covers the remaining restart window: a file-source stage resuming
+    // on a sink another restarted stage is still appending to
+    assertExactlyOnce(killAndHeal(drainStages = 2))
   }
 }

@@ -126,6 +126,19 @@ class DedupSpec extends SparkSpec {
       .select($"vec_id").as[Long].collect().toSet
     assert(kept == Set(3L), s"got $kept")
     // corpus is never touched: only batch rows appear in the output
+
+    // the batch-cadence twin: a PERSISTED corpus cell assignment
+    // (computed once, read back from parquet) must give the identical
+    // result — the corpus is never re-assigned per batch
+    val dir = java.nio.file.Files.createTempDirectory("graft_semcells").toString
+    graft.operators.Similarity.assignCells(corpus, centroids, "embedding")
+      .write.mode("overwrite").parquet(dir)
+    val keptAssigned = Dedup
+      .dropIncrementalSemanticDuplicatesAgainstAssigned(
+        batch, spark.read.parquet(dir), "vec_id", "embedding",
+        centroids, threshold = 0.9)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(keptAssigned == kept, s"persisted-assignment twin diverged: $keptAssigned")
   }
 
   test("native WordShingles is byte-identical to the composed split+transform form") {

@@ -23,9 +23,7 @@ class IncrementalIngestionSpec extends SparkSpec {
       (100L, "the quick brown fox jumps over the lazy dog near the quiet river bank today"),
       (101L, "completely different content about distributed query engines and storage layers")
     ).toDF("doc_id", "text")
-    seed.write.mode("overwrite").parquet(corpusDir)
-    Dedup.bandedSignatures(seed, "doc_id", "text")
-      .write.mode("overwrite").parquet(bandsDir)
+    IncrementalDedup.seed(seed, corpusDir, bandsDir)
 
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -70,5 +68,61 @@ class IncrementalIngestionSpec extends SparkSpec {
       assert(Dedup.droppedBucketsFromBanded(
         spark.read.parquet(bandsDir), Int.MaxValue).isEmpty)
     } finally q.stop()
+  }
+
+  test("replayed ingestBatch is a no-op: batchId-keyed appends never duplicate") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest_replay").toString
+    val (corpusDir, bandsDir) = (s"$root/corpus", s"$root/bands")
+    IncrementalDedup.seed(
+      Seq((1L, "seeded corpus text about storage engines and columnar formats today"))
+        .toDF("doc_id", "text"),
+      corpusDir, bandsDir)
+    val batch = Seq(
+      (10L, "fresh material on vectorized execution and adaptive partition coalescing"),
+      (11L, "seeded corpus text about storage engines and columnar formats now"))
+      .toDF("doc_id", "text")
+    IncrementalDedup.ingestBatch(spark, batch, corpusDir, bandsDir, batchId = Some(42L))
+    val once = spark.read.parquet(corpusDir).select($"doc_id").as[Long].collect().sorted
+    assert(once.toSet == Set(1L, 10L), s"11 near-dups seed 1 — got ${once.toSet}")
+    // a foreachBatch replay re-runs the SAME batch id: both stores must
+    // come out row-for-row identical, not double-appended — and the
+    // recompute must not let the earlier append make survivors match
+    // themselves (the reads exclude the batch's own ingest_batch rows)
+    IncrementalDedup.ingestBatch(spark, batch, corpusDir, bandsDir, batchId = Some(42L))
+    val twice = spark.read.parquet(corpusDir).select($"doc_id").as[Long].collect().sorted
+    assert(twice.sameElements(once), s"replay must be a no-op — got ${twice.mkString(",")}")
+    val bandRows = spark.read.parquet(bandsDir)
+      .groupBy($"doc_id").count().select($"count").as[Long].collect()
+    assert(bandRows.forall(_ == 4), "exactly one 4-band signature set per doc after replay")
+    // a NEW batch id against the same store still appends normally
+    IncrementalDedup.ingestBatch(spark, batch.filter($"doc_id" === 10L)
+      .withColumn("doc_id", lit(20L)), corpusDir, bandsDir, batchId = Some(43L))
+    val after = spark.read.parquet(corpusDir).select($"doc_id").as[Long].collect().toSet
+    assert(after == Set(1L, 10L), s"20 is a dup of 10 and must be dropped — got $after")
+  }
+
+  test("candidate-id pushdown path and full-scan fallback agree") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest_prune").toString
+    val docs = (0L until 40L).map { i =>
+      (i, s"document number $i holding its own unrepeated content token${i * 7} and token${i * 7 + 3}")
+    } ++ Seq(
+      (100L, "document number 5 holding its own unrepeated content token35 and token38 x"),
+      (101L, "document number 9 holding its own unrepeated content token63 and token66 y"))
+    val seed = docs.filter(_._1 < 40L).toDF("doc_id", "text")
+    val batch = docs.filter(_._1 >= 40L).toDF("doc_id", "text")
+    for ((cap, tag) <- Seq((100000, "pruned"), (0, "fallback"))) {
+      val (corpusDir, bandsDir) = (s"$root/$tag/corpus", s"$root/$tag/bands")
+      IncrementalDedup.seed(seed, corpusDir, bandsDir)
+      IncrementalDedup.ingestBatch(spark, batch, corpusDir, bandsDir,
+        batchId = Some(1L), idPushdownCap = cap)
+    }
+    val pruned = spark.read.parquet(s"$root/pruned/corpus")
+      .select($"doc_id").as[Long].collect().sorted
+    val fallback = spark.read.parquet(s"$root/fallback/corpus")
+      .select($"doc_id").as[Long].collect().sorted
+    assert(pruned.sameElements(fallback),
+      s"id-pruned verify must not change results: ${pruned.mkString(",")} vs ${fallback.mkString(",")}")
+    // and the near-dups of corpus docs were actually dropped in both
+    assert(!pruned.contains(100L) && !pruned.contains(101L))
   }
 }

@@ -1,0 +1,80 @@
+package graft
+
+import graft.queries.PipelineQueries
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** Scan-boundedness guard for model-extraction samples (the
+  * sample-FIRST rule, BASELINE.md round 8): every Lloyd's-training
+  * input is built by `PipelineQueries.trainedVecSample` /
+  * `trainedResidualSample`, and this spec pins — on a corpus 5× the
+  * sample cap, written with small row groups so the assertion has
+  * teeth — that executing the extraction plan (`select(vec).limit(cap)`,
+  * what `lloydCodebooks`/`lloydCentroids` run) reads ~cap rows from the
+  * parquet scan, not the corpus. An orderBy+limit sample (full sort
+  * before the limit) or a wide transform upstream of the bounded-id
+  * filter would read all rows and fail here.
+  */
+class ModelSampleGuardSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val cap = 4096
+  private val corpusRows = 20000L
+  // one row ≈ 70 B; a 64 KiB row group holds ~900 rows, so the 20k-row
+  // table spans ~20+ row groups and group-granularity slack stays ≪ corpus
+  private lazy val embDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_msg_emb").toString
+    spark.range(0, corpusRows)
+      .select(col("id").as("vec_id"),
+        expr("transform(sequence(0, 15), i -> cast((id * (i + 3)) % 97 as float))")
+          .as("embedding"))
+      .repartitionByRange(4, col("vec_id")).sortWithinPartitions("vec_id")
+      .write.mode("overwrite").option("parquet.block.size", 64 * 1024).parquet(dir)
+    dir
+  }
+
+  /** Execute df and return total rows the parquet scans produced. */
+  private def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case f: FileSourceScanExec => f.metrics("numOutputRows").value
+      }.sum
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("trainedVecSample extraction reads ~cap rows from the scan, not the corpus") {
+    val emb = spark.read.parquet(embDir)
+    val extraction = PipelineQueries.trainedVecSample(emb, cap)
+      .select(col("embedding")).limit(cap)
+    val rows = scanRows(extraction)
+    // ≤ cap + one row-group of slack (pushdown skips at group granularity)
+    assert(rows <= cap + 2000, s"sample extraction scanned $rows of $corpusRows rows")
+    assert(rows >= cap, s"sample must still see all $cap training rows, got $rows")
+    // and the bound comes from pushdown, not luck: the filter reaches the scan
+    val plan = extraction.queryExecution.executedPlan.toString
+    assert(plan.contains(s"LessThan(vec_id,$cap)"), "bounded-id filter must be pushed")
+  }
+
+  test("trainedResidualSample (IVF-PQ) samples FIRST — residuals never see the corpus") {
+    val emb = spark.read.parquet(embDir)
+    val centroids = (0 until 8)
+      .map(i => (i, Array.tabulate(16)(j => ((i * 7 + j) % 5).toFloat).toSeq))
+      .toDF("centroid_id", "centroid_vec")
+    val extraction = PipelineQueries.trainedResidualSample(emb, centroids, cap)
+      .select(col("res")).limit(cap)
+    val rows = scanRows(extraction)
+    assert(rows <= cap + 2000, s"residual sample scanned $rows of $corpusRows rows")
+    assert(rows >= cap, s"residual sample must still see all $cap training rows, got $rows")
+  }
+
+  test("the counter-example: an orderBy+limit sample DOES read the corpus") {
+    // documents the hazard the helpers exist to avoid — if this ever
+    // starts passing the ≤-cap bound, the guard above lost its teeth
+    val emb = spark.read.parquet(embDir)
+    val bad = emb.orderBy("vec_id").select(col("embedding")).limit(cap)
+    assert(scanRows(bad) == corpusRows, "full sort must read everything")
+  }
+}
