@@ -14,13 +14,14 @@ import org.apache.spark.sql.{DataFrame, Row}
   * IMAGE decode/resize is REAL: `decodeImage`/`decodeImages`/
   * `resizeImages` run javax.imageio (stock JDK readers: PNG, GIF, BMP,
   * JPEG, WBMP) partition-local — actual raster dims, frame counts, mean
-  * luminance, bilinear resample + PNG re-encode. VIDEO remains STUBBED
-  * (`decodeStub`): no video codec ships in a bare JVM, so the stub
-  * derives deterministic fake features from the bytes; swap it for a
-  * JNI/FFmpeg kernel (or a Python `mapInPandas` stage in PySpark)
-  * without touching the plan shape — schema, batch shape,
-  * partition-local execution, and metadata pruning are the same
-  * contract on both paths.
+  * luminance, bilinear resample + PNG re-encode. AUDIO decode is REAL
+  * (`decodeAudio`). VIDEO frame decode is REAL for uncompressed AVI
+  * (`decodeVideoFrames`: RIFF chunk walk + raw 24-bpp DIB rows);
+  * COMPRESSED video stays stubbed (`decodeStub`) — no compressed video
+  * codec ships in a bare JVM; swap it for a JNI/FFmpeg kernel (or a
+  * Python `mapInPandas` stage in PySpark) without touching the plan
+  * shape — schema, batch shape, partition-local execution, and metadata
+  * pruning are the same contract on both paths.
   */
 object Multimodal {
 
@@ -538,11 +539,212 @@ object Multimodal {
     }(enc)
   }
 
+  // -- real video frame decode (uncompressed RIFF/AVI, 'DIB ' codec) --
+
+  /** Synthesize a COMPLETE uncompressed RIFF/AVI file: the genuine
+    * container layout (hdrl with avih + strl(strh 'vids'/'DIB ' +
+    * strf BITMAPINFOHEADER) and a movi LIST of raw '00db' frames,
+    * 24-bpp BI_RGB bottom-up DIB rows) — a real player opens it. Pixel
+    * value is closed-form for oracle checking: every channel of every
+    * pixel in row y of frame f is `(base + 7·f + y) % 256` (x-invariant
+    * so frame sums stay integer-exact and SQL-expressible).
+    */
+  def synthAviDib(
+      width: Int,
+      height: Int,
+      totalFrames: Int,
+      usPerFrame: Int,
+      base: Long
+  ): Array[Byte] = {
+    val stride = ((width * 3 + 3) / 4) * 4
+    val frameBytes = stride * height
+    val strlLen = 4 + (8 + 56) + (8 + 40)      // "strl" + strh + strf
+    val hdrlLen = 4 + (8 + 56) + (8 + strlLen) // "hdrl" + avih + LIST strl
+    val moviLen = 4 + totalFrames * (8 + frameBytes)
+    val riffLen = 4 + (8 + hdrlLen) + (8 + moviLen)
+    val bb = java.nio.ByteBuffer
+      .allocate(8 + riffLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+    fourcc("RIFF"); bb.putInt(riffLen); fourcc("AVI ")
+    fourcc("LIST"); bb.putInt(hdrlLen); fourcc("hdrl")
+    fourcc("avih"); bb.putInt(56)
+    bb.putInt(usPerFrame); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    bb.putInt(totalFrames); bb.putInt(0); bb.putInt(1); bb.putInt(frameBytes)
+    bb.putInt(width); bb.putInt(height); bb.putInt(0); bb.putInt(0)
+    bb.putInt(0); bb.putInt(0)
+    fourcc("LIST"); bb.putInt(strlLen); fourcc("strl")
+    fourcc("strh"); bb.putInt(56)
+    fourcc("vids"); fourcc("DIB ")
+    bb.putInt(0); bb.putInt(0); bb.putInt(0)      // flags, prio/lang, initial
+    bb.putInt(usPerFrame); bb.putInt(1000000)     // dwScale / dwRate
+    bb.putInt(0); bb.putInt(totalFrames)          // start, length
+    bb.putInt(frameBytes); bb.putInt(-1); bb.putInt(0) // sugBuf, quality, sampleSize
+    bb.putShort(0); bb.putShort(0)                // rcFrame
+    bb.putShort(width.toShort); bb.putShort(height.toShort)
+    fourcc("strf"); bb.putInt(40)
+    bb.putInt(40); bb.putInt(width); bb.putInt(height)
+    bb.putShort(1); bb.putShort(24)               // planes, bpp
+    bb.putInt(0); bb.putInt(frameBytes)           // BI_RGB, sizeImage
+    bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    fourcc("LIST"); bb.putInt(moviLen); fourcc("movi")
+    var f = 0
+    while (f < totalFrames) {
+      fourcc("00db"); bb.putInt(frameBytes)
+      var row = 0
+      while (row < height) {
+        val y = height - 1 - row // DIB rows are stored bottom-up
+        val v = ((base + 7L * f + y) % 256).toByte
+        var xb = 0
+        while (xb < stride) { bb.put(if (xb < width * 3) v else 0.toByte); xb += 1 }
+        row += 1
+      }
+      f += 1
+    }
+    bb.array()
+  }
+
+  /** REAL video frame decode for uncompressed AVI ('DIB ' / BI_RGB
+    * 24-bpp) — walks the RIFF chunk tree (strf BITMAPINFOHEADER out of
+    * hdrl/strl, then the movi LIST), and for every '00db'/'00dc' frame
+    * sums the bottom-up BGR rows. One output row per frame:
+    * `(frame_idx, frame_width, frame_height, brightness_sum,
+    * top_row_sum)` — both sums exact integers (Σ of unsigned channel
+    * bytes), deliberately NO float surface (the round-8 audio red-row
+    * lesson: environment-proof gated columns are integers).
+    * `top_row_sum` covers the image's TOP row, which is the LAST stored
+    * DIB row — it pins the bottom-up orientation the frame-order-
+    * invariant total cannot. Compressed codecs are out of scope (no JVM
+    * video codec); non-BI_RGB/non-24bpp or malformed payloads yield
+    * zero rows. Partition-local like every decode here: the payload
+    * never leaves the scan, no shuffle.
+    */
+  def decodeVideoFrames(df: DataFrame, payloadCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("frame_idx", IntegerType),
+      StructField("frame_width", IntegerType),
+      StructField("frame_height", IntegerType),
+      StructField("brightness_sum", LongType),
+      StructField("top_row_sum", LongType)
+    ))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        aviDibFrames(bytes).zipWithIndex.map { case ((w, h, total, top), i) =>
+          Row.fromSeq(r.toSeq ++ Seq[Any](i, w, h, total, top))
+        }
+      }
+    }(enc)
+  }
+
+  /** Parse an uncompressed AVI; returns per-frame (width, height,
+    * brightness_sum, top_row_sum) or Nil for anything malformed /
+    * compressed. Bounds-checked at every step — corpus payloads are
+    * untrusted bytes.
+    */
+  private[graft] def aviDibFrames(bytes: Array[Byte]): Seq[(Int, Int, Long, Long)] = {
+    if (bytes == null || bytes.length < 12) return Nil
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def cc(off: Int): String =
+      if (off + 4 > bytes.length) ""
+      else new String(bytes, off, 4, "US-ASCII")
+    if (cc(0) != "RIFF" || cc(8) != "AVI ") return Nil
+
+    var width, height, bpp = 0
+    var compression = -1
+    var moviStart, moviEnd = -1
+    // walk a chunk range; LIST chunks recurse, strf and movi are captured
+    def walk(from: Int, to: Int): Unit = {
+      var off = from
+      while (off + 8 <= to) {
+        val id = cc(off)
+        val size = bb.getInt(off + 4)
+        if (size < 0 || off + 8 + size > to) return // malformed: stop
+        if (id == "LIST" && size >= 4) {
+          val listType = cc(off + 8)
+          if (listType == "movi") { moviStart = off + 12; moviEnd = off + 8 + size }
+          else walk(off + 12, off + 8 + size)
+        } else if (id == "strf" && size >= 40 && compression == -1) {
+          width = bb.getInt(off + 8 + 4)
+          height = bb.getInt(off + 8 + 8)
+          bpp = bb.getShort(off + 8 + 14).toInt
+          compression = bb.getInt(off + 8 + 16)
+        }
+        off += 8 + size + (size & 1) // RIFF chunks are word-aligned
+      }
+    }
+    walk(12, bytes.length)
+    if (moviStart < 0 || compression != 0 || bpp != 24 ||
+        width <= 0 || height <= 0 || width > (1 << 20) || height > (1 << 20)) return Nil
+    val stride = ((width * 3 + 3) / 4) * 4
+    val frameBytes = stride.toLong * height
+    if (frameBytes > Int.MaxValue) return Nil
+
+    val out = Seq.newBuilder[(Int, Int, Long, Long)]
+    var off = moviStart
+    while (off + 8 <= moviEnd) {
+      val id = cc(off)
+      val size = bb.getInt(off + 4)
+      if (size < 0 || off + 8 + size > moviEnd) return out.result()
+      val isFrame = id.length == 4 &&
+        id(0).isDigit && id(1).isDigit && (id.endsWith("db") || id.endsWith("dc"))
+      if (isFrame && size >= frameBytes) {
+        var total = 0L
+        var row = 0
+        while (row < height) {
+          val rowOff = off + 8 + row * stride
+          var x = 0
+          while (x < width * 3) { total += (bytes(rowOff + x) & 0xff); x += 1 }
+          row += 1
+        }
+        // image TOP row = LAST stored row (bottom-up DIB)
+        var top = 0L
+        val topOff = off + 8 + (height - 1) * stride
+        var x = 0
+        while (x < width * 3) { top += (bytes(topOff + x) & 0xff); x += 1 }
+        out += ((width, height, total, top))
+      }
+      off += 8 + size + (size & 1)
+    }
+    out.result()
+  }
+
+  /** Attach a COMPLETE synthetic uncompressed AVI payload (headers +
+    * real decodable DIB frames, [[synthAviDib]]) derived from a numeric
+    * id column — closed-form parameters:
+    *   width    = 32 + (id % 8) * 8     (multiple of 4: no row padding)
+    *   height   = 24 + (id % 6) * 4
+    *   n_frames = 2 + id % 4
+    *   frame_us = 33333 (id even) | 40000 (id odd)
+    *   base     = id % 200              (pixel seed, see synthAviDib)
+    */
+  def withSyntheticVideoFrames(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField("payload", BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val payload = synthAviDib(
+          width = (32 + (id % 8) * 8).toInt,
+          height = (24 + (id % 6) * 4).toInt,
+          totalFrames = (2 + id % 4).toInt,
+          usPerFrame = if (id % 2 == 0) 33333 else 40000,
+          base = id % 200)
+        Row.fromSeq(r.toSeq :+ payload)
+      }
+    }(enc)
+  }
+
   /** Deterministic fake decode: features derived from payload bytes.
-    * STUB retained for VIDEO FRAME DECODE only — this container ships
-    * no video codec; image decode is REAL (`decodeImage`), audio decode
-    * is REAL (`decodeAudio`), and video CONTAINER metadata is REAL
-    * ([[videoMeta]]). Signature and batch shape are the real contract.
+    * STUB retained for COMPRESSED-codec video only — this container
+    * ships no video codec; image decode is REAL (`decodeImage`), audio
+    * decode is REAL (`decodeAudio`), video CONTAINER metadata is REAL
+    * ([[videoMeta]]), and UNCOMPRESSED-AVI frame decode is REAL
+    * ([[decodeVideoFrames]]). Signature and batch shape are the real
+    * contract.
     */
   def decodeStub(payload: Array[Byte]): (Int, Int, Int, Double) = {
     val h = java.security.MessageDigest.getInstance("SHA-256").digest(payload)

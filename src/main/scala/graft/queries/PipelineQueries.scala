@@ -455,7 +455,7 @@ object PipelineQueries extends QueryPack {
     // REAL video container sniffing: synthesized canonical RIFF/AVI
     // headers (closed-form params), MainAVIHeader fields extracted at
     // scan speed with pure byte math — the pre-decode dimension/fps
-    // filter; frame decode stays the documented stub (needs a codec)
+    // filter; frame decode is real for uncompressed AVI (next query)
     "q_multimodal_video" -> { (s, dir) =>
       val ids = Tables.load(s, dir, "documents").select(col("doc_id"))
       Multimodal
@@ -470,9 +470,29 @@ object PipelineQueries extends QueryPack {
           col("m.frame_us").as("frame_us"))
         .orderBy(col("doc_id"))
     },
+    // REAL video FRAME decode: complete synthesized uncompressed AVIs
+    // (genuine container + raw 24-bpp DIB frames, closed-form pixels),
+    // RIFF chunk walk + bottom-up row decode per frame, partition-local.
+    // Gated columns are exact INTEGER sums (no float/JDK-SPI surface —
+    // the round-8 audio lesson); top_row_sum pins the bottom-up row
+    // orientation that the order-invariant total cannot.
+    "q_multimodal_video_frames" -> { (s, dir) =>
+      val ids = Tables.load(s, dir, "documents").select(col("doc_id"))
+      Multimodal
+        .decodeVideoFrames(Multimodal.withSyntheticVideoFrames(ids, "doc_id"), "payload")
+        .select(
+          col("doc_id"),
+          col("frame_idx"),
+          col("frame_width").as("width"),
+          col("frame_height").as("height"),
+          col("brightness_sum"),
+          col("top_row_sum"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
     // frame-sampling plan: every 3rd frame index per VIDEO payload
-    // (decodeFeatures is the documented video stub — no video codec in
-    // a bare JVM), expanded WITHOUT duplicating the payload bytes
+    // (decodeFeatures is the compressed-codec stub — no compressed
+    // video codec in a bare JVM; uncompressed-AVI decode is real, see
+    // q_multimodal_video_frames), expanded WITHOUT duplicating payload
     "q_multimodal_frames" -> { (s, dir) =>
       val media = Tables
         .load(s, dir, "documents")
@@ -1449,6 +1469,30 @@ object PipelineQueries extends QueryPack {
         |       CAST(CASE WHEN doc_id % 2 = 0 THEN 33333 ELSE 40000 END AS INT) AS frame_us
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    // REAL video-frame oracle: pixel channel value in row y of frame f
+    // is (base + 7f + y) % 256, x-invariant (withSyntheticVideoFrames /
+    // synthAviDib), so per-frame sums are closed-form exact integers:
+    // brightness_sum = 3 channels × width × Σ_y v(y), top_row_sum the
+    // y = 0 term. generate_series is end-inclusive, hence nf - 1.
+    "q_multimodal_video_frames" ->
+      """WITH p AS (SELECT doc_id,
+        |                  CAST(32 + (doc_id % 8) * 8 AS INT) AS width,
+        |                  CAST(24 + (doc_id % 6) * 4 AS INT) AS height,
+        |                  CAST(2 + doc_id % 4 AS INT) AS nf,
+        |                  doc_id % 200 AS base
+        |           FROM documents),
+        |fr AS (SELECT doc_id, width, height, base, CAST(g.i AS INT) AS frame_idx
+        |       FROM p, UNNEST(generate_series(0, nf - 1, 1)) AS g(i)),
+        |px AS (SELECT doc_id, frame_idx, width, height,
+        |              CAST(SUM((base + frame_idx * 7 + y.i) % 256) AS BIGINT) AS vsum,
+        |              CAST((base + frame_idx * 7) % 256 AS BIGINT) AS v0
+        |       FROM fr, UNNEST(generate_series(0, height - 1, 1)) AS y(i)
+        |       GROUP BY doc_id, frame_idx, width, height, base)
+        |SELECT doc_id, frame_idx, width, height,
+        |       CAST(3 * width * vsum AS BIGINT) AS brightness_sum,
+        |       CAST(3 * width * v0 AS BIGINT) AS top_row_sum
+        |FROM px
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     // REAL audio oracle: ground truth is closed-form in doc_id
     // (withSyntheticAudio). Header-math columns only — every value an
     // exact integer or constant string, zero float/JDK-SPI surface, so

@@ -101,6 +101,41 @@ class IncrementalIngestionSpec extends SparkSpec {
     assert(after == Set(1L, 10L), s"20 is a dup of 10 and must be dropped — got $after")
   }
 
+  test("replay repairs a partial failure: bands landed, corpus append lost") {
+    // the crash window between the two writes — bands are written FIRST
+    // (a band row without a corpus row is harmless), so the failure
+    // mode to repair is exactly this one
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest_partial").toString
+    val (corpusDir, bandsDir) = (s"$root/corpus", s"$root/bands")
+    IncrementalDedup.seed(
+      Seq((1L, "seeded corpus text about storage engines and columnar formats today"))
+        .toDF("doc_id", "text"),
+      corpusDir, bandsDir)
+    val batch = Seq(
+      (10L, "fresh material on vectorized execution and adaptive partition coalescing"),
+      (11L, "seeded corpus text about storage engines and columnar formats now"))
+      .toDF("doc_id", "text")
+    IncrementalDedup.ingestBatch(spark, batch, corpusDir, bandsDir, batchId = Some(7L))
+    val healthyCorpus = spark.read.parquet(corpusDir).collect().map(_.toString).sorted
+    val healthyBands = spark.read.parquet(bandsDir).collect().map(_.toString).sorted
+
+    // simulate the partial failure: drop batch 7's corpus rows (keep bands)
+    val withoutBatch = spark.read.parquet(corpusDir)
+      .filter(col("ingest_batch") =!= 7L).collect()
+    val schema = spark.read.parquet(corpusDir).schema
+    spark.createDataFrame(spark.sparkContext.parallelize(withoutBatch.toSeq), schema)
+      .write.mode("overwrite").parquet(corpusDir)
+    assert(spark.read.parquet(corpusDir).count() == 1, "batch 7 corpus rows removed")
+
+    // foreachBatch replays batch 7: bands are already present (no-op),
+    // the corpus append is recomputed — deterministically identical
+    IncrementalDedup.ingestBatch(spark, batch, corpusDir, bandsDir, batchId = Some(7L))
+    assert(spark.read.parquet(corpusDir).collect().map(_.toString).sorted
+      .sameElements(healthyCorpus), "corpus repaired to the healthy state")
+    assert(spark.read.parquet(bandsDir).collect().map(_.toString).sorted
+      .sameElements(healthyBands), "band table untouched by the repair")
+  }
+
   test("candidate-id pushdown path and full-scan fallback agree") {
     val root = java.nio.file.Files.createTempDirectory("graft_ingest_prune").toString
     val docs = (0L until 40L).map { i =>

@@ -241,6 +241,62 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(2).getStruct(1).isNullAt(1))
   }
 
+  test("real video frame decode: synthesized uncompressed AVI round-trips the closed form") {
+    // width 8 (stride 24, no padding), height 4, 3 frames, base 250
+    // (forces the % 256 wrap inside the frame): channel value in image
+    // row y of frame f is (250 + 7f + y) % 256
+    val payload = Multimodal.synthAviDib(8, 4, 3, 33333, base = 250L)
+    def v(f: Int, y: Int): Long = (250L + 7 * f + y) % 256
+    val out = Seq((1L, payload)).toDF("id", "payload")
+    val frames = Multimodal.decodeVideoFrames(out, "payload")
+      .orderBy($"frame_idx")
+      .select($"frame_idx", $"frame_width", $"frame_height", $"brightness_sum", $"top_row_sum")
+      .as[(Int, Int, Int, Long, Long)]
+      .collect()
+    assert(frames.length == 3)
+    for (f <- 0 until 3) {
+      val expectedTotal = 3L * 8 * (0 until 4).map(v(f, _)).sum
+      assert(frames(f) == ((f, 8, 4, expectedTotal, 3L * 8 * v(f, 0))),
+        s"frame $f decoded ${frames(f)}")
+    }
+    // the container is ALSO a valid videoMeta subject (same avih layout)
+    val meta = out.select(Multimodal.videoMeta($"payload").as("m")).collect()(0).getStruct(0)
+    assert(meta.toSeq == Seq("avi", 8, 4, 3, 33333))
+  }
+
+  test("video frame decode pins bottom-up row order, not just order-invariant totals") {
+    // two heights → top row (y=0) is the LAST stored DIB row; a
+    // top-down misread returns v(h-1) instead of v(0)
+    val payload = Multimodal.synthAviDib(4, 6, 1, 40000, base = 10L)
+    val row = Multimodal.decodeVideoFrames(Seq((1L, payload)).toDF("id", "payload"), "payload")
+      .select($"top_row_sum").as[Long].collect()(0)
+    assert(row == 3L * 4 * 10, "top_row_sum must be the y=0 (last stored) row")
+    assert(row != 3L * 4 * 15, "a top-down misread would have summed y=5")
+  }
+
+  test("video frame decode yields zero rows for malformed or compressed payloads") {
+    val good = Multimodal.synthAviDib(8, 4, 2, 33333, base = 0L)
+    // flip the strf biCompression field (offset: strf data + 16) to a
+    // non-BI_RGB fourcc — a compressed stream must be skipped, not decoded
+    val compressed = good.clone()
+    val strfData = {
+      // RIFF(12) + LIST hdr(8+4) + avih(8+56) + LIST strl hdr(8+4) + strh(8+56) + strf id/size(8)
+      12 + 12 + 64 + 12 + 64 + 8
+    }
+    compressed(strfData + 16) = 'M'.toByte
+    val truncated = good.take(good.length / 2)
+    val rows = Seq(
+      (1L, compressed),
+      (2L, truncated),
+      (3L, "not media at all".getBytes("UTF-8")),
+      (4L, good)
+    ).toDF("id", "payload")
+    val decoded = Multimodal.decodeVideoFrames(rows, "payload")
+      .groupBy($"id").count().as[(Long, Long)].collect().toMap
+    assert(decoded == Map(4L -> 2L),
+      s"only the intact uncompressed AVI may decode — got $decoded")
+  }
+
   test("real image decode runs unchanged on a stream (stateless, append mode)") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
