@@ -355,7 +355,10 @@ object Multimodal {
         channels.cast("int").as("channels"),
         le32(payload, 25).cast("int").as("sample_rate"),
         bits.cast("int").as("bits_per_sample"),
-        (dataLen / frameBytes).as("n_frames")))
+        // `/` on numeric Columns is DOUBLE division; the frame count must
+        // ship as an exact BIGINT (the driver's hasher distinguishes
+        // 256.0 from 256 — the round-8/9 red-row root cause)
+        (dataLen / frameBytes).cast("long").as("n_frames")))
       .otherwise(struct(
         lit("unknown").as("format"), nullInt.as("channels"),
         nullInt.as("sample_rate"), nullInt.as("bits_per_sample"),

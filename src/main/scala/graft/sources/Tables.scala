@@ -19,13 +19,21 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects; read the raw INT64 nanos and truncate to micros —
-      // the same ns→µs truncation DuckDB applies, so oracles agree.
+      // events.ts has shipped as parquet TIMESTAMP(NANOS) in some testdata
+      // generations (Spark's vectorized reader rejects it — read the raw
+      // INT64 nanos and truncate to micros, the same ns→µs truncation DuckDB
+      // applies) and as TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ) in others.
+      // Adapt on the observed read schema so either generation loads to a
+      // session-TZ (UTC) TimestampType column with identical micros values.
+      import org.apache.spark.sql.functions.{col, expr}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read
-        .parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+        case _                => raw
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every table as a temp view so both the DataFrame DSL and
