@@ -37,6 +37,36 @@ def canon(cols, rows):
     return [cols[i] for i in order], sorted(out, key=repr)
 
 
+FLOAT_TYPES = {"FLOAT", "DOUBLE", "REAL"}
+INT_TYPES = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
+
+
+def type_class_drift(con, spark_src, sql):
+    """Columns where one side is floating-point and the other integral.
+
+    Python-value comparison can't see this (256.0 == 256) and the local
+    9-dp rounding hides it, but the driver's hasher distinguishes the
+    two — the q_multimodal_audio round-8/9 red row was exactly a Spark
+    DOUBLE vs oracle BIGINT with identical values. Int widths and
+    timestamp units are driver-normalized, so only this class is fatal.
+    """
+    def types_of(query):
+        return {r[0]: r[1].upper() for r in
+                con.sql(f"DESCRIBE {query}").fetchall()}
+    st = types_of(f"SELECT * FROM '{spark_src}'")
+    dt = types_of(f"({sql})")
+    drift = []
+    for c, s in st.items():
+        d = dt.get(c)
+        if d is None:
+            continue
+        if (s in FLOAT_TYPES and d in INT_TYPES) or \
+           (s in INT_TYPES and d in FLOAT_TYPES):
+            drift.append(f"{c}: spark={s} oracle={d}")
+    return drift
+
+
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -78,6 +108,12 @@ def main():
             dcols, drows = ducks.columns, ducks.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
+            failed.append(name)
+            continue
+        drift = type_class_drift(con, f"{outdir}/{name}/*.parquet", sql)
+        if drift:
+            print(f"FAIL {name}: float/int type drift "
+                  f"(hash-mismatches in the driver): {'; '.join(drift)}")
             failed.append(name)
             continue
         sc, sr = canon(scols, srows)
