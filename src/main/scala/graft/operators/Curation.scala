@@ -524,4 +524,53 @@ object Curation {
       "<IP>"
     )
   }
+
+  /** Cluster-based data pruning over an embedding column — the SSL
+    * prototypicality metric of Sorscher et al. 2022 ("Beyond neural
+    * scaling laws: beating power law scaling via data pruning",
+    * NeurIPS 2022): assign every vector to its nearest centroid
+    * (cosine), rank within each cluster by similarity to that
+    * prototype, and keep `keepPct` percent per cluster — by default the
+    * HARD examples (least prototypical, lowest cosine), which the paper
+    * shows are the ones worth training on when data is abundant;
+    * `keepHard = false` keeps the prototypical core instead (the
+    * low-data regime). Pruning per cluster rather than globally is what
+    * preserves coverage: a global cut would empty sparse clusters first.
+    *
+    * Output: `idCol`, `cell` (cluster), `cell_cos` (cosine to the
+    * prototype), `cell_rank` (1 = pruned-last under the chosen
+    * direction). The keep condition is exact integer math
+    * (`rank * 100 <= keepPct * cluster_size`) so the boundary is
+    * engine-independent — no float × count ceil hazards.
+    *
+    * Scale: centroids ride a broadcast (the [[Similarity.assignCellsScored]]
+    * fold — no shuffle, no corpus × nlist blow-up); the ONLY exchange is
+    * the per-cell window partition, keyed by cluster id. At 100 TB use
+    * nlist large enough that a cluster fits an executor's sort spill
+    * budget (the same sizing rule as IVF cells); ranking is a single
+    * row_number + count over one partitioning, no second shuffle.
+    */
+  def pruneByPrototypicality(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      keepPct: Int,
+      keepHard: Boolean = true
+  ): DataFrame = {
+    require(keepPct >= 0 && keepPct <= 100, s"keepPct must be in [0,100], got $keepPct")
+    val scored = Similarity
+      .assignCellsScored(emb.select(col(idCol), col(vecCol)), centroids, vecCol)
+    // hard-first = ascending cosine; id tie-break keeps rank total-ordered
+    val order =
+      if (keepHard) Seq(col("cell_cos").asc, col(idCol).asc)
+      else Seq(col("cell_cos").desc, col(idCol).asc)
+    val w = Window.partitionBy(col("cell")).orderBy(order: _*)
+    val wAll = Window.partitionBy(col("cell"))
+    scored
+      .withColumn("cell_rank", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .filter(col("cell_rank") * 100 <= lit(keepPct) * col("__n"))
+      .select(col(idCol), col("cell"), col("cell_cos"), col("cell_rank"))
+  }
 }

@@ -71,6 +71,63 @@ object Dedup {
       )
     )
 
+  /** Pick the LSH banding (bands, rowsPerBand) for a target Jaccard
+    * threshold — the MMDS ch.3 S-curve tuning, closed over the divisors
+    * of `numHashes`. A document pair at similarity s becomes a candidate
+    * with probability P(s) = 1 − (1 − s^r)^b; the chosen (b, r)
+    * minimizes the total error mass
+    * ∫₀ᵗ P(s) ds  +  ∫ₜ¹ (1 − P(s)) ds
+    * (false-candidate work below the threshold + missed pairs above
+    * it), evaluated by a fixed-step midpoint rule so the answer is
+    * deterministic for a given (numHashes, threshold). The classic rule
+    * of thumb t ≈ (1/b)^(1/r) is where P crosses ~½ — the minimizer
+    * lands at the divisor pair nearest that curve.
+    *
+    * Driver-side pure math (no Spark plan): call it once, then pass
+    * `bands` to [[minhashCandidates]] / [[bandedKeys]]. At 100 TB the
+    * band count is THE recall/cost dial — more bands (shorter rows)
+    * widens recall but multiplies band-shuffle rows by b, so tuning to
+    * the threshold you verify at beats hand-picking.
+    */
+  def lshBandPlan(numHashes: Int, threshold: Double): (Int, Int) = {
+    require(numHashes >= 2, s"numHashes must be >= 2, got $numHashes")
+    require(threshold > 0.0 && threshold < 1.0, s"threshold must be in (0,1), got $threshold")
+    val divisors =
+      (1 to numHashes).filter(numHashes % _ == 0).filter(b => numHashes / b >= 1)
+    def errorMass(b: Int, r: Int): Double = {
+      val steps = 1000
+      var err = 0.0
+      var i = 0
+      while (i < steps) {
+        val s = (i + 0.5) / steps
+        val p = 1.0 - math.pow(1.0 - math.pow(s, r.toDouble), b.toDouble)
+        err += (if (s < threshold) p else 1.0 - p) / steps
+        i += 1
+      }
+      err
+    }
+    divisors
+      .map(b => (b, numHashes / b))
+      .minBy { case (b, r) => (errorMass(b, r), b) }
+  }
+
+  /** [[minhashCandidates]] with the banding chosen by [[lshBandPlan]]
+    * for a target Jaccard threshold instead of a hand-picked band count.
+    */
+  def minhashCandidatesTuned(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      numHashes: Int = DefaultNumHashes,
+      shingleSize: Int = DefaultShingleSize,
+      maxBucketSize: Option[Int] = None,
+      hashFamily: HashFamily = HashFamily.Md5
+  ): DataFrame = {
+    val (bands, _) = lshBandPlan(numHashes, threshold)
+    minhashCandidates(df, idCol, textCol, numHashes, bands, shingleSize, maxBucketSize, hashFamily)
+  }
+
   /** MinHash + LSH banding near-dup candidate pairs.
     *
     * Classic pipeline (Broder '97 / MMDS ch.3): shingle → per-doc

@@ -534,11 +534,20 @@ object Similarity {
     * keeps the first). Adds a `cell` column; also the blocking key for
     * [[graft.operators.Dedup.embeddingNearDup]] semantic blocking.
     */
-  def assignCells(df: DataFrame, centroids: DataFrame, vecCol: String): DataFrame = {
+  def assignCells(df: DataFrame, centroids: DataFrame, vecCol: String): DataFrame =
+    assignCellsScored(df, centroids, vecCol).drop("cell_cos")
+
+  /** [[assignCells]] keeping the winning cosine too: adds `cell` AND
+    * `cell_cos` (cosine to the assigned centroid) — the prototypicality
+    * score cluster-based pruning ranks on
+    * ([[graft.operators.Curation.pruneByPrototypicality]]). Same plan:
+    * broadcast centroid fold, no shuffle, no row blow-up.
+    */
+  def assignCellsScored(df: DataFrame, centroids: DataFrame, vecCol: String): DataFrame = {
     val centArr = centroids
       .agg(collect_list(struct(col("centroid_id"), col("centroid_vec"))).as("__cents"))
       .select(sort_array(col("__cents")).as("__cents"), lit(1).as("__one"))
-    val nearestCell = aggregate(
+    val nearest = aggregate(
       col("__cents"),
       struct(lit(Double.MinValue).as("best"), lit(-1).as("cell")),
       (acc, c) => {
@@ -548,11 +557,13 @@ object Similarity {
           struct(s.as("best"), c.getField("centroid_id").as("cell"))
         ).otherwise(acc)
       }
-    ).getField("cell")
+    )
     df.withColumn("__one", lit(1))
       .join(broadcast(centArr), Seq("__one"))
-      .withColumn("cell", nearestCell)
-      .drop("__one", "__cents")
+      .withColumn("__nearest", nearest)
+      .withColumn("cell", col("__nearest.cell"))
+      .withColumn("cell_cos", col("__nearest.best"))
+      .drop("__one", "__cents", "__nearest")
   }
 
   def ivfTopK(

@@ -160,6 +160,28 @@ object PipelineQueries extends QueryPack {
         )
         .orderBy(col("id1"), col("id2"))
     },
+    // cluster-based data pruning (Sorscher et al. 2022 SSL prototypes):
+    // nearest-centroid cells (the q_ann_ivf centroid convention), keep
+    // the hardest 30% per cluster — per-cluster cuts preserve coverage
+    // where a global cut would empty sparse clusters first
+    "q_prune_prototypes" -> { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val centroids = emb
+        .filter(col("vec_id") < 8)
+        .select(
+          col("vec_id").cast("int").as("centroid_id"),
+          col("embedding").as("centroid_vec")
+        )
+      Curation
+        .pruneByPrototypicality(emb, "vec_id", "embedding", centroids, keepPct = 30)
+        .select(
+          col("vec_id"),
+          col("cell"),
+          round(col("cell_cos"), 6).as("cell_cos"),
+          col("cell_rank")
+        )
+        .orderBy(col("vec_id"))
+    },
     // candidate pairs → duplicate clusters (connected components,
     // min-label propagation) — the keep-one-per-GROUP step after any
     // candidate generator
@@ -1226,6 +1248,33 @@ object PipelineQueries extends QueryPack {
          |SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
          |FROM ranked WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin
+    },
+    // prototype pruning: same deterministic cell assignment as
+    // q_ann_ivf, then per-cell hard-first ranking; the keep boundary is
+    // pure integer math (rank*100 <= pct*n) so it can't drift
+    "q_prune_prototypes" -> {
+      val cosEC =
+        """LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(e.embedding) + 1),
+          |             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE))) /
+          |           (SQRT(LIST_SUM(LIST_TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+          |            SQRT(LIST_SUM(LIST_TRANSFORM(c.cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+      s"""WITH centroids AS (
+         |  SELECT CAST(vec_id AS INT) AS centroid_id, embedding AS cvec
+         |  FROM embeddings WHERE vec_id < 8),
+         |assign AS (
+         |  SELECT e.vec_id, c.centroid_id, $cosEC AS cos,
+         |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |           ORDER BY $cosEC DESC, c.centroid_id) AS rn
+         |  FROM embeddings e CROSS JOIN centroids c),
+         |cells AS (SELECT vec_id, centroid_id AS cell, cos FROM assign WHERE rn = 1),
+         |ranked AS (
+         |  SELECT vec_id, cell, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY cell ORDER BY cos ASC, vec_id) AS cell_rank,
+         |         COUNT(*) OVER (PARTITION BY cell) AS n
+         |  FROM cells)
+         |SELECT vec_id, cell, ROUND(cos, 6) AS cell_cos, CAST(cell_rank AS INT) AS cell_rank
+         |FROM ranked WHERE cell_rank * 100 <= 30 * n
+         |ORDER BY vec_id""".stripMargin
     },
     "q_salted_agg" ->
       """SELECT l_returnflag,

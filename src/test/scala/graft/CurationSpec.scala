@@ -10,6 +10,47 @@ import org.apache.spark.sql.functions._
 class CurationSpec extends SparkSpec {
   import spark.implicits._
 
+  test("pruneByPrototypicality keeps hardest-per-cluster with an exact integer boundary") {
+    // two well-separated clusters; centroids are vec 0 (→(1,0)) and 1 (→(0,1))
+    val emb = Seq(
+      (0L, Array(1f, 0f)),
+      (1L, Array(0f, 1f)),
+      (10L, Array(1f, 0.1f)), // cos to A ≈ .995
+      (11L, Array(1f, 0.3f)), // ≈ .958
+      (12L, Array(1f, 0.6f)), // ≈ .857 — hardest in A
+      (20L, Array(0.2f, 1f)), // cos to B ≈ .981
+      (21L, Array(0.5f, 1f))  // ≈ .894 — hardest in B
+    ).toDF("vec_id", "embedding")
+    val cents = emb
+      .filter(col("vec_id") < 2)
+      .select(col("vec_id").cast("int").as("centroid_id"), col("embedding").as("centroid_vec"))
+    val hard = Curation
+      .pruneByPrototypicality(emb, "vec_id", "embedding", cents, keepPct = 50)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell"))
+      .toSet
+    // cell A has 4 members (0,10,11,12) → keep 2 hardest = 12,11;
+    // cell B has 3 (1,20,21) → rank*100 <= 150 keeps rank 1 = 21
+    assert(hard == Set(12L -> 0, 11L -> 0, 21L -> 1))
+    val proto = Curation
+      .pruneByPrototypicality(emb, "vec_id", "embedding", cents, keepPct = 50, keepHard = false)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id"))
+      .toSet
+    // prototypical direction keeps the centroids themselves first
+    assert(proto == Set(0L, 10L, 1L))
+    // floor semantics: pct=33 of a 3-member cluster keeps nothing
+    // (rank 1 × 100 > 33 × 3), of a 4-member cluster keeps exactly 1
+    val floor33 = Curation
+      .pruneByPrototypicality(emb, "vec_id", "embedding", cents, keepPct = 33)
+      .groupBy("cell")
+      .count()
+      .collect()
+      .map(r => r.getAs[Int]("cell") -> r.getAs[Long]("count"))
+      .toMap
+    assert(floor33 == Map(0 -> 1L))
+  }
+
   test("repetition signals match hand-computed values") {
     // "a a a b": 4 words, 2 distinct -> dup 0.5; bigrams [a a, a a, a b]
     // -> modal 2/3; longest run of 'a' = 3

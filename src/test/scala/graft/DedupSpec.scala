@@ -32,6 +32,34 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("lshBandPlan tracks the S-curve threshold over divisor pairs") {
+    // anchors computed from the error-mass integral (deterministic)
+    assert(Dedup.lshBandPlan(128, 0.2) == (64, 2))
+    assert(Dedup.lshBandPlan(128, 0.5) == (32, 4))
+    assert(Dedup.lshBandPlan(128, 0.8) == (8, 16))
+    assert(Dedup.lshBandPlan(16, 0.5) == (4, 4))
+    // structure: bands × rows always multiplies back; lower threshold
+    // never gets fewer bands (shorter rows → wider recall)
+    for (t <- Seq(0.1, 0.3, 0.5, 0.7, 0.9)) {
+      val (b, r) = Dedup.lshBandPlan(64, t)
+      assert(b * r == 64)
+    }
+    val plans = Seq(0.1, 0.5, 0.9).map(Dedup.lshBandPlan(64, _)._1)
+    assert(plans == plans.sorted.reverse)
+  }
+
+  test("minhashCandidatesTuned equals minhashCandidates at the planned banding") {
+    val (bands, _) = Dedup.lshBandPlan(16, 0.5)
+    val tuned = Dedup
+      .minhashCandidatesTuned(docs, "doc_id", "text", threshold = 0.5, numHashes = 16)
+      .as[(Long, Long)].collect().toSet
+    val manual = Dedup
+      .minhashCandidates(docs, "doc_id", "text", numHashes = 16, bands = bands)
+      .as[(Long, Long)].collect().toSet
+    assert(tuned == manual)
+    assert(tuned.contains((1L, 2L)))
+  }
+
   test("maxBucketSize cap drops oversized buckets") {
     // 30 identical docs form one giant bucket per band; cap 10 kills them
     val many = (1L to 30L).map(i => (i, "same same same text for every single one of them"))
