@@ -110,6 +110,52 @@ object Curation {
     }
   }
 
+  /** FUZZY benchmark decontamination — catches the near-duplicate
+    * contamination the exact n-gram membership test ([[decontaminate]])
+    * misses when benchmark text was paraphrased or lightly edited
+    * before leaking into the corpus (the blind spot of the GPT-3
+    * appendix-C / Gopher 13-gram-overlap tests). MinHash-LSH candidate
+    * pairs corpus×eval ([[Dedup.minhashCandidatesAgainst]] — both sides
+    * banded independently, joined on the band key only, never a corpus
+    * self-join) are confirmed with the exact shingle-set Jaccard
+    * bounded to the candidates, then aggregated per corpus doc.
+    *
+    * Returns one row per CONTAMINATED corpus doc:
+    * (idCol, n_eval_matches, max_jaccard) — anti-join on `idCol` to
+    * drop. Corpus and eval ids must not collide (the
+    * [[Dedup.dropIncrementalDuplicates]] contract).
+    *
+    * Scale: eval sets are usually broadcast-small, but nothing here
+    * assumes it — every stage is a (band, hash)- or id-keyed equi-join
+    * with the hot-bucket cap threaded through, so a 100 TB corpus
+    * against a merged mega-benchmark behaves like incremental dedup.
+    */
+  def decontaminateFuzzy(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      minJaccard: Double = 0.5,
+      maxBucketSize: Option[Int] = Some(1000),
+      hashFamily: HashFamily = HashFamily.Md5
+  ): DataFrame = {
+    val cands = Dedup
+      .minhashCandidatesAgainst(corpus, evalSet, idCol, textCol,
+        maxBucketSize = maxBucketSize, hashFamily = hashFamily)
+      .select(col("new_id").as("doc1"), col("corpus_id").as("doc2"))
+    val both = corpus
+      .select(col(idCol), col(textCol))
+      .union(evalSet.select(col(idCol), col(textCol)))
+    Dedup
+      .verifyCandidates(cands, both, idCol, textCol, minJaccard = minJaccard)
+      .groupBy(col("doc1"))
+      .agg(
+        count_distinct(col("doc2")).as("n_eval_matches"),
+        max(col("jaccard")).as("max_jaccard")
+      )
+      .withColumnRenamed("doc1", idCol)
+  }
+
   /** Streaming face of [[curate]]: the same stateless gates + scrub +
     * normalize per record, then first-arrival-wins exact dedup on the
     * content hash via `dropDuplicatesWithinWatermark` — state holds

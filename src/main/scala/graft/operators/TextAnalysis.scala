@@ -437,6 +437,53 @@ object TextAnalysis {
       )
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    * Extracting high quality monolingual datasets from web crawl
+    * data"): score each document with the corpus-unigram LM
+    * ([[unigramLogProb]]) and split the corpus into `buckets` quality
+    * tiers — bucket 1 = head (most corpus-typical, lowest negative
+    * log-prob) … bucket N = tail. CCNet keeps head+middle for LM
+    * training and uses the split as a mixing dial.
+    *
+    * Two forms, the [[distributionStats]] exact/approx convention:
+    *   - `exact = true`: rank-based `ntile` over (score, id) — integer
+    *     row-partition math, mirrorable in any engine; the global
+    *     window is a single-partition sort, fine at gate scale, wrong
+    *     at 100 TB.
+    *   - `exact = false` (the scale path): `approx_percentile` cutoffs
+    *     from ONE map-side-combinable aggregate, broadcast back, and a
+    *     scan-local fold assigns buckets — no global sort; boundary
+    *     placement differs from ntile only within sketch error.
+    */
+  def perplexityBuckets(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 3,
+      exact: Boolean = true
+  ): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val scored = unigramLogProb(df, idCol, textCol)
+    if (exact) {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("avg_neg_logprob"), col(idCol))
+      scored.withColumn("bucket", ntile(buckets).over(w))
+    } else {
+      val fracs = (1 until buckets).map(i => lit(i.toDouble / buckets))
+      val cuts = scored.agg(
+        percentile_approx(col("avg_neg_logprob"), array(fracs: _*), lit(10000)).as("__cuts"))
+      scored
+        .crossJoin(broadcast(cuts))
+        .withColumn(
+          "bucket",
+          aggregate(
+            col("__cuts"),
+            lit(1),
+            (acc, c) => acc + when(col("avg_neg_logprob") > c, 1).otherwise(0)))
+        .drop("__cuts")
+    }
+  }
+
   /** Winnowing-style document fingerprint: lexicographic min of the
     * hashes of character 8-grams sampled at `stride` — robust to small
     * edits, pure column math (transform over substring windows +

@@ -311,6 +311,27 @@ object PipelineQueries extends QueryPack {
         )
         .orderBy(col("doc_id"))
     },
+    // FUZZY decontamination: paraphrased eval leakage (uppercased head,
+    // same trick as q_curation_pipeline's variant docs) that exact
+    // n-gram membership misses — minhash corpus×eval + Jaccard confirm
+    "q_decontaminate_fuzzy" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val evalSet = d
+        .filter(col("doc_id") % 20 === 0)
+        .select(
+          (col("doc_id") + 1000000L).as("doc_id"),
+          concat(upper(substring(col("text"), 1, 10)), expr("substring(text, 11)")).as("text")
+        )
+      Curation
+        .decontaminateFuzzy(d, evalSet, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    // CCNet head/middle/tail quality tiers from the corpus unigram LM
+    "q_perplexity_buckets" -> { (s, dir) =>
+      TextAnalysis
+        .perplexityBuckets(Tables.load(s, dir, "documents"), "doc_id", "text", buckets = 3)
+        .orderBy(col("doc_id"))
+    },
     // Gopher-style repetition signals as single-pass array folds
     "q_repetition" -> { (s, dir) =>
       TextAnalysis
@@ -1414,6 +1435,81 @@ object PipelineQueries extends QueryPack {
         |SELECT doc_id, term AS top_term, tfidf AS top_tfidf
         |FROM ranked WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
+    // fuzzy decontamination: minhash corpus×eval (same md5-family
+    // construction as q_dedup_incremental, id spaces split at 1e6) +
+    // exact-Jaccard confirm, per-corpus-doc aggregate
+    "q_decontaminate_fuzzy" -> {
+      val mins = (1 to 16)
+        .map(j => s"MIN((h1 + $j*h2) % 4294967296) AS m$j")
+        .mkString(",\n        ")
+      val bandCase = (0 until 4)
+        .map { b =>
+          val hs = (1 to 4)
+            .map(r => s"CAST(m${b * 4 + r} AS VARCHAR)")
+            .mkString(" || '|' || ")
+          s"WHEN $b THEN MD5($hs)"
+        }
+        .mkString(" ")
+      s"""WITH alldocs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, UPPER(SUBSTRING(text,1,10)) || SUBSTRING(text,11)
+         |  FROM documents WHERE doc_id % 20 = 0),
+         |toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM alldocs),
+         |sh AS (SELECT doc_id,
+         |              UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(t) - 1, 2)),
+         |                     i -> ARRAY_TO_STRING(t[i:i+2], ' '))) AS shingle
+         |       FROM toks),
+         |hx AS (SELECT doc_id,
+         |              CAST('0x' || SUBSTRING(MD5(shingle), 1, 8) AS BIGINT) AS h1,
+         |              CAST('0x' || SUBSTRING(MD5(shingle), 9, 8) AS BIGINT) AS h2
+         |       FROM sh),
+         |sig AS (SELECT doc_id, $mins
+         |        FROM hx GROUP BY doc_id),
+         |bands0 AS (SELECT doc_id, band_idx,
+         |                  CASE band_idx $bandCase END AS band_hash
+         |           FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) b(band_idx)),
+         |bn0 AS (SELECT * FROM bands0 WHERE doc_id < 1000000),
+         |bc0 AS (SELECT * FROM bands0 WHERE doc_id >= 1000000),
+         |bn AS (SELECT b.* FROM bn0 b JOIN (SELECT band_idx, band_hash FROM bn0
+         |        GROUP BY band_idx, band_hash HAVING COUNT(*) <= 1000) k USING (band_idx, band_hash)),
+         |bc AS (SELECT b.* FROM bc0 b JOIN (SELECT band_idx, band_hash FROM bc0
+         |        GROUP BY band_idx, band_hash HAVING COUNT(*) <= 1000) k USING (band_idx, band_hash)),
+         |cand AS (SELECT DISTINCT n.doc_id AS doc1, c.doc_id AS doc2
+         |         FROM bn n JOIN bc c
+         |           ON n.band_idx = c.band_idx AND n.band_hash = c.band_hash),
+         |shs AS (SELECT doc_id,
+         |               LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(t) - 1, 2)),
+         |                      i -> ARRAY_TO_STRING(t[i:i+2], ' '))) AS s
+         |        FROM toks),
+         |vj AS (
+         |  SELECT doc1, doc2, jaccard FROM (
+         |    SELECT p.doc1, p.doc2,
+         |           ROUND(LEN(LIST_INTERSECT(a.s, b.s)) * 1.0 /
+         |                 LEN(LIST_DISTINCT(LIST_CONCAT(a.s, b.s))), 6) AS jaccard
+         |    FROM cand p
+         |    JOIN shs a ON a.doc_id = p.doc1
+         |    JOIN shs b ON b.doc_id = p.doc2)
+         |  WHERE jaccard >= 0.5)
+         |SELECT doc1 AS doc_id, COUNT(DISTINCT doc2) AS n_eval_matches, MAX(jaccard) AS max_jaccard
+         |FROM vj GROUP BY doc1 ORDER BY doc_id""".stripMargin
+    },
+    // CCNet tiers: the q_unigram_logprob scores + rank-based NTILE
+    // (integer row-partition math; unique tie-break per CLAUDE.md)
+    "q_perplexity_buckets" ->
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents),
+        |freq AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS t FROM tok),
+        |scored AS (
+        |  SELECT tok.doc_id,
+        |         CAST(COUNT(*) AS INT) AS n_words,
+        |         ROUND(AVG(-LN(CAST(freq.c AS DOUBLE) / tot.t)), 6) AS avg_neg_logprob
+        |  FROM tok JOIN freq ON tok.term = freq.term CROSS JOIN tot
+        |  GROUP BY tok.doc_id)
+        |SELECT doc_id, n_words, avg_neg_logprob,
+        |       CAST(NTILE(3) OVER (ORDER BY avg_neg_logprob, doc_id) AS INT) AS bucket
+        |FROM scored ORDER BY doc_id""".stripMargin,
     "q_unigram_logprob" ->
       """WITH tok AS (
         |  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents),

@@ -51,6 +51,58 @@ class CurationSpec extends SparkSpec {
     assert(floor33 == Map(0 -> 1L))
   }
 
+  test("decontaminateFuzzy flags paraphrased eval leakage that exact n-grams can rate-limit") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq(
+      (1L, base), // near-dup of the eval doc (one word differs)
+      (2L, "colorless green ideas sleep furiously beside the silent harbor wall tonight"),
+      (3L, base.replace("jumps", "leaps")) // verbatim leak of the eval doc
+    ).toDF("doc_id", "text")
+    val evalSet = Seq(
+      (100L, base.replace("jumps", "leaps"))
+    ).toDF("doc_id", "text")
+    val flagged = Curation
+      .decontaminateFuzzy(corpus, evalSet, "doc_id", "text", minJaccard = 0.5)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_eval_matches"), r.getAs[Double]("max_jaccard")))
+      .toMap
+    assert(flagged.keySet == Set(1L, 3L))
+    assert(flagged(1L)._1 == 1L && flagged(1L)._2 > 0.5 && flagged(1L)._2 < 1.0)
+    assert(flagged(3L)._2 == 1.0) // verbatim → exact-Jaccard 1
+  }
+
+  test("perplexityBuckets: exact ntile tiers and the approx scale path agree on extremes") {
+    // 6 docs over a shared vocabulary; doc 1 uses only the most common
+    // words (head), doc 6 only the rarest (tail)
+    val docs = Seq(
+      (1L, "aa aa aa bb aa bb"),
+      (2L, "aa bb aa bb cc aa"),
+      (3L, "aa bb cc aa dd bb"),
+      (4L, "bb cc dd aa ee bb"),
+      (5L, "cc dd ee ff aa bb"),
+      (6L, "ff gg hh ii jj kk")
+    ).toDF("doc_id", "text")
+    val exact = TextAnalysis
+      .perplexityBuckets(docs, "doc_id", "text", buckets = 3)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("bucket"))
+      .toMap
+    // ntile(3) over 6 rows → two per tier, ordered by typicality
+    assert(exact.values.toSeq.sorted == Seq(1, 1, 2, 2, 3, 3))
+    assert(exact(1L) == 1 && exact(6L) == 3)
+    val approx = TextAnalysis
+      .perplexityBuckets(docs, "doc_id", "text", buckets = 3, exact = false)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("bucket"))
+      .toMap
+    // approx cutoffs may shift boundary membership but never the
+    // extremes, and bucket must be monotone in the score ordering
+    assert(approx(1L) == 1 && approx(6L) == 3)
+    val ordered = exact.keys.toSeq.sorted.map(approx)
+    assert(ordered == ordered.sorted)
+  }
+
   test("repetition signals match hand-computed values") {
     // "a a a b": 4 words, 2 distinct -> dup 0.5; bigrams [a a, a a, a b]
     // -> modal 2/3; longest run of 'a' = 3
