@@ -571,6 +571,38 @@ object Curation {
     )
   }
 
+  /** Deterministic epoch shuffle — global training-order randomization
+    * that is reproducible run-to-run (resumable mid-epoch, auditable)
+    * and different per epoch. The order key is a seeded hash of the id
+    * (xxhash64(seed, id) — production; md5 for an engine-mirrorable
+    * key), computed scan-locally; the global order is realized with
+    * `repartitionByRange` on the key plus `sortWithinPartitions`, so
+    * the result is a TOTAL order (file i's keys all precede file
+    * i+1's) with balanced output files and NO single-partition sort —
+    * the orderBy a naive shuffle would plan collapses 100 TB onto one
+    * task's sort. The id tie-break makes the permutation well-defined
+    * even under hash collisions.
+    */
+  def shuffleForTraining(
+      df: DataFrame,
+      idCol: String,
+      seed: Long,
+      numPartitions: Int = 0,
+      hashFamily: HashFamily = HashFamily.XxHash64
+  ): DataFrame = {
+    val key = hashFamily match {
+      case HashFamily.XxHash64 => xxhash64(lit(seed), col(idCol))
+      case HashFamily.Md5 =>
+        md5(concat(lit(seed.toString), lit("|"), col(idCol).cast("string")))
+    }
+    val keyed = df.withColumn("__shuffle_key", key)
+    val parted =
+      if (numPartitions > 0)
+        keyed.repartitionByRange(numPartitions, col("__shuffle_key"), col(idCol))
+      else keyed.repartitionByRange(col("__shuffle_key"), col(idCol))
+    parted.sortWithinPartitions(col("__shuffle_key"), col(idCol)).drop("__shuffle_key")
+  }
+
   /** Cluster-based data pruning over an embedding column — the SSL
     * prototypicality metric of Sorscher et al. 2022 ("Beyond neural
     * scaling laws: beating power law scaling via data pruning",

@@ -700,6 +700,16 @@ object PipelineQueries extends QueryPack {
     * md5-family versions is spec-pinned (CurationSpec / AsOfJoinSpec).
     */
   override val benchDefs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // deterministic epoch shuffle (production xxhash64 key): total
+    // order via range exchange + within-partition sort, no global
+    // window. Bench-only: the driver compare sorts rows, so an ORDER
+    // oracle is vacuous — the permutation properties are spec-pinned
+    // (CurationSpec)
+    "q_epoch_shuffle" -> { (s, dir) =>
+      Curation.shuffleForTraining(
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", seed = 7L)
+    },
     // native GramMinHash fingerprint (one pass, no per-gram substring
     // walk — BASELINE.md round 4 records the 28× vs the composed lambda)
     "q_fingerprint_native" -> { (s, dir) =>

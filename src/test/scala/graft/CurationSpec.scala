@@ -103,6 +103,38 @@ class CurationSpec extends SparkSpec {
     assert(ordered == ordered.sorted)
   }
 
+  test("shuffleForTraining: seeded, reproducible, a total order across partitions") {
+    val docs = spark.range(0, 1000).toDF("doc_id")
+    def run(seed: Long): Array[Long] =
+      Curation
+        .shuffleForTraining(docs, "doc_id", seed, numPartitions = 7)
+        .collect()
+        .map(_.getLong(0))
+    val a = run(1)
+    assert(a.sameElements(run(1))) // reproducible
+    assert(!a.sameElements(run(2))) // epoch-dependent
+    assert(a.sorted.sameElements(Array.range(0, 1000).map(_.toLong))) // a permutation
+    assert(!a.sameElements(Array.range(0, 1000).map(_.toLong))) // actually shuffled
+    // the realized order IS the seeded-hash order (total across the
+    // range-partition boundaries, not just within partitions)
+    val expect = docs
+      .withColumn("k", xxhash64(lit(1L), col("doc_id")))
+      .orderBy(col("k"), col("doc_id"))
+      .collect()
+      .map(_.getLong(0))
+    assert(a.sameElements(expect))
+    // range partitioning on the hash key keeps output files balanced
+    val sizes = Curation
+      .shuffleForTraining(docs, "doc_id", 1, numPartitions = 7)
+      .withColumn("p", spark_partition_id())
+      .groupBy("p")
+      .count()
+      .collect()
+      .map(_.getAs[Long]("count"))
+    assert(sizes.length == 7 && sizes.min > 0)
+    assert(sizes.max <= 3 * (1000 / 7))
+  }
+
   test("repetition signals match hand-computed values") {
     // "a a a b": 4 words, 2 distinct -> dup 0.5; bigrams [a a, a a, a b]
     // -> modal 2/3; longest run of 'a' = 3
