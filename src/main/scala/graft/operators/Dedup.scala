@@ -762,6 +762,65 @@ object Dedup {
       .distinct()
   }
 
+  /** Hamming near-dup pairing over a PRECOMPUTED fingerprint column —
+    * the generic face of [[simhashNearDup]] for fingerprints that are
+    * not text simhashes: perceptual image hashes
+    * ([[graft.operators.Multimodal.imageAHash]]), audio fingerprints,
+    * any ≤64-bit locality-preserving code. Same pigeonhole guarantee
+    * (maxHamming + 1 bands ⇒ any pair within the bound shares at least
+    * one exact band), same one-pinned-exchange band equi-join, same
+    * `bit_count(xor)` verify. Null fingerprints (undecodable payloads)
+    * are dropped before banding, not hashed to a degenerate bucket.
+    */
+  def hammingNearDup(
+      df: DataFrame,
+      idCol: String,
+      fpCol: String,
+      bits: Int = 64,
+      maxHamming: Int = 6,
+      maxBucketSize: Option[Int] = None
+  ): DataFrame = {
+    require(maxHamming >= 1 && maxHamming < bits, "need 1 <= maxHamming < bits")
+    require(bits >= 2 && bits <= 64, "need 2 <= bits <= 64")
+    val bands = maxHamming + 1
+    val base = bits / bands
+    val rem = bits % bands
+    val bandBits = (0 until bands).map { b =>
+      val start = b * base + math.min(b, rem)
+      val width = base + (if (b < rem) 1 else 0)
+      val mask = if (width >= 64) -1L else (1L << width) - 1
+      shiftrightunsigned(col(fpCol), start).bitwiseAND(lit(mask))
+    }
+    val banded0 = df
+      .filter(col(fpCol).isNotNull)
+      .select(
+        col(idCol), col(fpCol).as("fingerprint"),
+        posexplode(array(bandBits: _*)).as(Seq("band_idx", "band_bits")))
+    val banded = maxBucketSize.fold(banded0) { cap =>
+      val sizes = banded0
+        .groupBy(col("band_idx"), col("band_bits"))
+        .agg(count(lit(1)).as("__bsize"))
+        .filter(col("__bsize") <= cap)
+        .drop("__bsize")
+      banded0.join(sizes, Seq("band_idx", "band_bits"), "left_semi")
+    }
+    val part = banded.repartition(col("band_idx"), col("band_bits"))
+    part
+      .alias("a")
+      .join(
+        part.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_bits") === col("b.band_bits") &&
+          col(s"a.$idCol") < col(s"b.$idCol")
+      )
+      .select(
+        col(s"a.$idCol").as("doc1"),
+        col(s"b.$idCol").as("doc2"),
+        bit_count(col("a.fingerprint").bitwiseXOR(col("b.fingerprint"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Shared Hamming-banding stage of [[simhashNearDup]]: one row per
     * (id, fingerprint, band_idx, band_bits), UNCAPPED.
     */

@@ -169,6 +169,117 @@ object Multimodal {
     img
   }
 
+  /** Synthesize a REAL PNG with a deterministic per-pixel GRADIENT —
+    * the fixture generator for perceptual hashing, where the
+    * constant-fill [[synthPng]] degenerates (every cell equals the
+    * mean, aHash = 0 for all images). Pixel (x, y) carries gray level
+    * `(x*7 + y*13 + phase) % 256`: spatial structure that survives a
+    * real encode/decode round trip, with `phase` as the
+    * small-perturbation dial (a +1 phase shifts every pixel one gray
+    * level — a near-duplicate in aHash space).
+    */
+  def synthGradientPng(width: Int, height: Int, phase: Int): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](width * height)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val g = (x * 7 + y * 13 + phase) % 256
+        px(y * width + x) = (g << 16) | (g << 8) | g
+        x += 1
+      }
+      y += 1
+    }
+    img.setRGB(0, 0, width, height, px, 0, width)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** 64-bit average-hash (aHash) perceptual fingerprint of a decoded
+    * image — the standard LAION-style pre-embedding image dedup key:
+    * decode, block-average the luminance raster onto an 8×8 grid, and
+    * set bit (r·8 + c) when the cell mean exceeds the global mean.
+    * Robust to re-encoding, resizing and small edits; pair with
+    * [[graft.operators.Dedup.hammingNearDup]] for banded candidate
+    * generation (never an all-pairs compare).
+    *
+    * Partition-local `mapPartitions` like [[decodeImages]]: payload
+    * never shuffles, undecodable rows get a null hash (and are dropped
+    * by the pairing stage, not silently hashed to 0).
+    */
+  def imageAHash(df: DataFrame, payloadCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField("ahash", LongType))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val h: Any = aHash(r.getAs[Array[Byte]](payloadIdx)).orNull
+        Row.fromSeq(r.toSeq :+ h)
+      }
+    }(enc)
+  }
+
+  /** The aHash kernel: 8×8 block-mean luminance, bit = cell > mean. */
+  def aHash(payload: Array[Byte]): Option[Long] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null || img.getWidth < 8 || img.getHeight < 8) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        val sums = new Array[Double](64)
+        val counts = new Array[Long](64)
+        var y = 0
+        while (y < h) {
+          val cy = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val rgb = px(y * w + x)
+            val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+            val cell = cy * 8 + x * 8 / w
+            sums(cell) += lum
+            counts(cell) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var mean = 0.0
+        var i = 0
+        while (i < 64) { sums(i) /= counts(i); mean += sums(i) / 64.0; i += 1 }
+        var bits = 0L
+        i = 0
+        while (i < 64) { if (sums(i) > mean) bits |= (1L << i); i += 1 }
+        Some(bits)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Attach REAL gradient-PNG payloads for perceptual-hash work: dims
+    * closed-form in `idCol % 1_000_000` (so a twin registered at
+    * id + 1e6 renders the SAME raster), gradient phase from
+    * `phaseCol` (phase-1 twins are aHash near-duplicates). Partition
+    * local, like every fixture generator here.
+    */
+  def withSyntheticGradientImages(df: DataFrame, idCol: String, phaseCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField("payload", BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val phIdx = df.schema.fieldIndex(phaseCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx) % 1000000L
+        val payload = synthGradientPng(
+          (32 + id % 16).toInt, (32 + (id * 3) % 16).toInt, r.getInt(phIdx))
+        Row.fromSeq(r.toSeq :+ payload)
+      }
+    }(enc)
+  }
+
   /** Attach a REAL synthetic image payload derived from a numeric id
     * column — the fixture generator for oracle-checked decode: every
     * parameter is closed-form in the id, so a SQL oracle can compute

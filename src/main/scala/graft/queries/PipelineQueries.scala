@@ -700,6 +700,32 @@ object PipelineQueries extends QueryPack {
     * md5-family versions is spec-pinned (CurationSpec / AsOfJoinSpec).
     */
   override val benchDefs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // perceptual image dedup: every 10th doc gets a phase-perturbed
+    // gradient-PNG twin; real decode → 64-bit aHash → pigeonhole
+    // Hamming bands. Bench-only (no SQL engine decodes PNG); pairing
+    // correctness is spec-pinned (MultimodalSpec)
+    "q_image_neardup" -> { (s, dir) =>
+      val ids = Tables.load(s, dir, "documents").select(col("doc_id"))
+      val withTwins = ids
+        .select(
+          explode(
+            when(
+              col("doc_id") % 10 === 0,
+              array(
+                struct(col("doc_id").as("doc_id"), lit(0).as("phase")),
+                struct((col("doc_id") + 1000000L).as("doc_id"), lit(1).as("phase")))
+            ).otherwise(array(struct(col("doc_id").as("doc_id"), lit(0).as("phase"))))
+          ).as("r"))
+        .select(col("r.doc_id").as("doc_id"), col("r.phase").as("phase"))
+      val hashed = Multimodal
+        .imageAHash(
+          Multimodal.withSyntheticGradientImages(withTwins, "doc_id", "phase"), "payload")
+        .select(col("doc_id"), col("ahash"))
+      Dedup
+        .hammingNearDup(hashed, "doc_id", "ahash", maxHamming = 6,
+          maxBucketSize = Some(1000))
+        .orderBy(col("doc1"), col("doc2"))
+    },
     // deterministic epoch shuffle (production xxhash64 key): total
     // order via range exchange + within-partition sort, no global
     // window. Bench-only: the driver compare sorts rows, so an ORDER

@@ -14,6 +14,41 @@ class MultimodalSpec extends SparkSpec {
     (2L, "another payload".getBytes("UTF-8"))
   ).toDF("id", "payload")
 
+  test("aHash: deterministic, phase twins hamming-near, distinct images far, corrupt null") {
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val a0 = Multimodal.aHash(Multimodal.synthGradientPng(33, 35, 0)).get
+    assert(a0 == Multimodal.aHash(Multimodal.synthGradientPng(33, 35, 0)).get)
+    val a1 = Multimodal.aHash(Multimodal.synthGradientPng(33, 35, 1)).get
+    assert(ham(a0, a1) <= 2) // one-gray-level shift: a near-duplicate
+    val b0 = Multimodal.aHash(Multimodal.synthGradientPng(34, 38, 0)).get
+    assert(ham(a0, b0) > 6) // different raster → different 8×8 profile
+    assert(Multimodal.aHash(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.aHash(Multimodal.synthGradientPng(7, 7, 0)).isEmpty) // sub-8×8
+  }
+
+  test("imageAHash + hammingNearDup pair perceptual twins only, dropping undecodable rows") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rows = Seq(
+      Row(1L, Multimodal.synthGradientPng(33, 35, 0)),
+      Row(1000001L, Multimodal.synthGradientPng(33, 35, 1)), // perceptual twin of 1
+      Row(2L, Multimodal.synthGradientPng(34, 38, 0)),
+      Row(9L, Array[Byte](9, 9, 9)) // undecodable
+    )
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2),
+      StructType(Seq(StructField("doc_id", LongType), StructField("payload", BinaryType))))
+    val hashed = Multimodal.imageAHash(df, "payload")
+    assert(hashed.filter(col("doc_id") === 9L).head().isNullAt(2))
+    val pairs = graft.operators.Dedup
+      .hammingNearDup(hashed.select(col("doc_id"), col("ahash")), "doc_id", "ahash",
+        maxHamming = 6)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 1000001L)))
+    assert(pairs.head._3 <= 2)
+  }
+
   test("withMetadata produces the typed metadata struct") {
     val df = Multimodal.withMetadata(media, "payload", "image/png")
     val r = df.filter(col("id") === 1).select("media_meta.*").collect().head
