@@ -758,13 +758,101 @@ object Multimodal {
     * compressed. Bounds-checked at every step — corpus payloads are
     * untrusted bytes.
     */
-  private[graft] def aviDibFrames(bytes: Array[Byte]): Seq[(Int, Int, Long, Long)] = {
-    if (bytes == null || bytes.length < 12) return Nil
+  private[graft] def aviDibFrames(bytes: Array[Byte]): Seq[(Int, Int, Long, Long)] =
+    aviDibLayout(bytes).map { case (width, height, stride, frames) =>
+      frames.map { frameOff =>
+        var total = 0L
+        var row = 0
+        while (row < height) {
+          val rowOff = frameOff + row * stride
+          var x = 0
+          while (x < width * 3) { total += (bytes(rowOff + x) & 0xff); x += 1 }
+          row += 1
+        }
+        // image TOP row = LAST stored row (bottom-up DIB)
+        var top = 0L
+        val topOff = frameOff + (height - 1) * stride
+        var x = 0
+        while (x < width * 3) { top += (bytes(topOff + x) & 0xff); x += 1 }
+        (width, height, total, top)
+      }
+    }.getOrElse(Nil)
+
+  /** Per-frame 64-bit average hash ([[aHash]] kernel) over decoded AVI
+    * DIB frames, in IMAGE orientation (stored rows are bottom-up, so
+    * stored row r is image row height-1-r — cell rows must follow the
+    * image, or a vertically-flipped encode of the same scene would hash
+    * differently). Nil for malformed/compressed payloads or rasters
+    * under 8×8.
+    */
+  private[graft] def aviDibFrameHashes(bytes: Array[Byte]): Seq[Long] =
+    aviDibLayout(bytes).filter { case (w, h, _, _) => w >= 8 && h >= 8 }.map {
+      case (width, height, stride, frames) =>
+        frames.map { frameOff =>
+          val sums = new Array[Double](64)
+          val counts = new Array[Long](64)
+          var row = 0
+          while (row < height) {
+            val imgY = height - 1 - row
+            val cy = imgY * 8 / height
+            val rowOff = frameOff + row * stride
+            var x = 0
+            while (x < width) {
+              val p = rowOff + x * 3
+              val lum =
+                ((bytes(p) & 0xff) + (bytes(p + 1) & 0xff) + (bytes(p + 2) & 0xff)) / 3.0
+              val cell = cy * 8 + x * 8 / width
+              sums(cell) += lum
+              counts(cell) += 1
+              x += 1
+            }
+            row += 1
+          }
+          var mean = 0.0
+          var i = 0
+          while (i < 64) { sums(i) /= counts(i); mean += sums(i) / 64.0; i += 1 }
+          var bits = 0L
+          i = 0
+          while (i < 64) { if (sums(i) > mean) bits |= (1L << i); i += 1 }
+          bits
+        }
+    }.getOrElse(Nil)
+
+  /** Per-frame scene fingerprints as a DataFrame: one row per decoded
+    * frame with `(frame_idx, frame_ahash)` appended — feed the hash
+    * into [[graft.operators.Dedup.hammingNearDup]] keyed by
+    * (video_id, frame_idx) for cross-video repeated-scene detection.
+    * Partition-local; pixels never leave the scan, only 8-byte hashes.
+    */
+  def videoFrameHashes(df: DataFrame, payloadCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("frame_idx", IntegerType),
+      StructField("frame_ahash", LongType)
+    ))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        aviDibFrameHashes(bytes).zipWithIndex.map { case (hsh, i) =>
+          Row.fromSeq(r.toSeq ++ Seq[Any](i, hsh))
+        }
+      }
+    }(enc)
+  }
+
+  /** Shared container parse behind [[aviDibFrames]] /
+    * [[aviDibFrameHashes]]: validates the RIFF/AVI tree and returns
+    * (width, height, stride, frame byte-offsets into the movi LIST), or
+    * None for malformed/compressed/absurd-dimension payloads.
+    */
+  private[graft] def aviDibLayout(bytes: Array[Byte]): Option[(Int, Int, Int, Seq[Int])] = {
+    if (bytes == null || bytes.length < 12) return None
     val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def cc(off: Int): String =
       if (off + 4 > bytes.length) ""
       else new String(bytes, off, 4, "US-ASCII")
-    if (cc(0) != "RIFF" || cc(8) != "AVI ") return Nil
+    if (cc(0) != "RIFF" || cc(8) != "AVI ") return None
 
     var width, height, bpp = 0
     var compression = -1
@@ -791,38 +879,26 @@ object Multimodal {
     }
     walk(12, bytes.length)
     if (moviStart < 0 || compression != 0 || bpp != 24 ||
-        width <= 0 || height <= 0 || width > (1 << 20) || height > (1 << 20)) return Nil
+        width <= 0 || height <= 0 || width > (1 << 20) || height > (1 << 20)) return None
     val stride = ((width * 3 + 3) / 4) * 4
     val frameBytes = stride.toLong * height
-    if (frameBytes > Int.MaxValue) return Nil
+    if (frameBytes > Int.MaxValue) return None
 
-    val out = Seq.newBuilder[(Int, Int, Long, Long)]
+    val out = Seq.newBuilder[Int]
     var off = moviStart
-    while (off + 8 <= moviEnd) {
+    var truncated = false
+    while (!truncated && off + 8 <= moviEnd) {
       val id = cc(off)
       val size = bb.getInt(off + 4)
-      if (size < 0 || off + 8 + size > moviEnd) return out.result()
-      val isFrame = id.length == 4 &&
-        id(0).isDigit && id(1).isDigit && (id.endsWith("db") || id.endsWith("dc"))
-      if (isFrame && size >= frameBytes) {
-        var total = 0L
-        var row = 0
-        while (row < height) {
-          val rowOff = off + 8 + row * stride
-          var x = 0
-          while (x < width * 3) { total += (bytes(rowOff + x) & 0xff); x += 1 }
-          row += 1
-        }
-        // image TOP row = LAST stored row (bottom-up DIB)
-        var top = 0L
-        val topOff = off + 8 + (height - 1) * stride
-        var x = 0
-        while (x < width * 3) { top += (bytes(topOff + x) & 0xff); x += 1 }
-        out += ((width, height, total, top))
+      if (size < 0 || off + 8 + size > moviEnd) truncated = true
+      else {
+        val isFrame = id.length == 4 &&
+          id(0).isDigit && id(1).isDigit && (id.endsWith("db") || id.endsWith("dc"))
+        if (isFrame && size >= frameBytes) out += (off + 8)
+        off += 8 + size + (size & 1)
       }
-      off += 8 + size + (size & 1)
     }
-    out.result()
+    Some((width, height, stride, out.result()))
   }
 
   /** Attach a COMPLETE synthetic uncompressed AVI payload (headers +

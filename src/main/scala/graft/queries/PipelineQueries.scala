@@ -726,6 +726,21 @@ object PipelineQueries extends QueryPack {
           maxBucketSize = Some(1000))
         .orderBy(col("doc1"), col("doc2"))
     },
+    // cross-video repeated-scene detection: REAL AVI frame decode →
+    // per-frame aHash → Hamming bands keyed by a global frame id.
+    // Bench-only; scene-identity semantics spec-pinned (MultimodalSpec)
+    "q_video_scene_dedup" -> { (s, dir) =>
+      val ids = Tables.load(s, dir, "documents").select(col("doc_id"))
+      val hashed = Multimodal
+        .videoFrameHashes(Multimodal.withSyntheticVideoFrames(ids, "doc_id"), "payload")
+        .select(
+          (col("doc_id") * 1000 + col("frame_idx")).as("fid"),
+          col("frame_ahash"))
+      Dedup
+        .hammingNearDup(hashed, "fid", "frame_ahash", maxHamming = 1,
+          maxBucketSize = Some(1000))
+        .orderBy(col("doc1"), col("doc2"))
+    },
     // deterministic epoch shuffle (production xxhash64 key): total
     // order via range exchange + within-partition sort, no global
     // window. Bench-only: the driver compare sorts rows, so an ORDER

@@ -49,6 +49,41 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.head._3 <= 2)
   }
 
+  test("videoFrameHashes: repeated scenes hash equal; hammingNearDup pairs them cross-video") {
+    // synthAviDib pixel v(y) = (base + 7f + y) % 256, so video B at
+    // base+7 replays video A's scenes shifted by one frame
+    val a = Multimodal.synthAviDib(32, 24, totalFrames = 3, usPerFrame = 33333, base = 10)
+    val b = Multimodal.synthAviDib(32, 24, totalFrames = 3, usPerFrame = 33333, base = 17)
+    val ha = Multimodal.aviDibFrameHashes(a)
+    val hb = Multimodal.aviDibFrameHashes(b)
+    assert(ha.length == 3 && hb.length == 3)
+    assert(ha(1) == hb(0) && ha(2) == hb(1)) // bit-identical repeated scenes
+    assert(Multimodal.aviDibFrameHashes(Array[Byte](1, 2, 3)).isEmpty)
+    // refactor guard: the layout-based sum decode still matches the
+    // closed form (frame f: Σ_y 3·w·((base+7f+y)%256))
+    val sums = Multimodal.aviDibFrames(a).map(_._3)
+    val expect = (0 until 3).map(f =>
+      (0 until 24).map(y => 3L * 32 * ((10 + 7 * f + y) % 256)).sum)
+    assert(sums == expect)
+
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, a), Row(2L, b)), 2),
+      StructType(Seq(StructField("video_id", LongType), StructField("payload", BinaryType))))
+    val hashed = Multimodal
+      .videoFrameHashes(df, "payload")
+      .select(
+        (col("video_id") * 1000 + col("frame_idx")).as("fid"),
+        col("frame_ahash"))
+    val pairs = graft.operators.Dedup
+      .hammingNearDup(hashed, "fid", "frame_ahash", maxHamming = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val exact = pairs.filter(_._3 == 0).map(p => (p._1, p._2)).toSet
+    assert(exact.contains((1001L, 2000L)) && exact.contains((1002L, 2001L)))
+  }
+
   test("withMetadata produces the typed metadata struct") {
     val df = Multimodal.withMetadata(media, "payload", "image/png")
     val r = df.filter(col("id") === 1).select("media_meta.*").collect().head
