@@ -563,6 +563,96 @@ object Multimodal {
     }(enc)
   }
 
+  /** Synthesize a REAL canonical WAV whose samples RAMP —
+    * s(i) = ((base + i·step) mod 4096) − 2048 — the audio analog of
+    * [[synthGradientPng]]: the constant-amplitude [[synthWav]] is
+    * degenerate for energy-profile hashing (every window identical).
+    * A small `base` shift is a near-duplicate; a different `step` is a
+    * different loudness profile.
+    */
+  def synthWavRamp(sampleRate: Int, channels: Int, frames: Int, base: Int, step: Int): Array[Byte] = {
+    val n = frames * channels
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer
+      .allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1)
+    bb.putShort(channels.toShort)
+    bb.putInt(sampleRate)
+    bb.putInt(sampleRate * channels * 2)
+    bb.putShort((channels * 2).toShort)
+    bb.putShort(16)
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      val v = ((base.toLong + i.toLong * step) % 4096).toInt - 2048
+      bb.putShort(v.toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** 64-bit loudness-profile fingerprint of a canonical PCM16 WAV —
+    * the audio face of [[aHash]]: split the sample stream into 64
+    * equal windows, mean |amplitude| per window, bit w set when window
+    * w is louder than the track mean. Robust to gain-preserving edits
+    * and re-containering; pair with
+    * [[graft.operators.Dedup.hammingNearDup]] for near-dup detection.
+    *
+    * PURE BYTE MATH over the canonical 44-byte RIFF/WAVE PCM16 layout
+    * (the [[audioMeta]] contract) — deliberately NOT
+    * `javax.sound.sampled`, whose SPI resolution proved
+    * environment-dependent (the round-8 red-row lesson). Non-canonical
+    * or sub-64-sample payloads → None.
+    */
+  def audioFingerprint(payload: Array[Byte]): Option[Long] = {
+    if (payload == null || payload.length < 44 + 128) return None
+    def ascii(off: Int, n: Int) = new String(payload, off, n, "US-ASCII")
+    if (ascii(0, 4) != "RIFF" || ascii(8, 8) != "WAVEfmt " || ascii(36, 4) != "data")
+      return None
+    val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    if (bb.getShort(34) != 16) return None // PCM16 only
+    val dataLen = math.min(bb.getInt(40).toLong, (payload.length - 44).toLong).toInt
+    val n = dataLen / 2
+    if (n < 64) return None
+    val sums = new Array[Double](64)
+    val counts = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      val s = bb.getShort(44 + 2 * i).toInt
+      val w = (i.toLong * 64 / n).toInt
+      sums(w) += math.abs(s)
+      counts(w) += 1
+      i += 1
+    }
+    var mean = 0.0
+    var w = 0
+    while (w < 64) { sums(w) /= counts(w); mean += sums(w) / 64.0; w += 1 }
+    var bits = 0L
+    w = 0
+    while (w < 64) { if (sums(w) > mean) bits |= (1L << w); w += 1 }
+    Some(bits)
+  }
+
+  /** [[audioFingerprint]] over a payload column — adds `audio_ahash`
+    * (null for non-canonical payloads). Partition-local; bytes never
+    * shuffle, only the 8-byte hash does.
+    */
+  def audioAHash(df: DataFrame, payloadCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField("audio_ahash", LongType))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val h: Any = audioFingerprint(r.getAs[Array[Byte]](payloadIdx)).orNull
+        Row.fromSeq(r.toSeq :+ h)
+      }
+    }(enc)
+  }
+
   // -- real video container sniffing (RIFF/AVI header math) ----------
 
   /** Synthesize a REAL canonical RIFF/AVI header (RIFF → "AVI " →

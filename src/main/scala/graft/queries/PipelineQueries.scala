@@ -726,6 +726,44 @@ object PipelineQueries extends QueryPack {
           maxBucketSize = Some(1000))
         .orderBy(col("doc1"), col("doc2"))
     },
+    // audio near-dup: ramp-WAV fixtures (every 10th doc gets a
+    // base-shifted twin) → 64-window loudness-profile fingerprint
+    // (pure byte math, no JDK audio SPI) → Hamming bands. Bench-only;
+    // twin/far semantics spec-pinned (MultimodalSpec)
+    "q_audio_neardup" -> { (s, dir) =>
+      val ids = Tables.load(s, dir, "documents").select(col("doc_id"))
+      val withTwins = ids
+        .select(
+          explode(
+            when(
+              col("doc_id") % 10 === 0,
+              array(
+                struct(col("doc_id").as("doc_id"), lit(0).as("shift")),
+                struct((col("doc_id") + 1000000L).as("doc_id"), lit(40).as("shift")))
+            ).otherwise(array(struct(col("doc_id").as("doc_id"), lit(0).as("shift"))))
+          ).as("r"))
+        .select(col("r.doc_id").as("doc_id"), col("r.shift").as("shift"))
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.BinaryType)))
+      val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      val wavs = withTwins.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0) % 1000000L
+          val payload = Multimodal.synthWavRamp(
+            8000, 1, frames = (2000 + id % 2000).toInt,
+            base = r.getInt(1), step = (3 + id % 7).toInt)
+          org.apache.spark.sql.Row(r.getLong(0), payload)
+        }
+      }(enc)
+      val hashed = Multimodal
+        .audioAHash(wavs, "payload")
+        .select(col("doc_id"), col("audio_ahash"))
+      Dedup
+        .hammingNearDup(hashed, "doc_id", "audio_ahash", maxHamming = 3,
+          maxBucketSize = Some(1000))
+        .orderBy(col("doc1"), col("doc2"))
+    },
     // cross-video repeated-scene detection: REAL AVI frame decode →
     // per-frame aHash → Hamming bands keyed by a global frame id.
     // Bench-only; scene-identity semantics spec-pinned (MultimodalSpec)

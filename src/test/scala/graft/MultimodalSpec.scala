@@ -84,6 +84,43 @@ class MultimodalSpec extends SparkSpec {
     assert(exact.contains((1001L, 2000L)) && exact.contains((1002L, 2001L)))
   }
 
+  test("audioFingerprint: ramp twins near, different profiles far, flat/corrupt degenerate") {
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val a = Multimodal.audioFingerprint(
+      Multimodal.synthWavRamp(8000, 1, 4000, base = 0, step = 3)).get
+    assert(a == Multimodal.audioFingerprint(
+      Multimodal.synthWavRamp(8000, 1, 4000, base = 0, step = 3)).get)
+    val twin = Multimodal.audioFingerprint(
+      Multimodal.synthWavRamp(8000, 1, 4000, base = 40, step = 3)).get
+    assert(ham(a, twin) <= 3)
+    val other = Multimodal.audioFingerprint(
+      Multimodal.synthWavRamp(8000, 1, 4000, base = 0, step = 11)).get
+    assert(ham(a, other) > 6)
+    // constant amplitude: every window equals the mean → 0 bits (a
+    // documented degenerate — all flat tracks share the profile)
+    assert(Multimodal.audioFingerprint(Multimodal.synthWav(8000, 1, 4000, 500)).get == 0L)
+    assert(Multimodal.audioFingerprint(Array[Byte](1, 2)).isEmpty)
+
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, Multimodal.synthWavRamp(8000, 1, 4000, 0, 3)),
+        Row(1000001L, Multimodal.synthWavRamp(8000, 1, 4000, 40, 3)),
+        Row(2L, Multimodal.synthWavRamp(8000, 1, 4000, 0, 11)),
+        Row(9L, Array[Byte](9))), 2),
+      StructType(Seq(StructField("clip_id", LongType), StructField("payload", BinaryType))))
+    val hashed = Multimodal.audioAHash(df, "payload")
+    assert(hashed.filter(col("clip_id") === 9L).head().isNullAt(2))
+    val pairs = graft.operators.Dedup
+      .hammingNearDup(hashed.select(col("clip_id"), col("audio_ahash")), "clip_id",
+        "audio_ahash", maxHamming = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(pairs == Set((1L, 1000001L)))
+  }
+
   test("withMetadata produces the typed metadata struct") {
     val df = Multimodal.withMetadata(media, "payload", "image/png")
     val r = df.filter(col("id") === 1).select("media_meta.*").collect().head
