@@ -734,33 +734,12 @@ object Dedup {
       bits: Int = 32,
       maxHamming: Int = 3,
       maxBucketSize: Option[Int] = None
-  ): DataFrame = {
-    val banded0 = simhashBanded(df, idCol, textCol, bits, maxHamming)
-    val banded = maxBucketSize.fold(banded0) { cap =>
-      val sizes = banded0
-        .groupBy(col("band_idx"), col("band_bits"))
-        .agg(count(lit(1)).as("__bsize"))
-        .filter(col("__bsize") <= cap)
-        .drop("__bsize")
-      banded0.join(sizes, Seq("band_idx", "band_bits"), "left_semi")
-    }
-    // pin ONE exchange on the band key (minhashCandidates convention)
-    val part = banded.repartition(col("band_idx"), col("band_bits"))
-    part
-      .alias("a")
-      .join(
-        part.alias("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_bits") === col("b.band_bits") &&
-          col(s"a.$idCol") < col(s"b.$idCol")
-      )
-      .select(
-        col(s"a.$idCol").as("doc1"),
-        col(s"b.$idCol").as("doc2"),
-        bit_count(col("a.fingerprint").bitwiseXOR(col("b.fingerprint"))).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
-  }
+  ): DataFrame =
+    // the text-simhash face of the generic pairing: identical pigeonhole
+    // band layout, cap semantics and verify — one implementation to fix
+    hammingNearDup(
+      simhash(df, idCol, textCol, bits), idCol, "fingerprint",
+      bits, maxHamming, maxBucketSize)
 
   /** Hamming near-dup pairing over a PRECOMPUTED fingerprint column —
     * the generic face of [[simhashNearDup]] for fingerprints that are

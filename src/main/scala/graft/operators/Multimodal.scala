@@ -178,7 +178,13 @@ object Multimodal {
     * small-perturbation dial (a +1 phase shifts every pixel one gray
     * level — a near-duplicate in aHash space).
     */
-  def synthGradientPng(width: Int, height: Int, phase: Int): Array[Byte] = {
+  def synthGradientPng(
+      width: Int,
+      height: Int,
+      phase: Int,
+      ax: Int = 7,
+      by: Int = 13
+  ): Array[Byte] = {
     javax.imageio.ImageIO.setUseCache(false)
     val img = new java.awt.image.BufferedImage(
       width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -187,7 +193,7 @@ object Multimodal {
     while (y < height) {
       var x = 0
       while (x < width) {
-        val g = (x * 7 + y * 13 + phase) % 256
+        val g = (x * ax + y * by + phase) % 256
         px(y * width + x) = (g << 16) | (g << 8) | g
         x += 1
       }
@@ -226,44 +232,77 @@ object Multimodal {
   /** The aHash kernel: 8×8 block-mean luminance, bit = cell > mean. */
   def aHash(payload: Array[Byte]): Option[Long] = {
     javax.imageio.ImageIO.setUseCache(false)
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      if (img == null || img.getWidth < 8 || img.getHeight < 8) None
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
       else {
-        val (w, h) = (img.getWidth, img.getHeight)
-        val px = img.getRGB(0, 0, w, h, null, 0, w)
-        val sums = new Array[Double](64)
-        val counts = new Array[Long](64)
-        var y = 0
-        while (y < h) {
-          val cy = y * 8 / h
-          var x = 0
-          while (x < w) {
-            val rgb = px(y * w + x)
-            val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
-            val cell = cy * 8 + x * 8 / w
-            sums(cell) += lum
-            counts(cell) += 1
-            x += 1
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, false, true)
+          // dimension peek BEFORE any raster allocation: corpus payloads
+          // are untrusted bytes, and a few-KB decompression-bomb header
+          // declaring a 50k×50k raster would otherwise OOM the executor
+          // instead of mapping to null (the AVI path's 1<<20 guard)
+          val w = reader.getWidth(0)
+          val h = reader.getHeight(0)
+          if (w < 8 || h < 8 || w.toLong * h > (1L << 26)) None
+          else {
+            val img = reader.read(0)
+            val px = img.getRGB(0, 0, w, h, null, 0, w)
+            val sums = new Array[Double](64)
+            val counts = new Array[Long](64)
+            var y = 0
+            while (y < h) {
+              val cy = y * 8 / h
+              var x = 0
+              while (x < w) {
+                val rgb = px(y * w + x)
+                val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+                val cell = cy * 8 + x * 8 / w
+                sums(cell) += lum
+                counts(cell) += 1
+                x += 1
+              }
+              y += 1
+            }
+            Some(thresholdBits(sums, counts))
           }
-          y += 1
-        }
-        var mean = 0.0
-        var i = 0
-        while (i < 64) { sums(i) /= counts(i); mean += sums(i) / 64.0; i += 1 }
-        var bits = 0L
-        i = 0
-        while (i < 64) { if (sums(i) > mean) bits |= (1L << i); i += 1 }
-        Some(bits)
+        } catch {
+          case scala.util.control.NonFatal(_) => None
+        } finally reader.dispose()
       }
-    } catch { case scala.util.control.NonFatal(_) => None }
+    } catch { case scala.util.control.NonFatal(_) => None } finally iis.close()
+  }
+
+  /** Shared tail of every 64-cell profile hash ([[aHash]],
+    * [[aviDibFrameHashes]], [[audioFingerprint]]): per-cell means, the
+    * equal-weight 64-cell global mean, bit i = cell i above it. The bit
+    * LAYOUT must stay identical across modalities — the hashes meet in
+    * one generic [[graft.operators.Dedup.hammingNearDup]].
+    */
+  private def thresholdBits(sums: Array[Double], counts: Array[Long]): Long = {
+    var mean = 0.0
+    var i = 0
+    while (i < 64) { sums(i) /= counts(i); mean += sums(i) / 64.0; i += 1 }
+    var bits = 0L
+    i = 0
+    while (i < 64) { if (sums(i) > mean) bits |= (1L << i); i += 1 }
+    bits
   }
 
   /** Attach REAL gradient-PNG payloads for perceptual-hash work: dims
-    * closed-form in `idCol % 1_000_000` (so a twin registered at
-    * id + 1e6 renders the SAME raster), gradient phase from
-    * `phaseCol` (phase-1 twins are aHash near-duplicates). Partition
-    * local, like every fixture generator here.
+    * AND gradient coefficients closed-form in `idCol % 1_000_000` (so a
+    * twin registered at id + 1e6 renders the SAME raster), gradient
+    * phase from `phaseCol` (phase-1 twins are aHash near-duplicates).
+    * The coefficient periods (61, 67 — coprime with the 16-cycle dims)
+    * give a joint raster period of 16·61·67 = 65,392 ids, so corpora up
+    * to sf1 scale render (near-)unique images and the only engineered
+    * hash collisions are the phase twins — a low-period fixture would
+    * flood the pairing stage with true-but-unintended identical-image
+    * pairs that grow quadratically with corpus size. Partition-local,
+    * like every fixture generator here.
     */
   def withSyntheticGradientImages(df: DataFrame, idCol: String, phaseCol: String): DataFrame = {
     val outSchema = StructType(df.schema.fields :+ StructField("payload", BinaryType))
@@ -274,7 +313,8 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(idIdx) % 1000000L
         val payload = synthGradientPng(
-          (32 + id % 16).toInt, (32 + (id * 3) % 16).toInt, r.getInt(phIdx))
+          (32 + id % 16).toInt, (32 + (id * 3) % 16).toInt, r.getInt(phIdx),
+          ax = (1 + 2 * (id % 61)).toInt, by = (1 + 2 * (id % 67)).toInt)
         Row.fromSeq(r.toSeq :+ payload)
       }
     }(enc)
@@ -628,13 +668,7 @@ object Multimodal {
       counts(w) += 1
       i += 1
     }
-    var mean = 0.0
-    var w = 0
-    while (w < 64) { sums(w) /= counts(w); mean += sums(w) / 64.0; w += 1 }
-    var bits = 0L
-    w = 0
-    while (w < 64) { if (sums(w) > mean) bits |= (1L << w); w += 1 }
-    Some(bits)
+    Some(thresholdBits(sums, counts))
   }
 
   /** [[audioFingerprint]] over a payload column — adds `audio_ahash`
@@ -898,13 +932,7 @@ object Multimodal {
             }
             row += 1
           }
-          var mean = 0.0
-          var i = 0
-          while (i < 64) { sums(i) /= counts(i); mean += sums(i) / 64.0; i += 1 }
-          var bits = 0L
-          i = 0
-          while (i < 64) { if (sums(i) > mean) bits |= (1L << i); i += 1 }
-          bits
+          thresholdBits(sums, counts)
         }
     }.getOrElse(Nil)
 

@@ -750,9 +750,12 @@ object PipelineQueries extends QueryPack {
       val wavs = withTwins.mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0) % 1000000L
+          // prime periods (1999, 97) → joint profile period ~194k ids:
+          // unrelated docs never synthesize identical clips at any
+          // tested scale, so the only hamming-near pairs are the twins
           val payload = Multimodal.synthWavRamp(
-            8000, 1, frames = (2000 + id % 2000).toInt,
-            base = r.getInt(1), step = (3 + id % 7).toInt)
+            8000, 1, frames = (2000 + id % 1999).toInt,
+            base = r.getInt(1), step = (3 + id % 97).toInt)
           org.apache.spark.sql.Row(r.getLong(0), payload)
         }
       }(enc)
@@ -765,19 +768,23 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("doc1"), col("doc2"))
     },
     // cross-video repeated-scene detection: REAL AVI frame decode →
-    // per-frame aHash → Hamming bands keyed by a global frame id.
-    // Bench-only; scene-identity semantics spec-pinned (MultimodalSpec)
+    // per-frame aHash → exact hash-groupBy scene clusters. The
+    // aggregate (not a pair join) is the scale-correct formulation for
+    // IDENTICAL scenes: synthetic DIB frames are row-constant so their
+    // hash space is strip-quantized and heavily repeated — a self-join
+    // would be quadratic in the true-dup multiplicity and its hot
+    // buckets would trip the cap. Near-dup pairing over richer rasters
+    // stays with hammingNearDup, spec-pinned (MultimodalSpec)
     "q_video_scene_dedup" -> { (s, dir) =>
       val ids = Tables.load(s, dir, "documents").select(col("doc_id"))
-      val hashed = Multimodal
+      Multimodal
         .videoFrameHashes(Multimodal.withSyntheticVideoFrames(ids, "doc_id"), "payload")
-        .select(
-          (col("doc_id") * 1000 + col("frame_idx")).as("fid"),
-          col("frame_ahash"))
-      Dedup
-        .hammingNearDup(hashed, "fid", "frame_ahash", maxHamming = 1,
-          maxBucketSize = Some(1000))
-        .orderBy(col("doc1"), col("doc2"))
+        .groupBy(col("frame_ahash"))
+        .agg(
+          count(lit(1)).as("n_frames"),
+          count_distinct(col("doc_id")).as("n_videos"),
+          min(col("doc_id") * 1000 + col("frame_idx")).as("canonical_fid"))
+        .orderBy(col("frame_ahash"))
     },
     // deterministic epoch shuffle (production xxhash64 key): total
     // order via range exchange + within-partition sort, no global
