@@ -746,4 +746,45 @@ object Similarity {
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Hard-negative mining for contrastive embedding training: for each
+    * vector, the k most similar vectors carrying a DIFFERENT label —
+    * the pairs that sit near the decision boundary and dominate the
+    * training signal (random in-batch negatives are mostly easy; the
+    * ANCE / dense-retrieval recipe mines hard negatives offline exactly
+    * like this).
+    *
+    * Same scale contract as [[ivfTopK]]: the cell assignment is the
+    * broadcast-centroid fold (no shuffle), candidates meet on the cell
+    * equi-join only — each vector scores |corpus|/nlist same-cell
+    * candidates, never the full corpus — and the per-query top-k is a
+    * cell-bounded window. Mining recall is tuned by nlist exactly like
+    * IVF search recall.
+    */
+  def hardNegatives(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      centroids: DataFrame,
+      k: Int
+  ): DataFrame = {
+    val cells = assignCells(
+      df.select(col(idCol), col(vecCol), col(labelCol)), centroids, vecCol)
+    val q = cells.select(
+      col(idCol).as("query_id"), col(vecCol).as("__qvec"),
+      col(labelCol).as("query_label"), col("cell"))
+    val e = cells.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("__evec"),
+      col(labelCol).as("neighbor_label"), col("cell"))
+    val scored = q
+      .join(e, Seq("cell"))
+      .filter(col("query_label") =!= col("neighbor_label"))
+      .select(
+        col("query_id"), col("query_label"),
+        col("neighbor_id"), col("neighbor_label"),
+        round(cosine(col("__qvec"), col("__evec")), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

@@ -160,6 +160,23 @@ object PipelineQueries extends QueryPack {
         )
         .orderBy(col("id1"), col("id2"))
     },
+    // hard-negative mining (ANCE-style offline pass): for every vector
+    // the 3 most similar DIFFERENT-label vectors, IVF-cell bounded —
+    // q_ann_ivf centroid convention
+    "q_hard_negatives" -> { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val centroids = emb
+        .filter(col("vec_id") < 8)
+        .select(
+          col("vec_id").cast("int").as("centroid_id"),
+          col("embedding").as("centroid_vec"))
+      Similarity
+        .hardNegatives(emb, "vec_id", "embedding", "label", centroids, k = 3)
+        .select(
+          col("query_id"), col("query_label"),
+          col("neighbor_id"), col("neighbor_label"), col("cos"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
     // cluster-based data pruning (Sorscher et al. 2022 SSL prototypes):
     // nearest-centroid cells (the q_ann_ivf centroid convention), keep
     // the hardest 30% per cluster — per-cluster cuts preserve coverage
@@ -1364,6 +1381,41 @@ object PipelineQueries extends QueryPack {
          |  FROM scored)
          |SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
          |FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    },
+    // hard negatives: q_ann_ivf's cell assignment + same-cell
+    // different-label join + per-query rank
+    "q_hard_negatives" -> {
+      val cosEC =
+        """LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(e.embedding) + 1),
+          |             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE))) /
+          |           (SQRT(LIST_SUM(LIST_TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+          |            SQRT(LIST_SUM(LIST_TRANSFORM(c.cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+      val cosQE =
+        """LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(q.qvec) + 1),
+          |             i -> CAST(q.qvec[i] AS DOUBLE) * CAST(e.evec[i] AS DOUBLE))) /
+          |           (SQRT(LIST_SUM(LIST_TRANSFORM(q.qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+          |            SQRT(LIST_SUM(LIST_TRANSFORM(e.evec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+      s"""WITH centroids AS (
+         |  SELECT CAST(vec_id AS INT) AS centroid_id, embedding AS cvec
+         |  FROM embeddings WHERE vec_id < 8),
+         |assign AS (
+         |  SELECT e.vec_id, e.embedding, e.label, c.centroid_id,
+         |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |           ORDER BY $cosEC DESC, c.centroid_id) AS rn
+         |  FROM embeddings e CROSS JOIN centroids c),
+         |cells AS (SELECT vec_id, embedding, label, centroid_id AS cell FROM assign WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qvec, label AS query_label, cell FROM cells),
+         |e AS (SELECT vec_id AS neighbor_id, embedding AS evec, label AS neighbor_label, cell FROM cells),
+         |scored AS (
+         |  SELECT q.query_id, q.query_label, e.neighbor_id, e.neighbor_label,
+         |         ROUND($cosQE, 6) AS cos
+         |  FROM q JOIN e ON q.cell = e.cell AND q.query_label <> e.neighbor_label),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, query_label, neighbor_id, neighbor_label, cos, CAST(rank AS INT) AS rank
+         |FROM ranked WHERE rank <= 3
          |ORDER BY query_id, rank""".stripMargin
     },
     // prototype pruning: same deterministic cell assignment as

@@ -46,6 +46,27 @@ class SkewAndIvfSpec extends SparkSpec {
     assert(recall(ivf) >= 0.5, s"IVF nprobe=2 recall ${recall(ivf)}")
   }
 
+  test("hardNegatives picks nearest different-label vectors, never same-label") {
+    // one cell (single centroid): mining is exact within it
+    val emb = Seq(
+      (0L, Array(1f, 0f), 0),
+      (1L, Array(1f, 0.1f), 0),  // same label as 0 — must never appear for query 0
+      (2L, Array(1f, 0.2f), 1),  // nearest different-label to 0
+      (3L, Array(0.5f, 1f), 1),
+      (4L, Array(0f, 1f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val cents = Seq((0, Array(1f, 1f))).toDF("centroid_id", "centroid_vec")
+    val mined = Similarity
+      .hardNegatives(emb, "vec_id", "embedding", "label", cents, k = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rank")))
+    val forQ0 = mined.filter(_._1 == 0L).sortBy(_._3).map(_._2).toSeq
+    assert(forQ0 == Seq(2L, 3L)) // rank 1 = nearest different-label
+    assert(!mined.exists { case (q, n, _) => q == 0L && n == 1L }) // same label excluded
+    assert(mined.count(_._1 == 0L) == 2) // exactly k rows per query
+  }
+
   test("IVF with a single cell degenerates to exact brute-force top-k") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val oneCentroid = emb.filter($"vec_id" === 0)
