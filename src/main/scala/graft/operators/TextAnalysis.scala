@@ -437,6 +437,44 @@ object TextAnalysis {
       )
   }
 
+  /** Conditional BIGRAM LM scoring — the stronger sibling of
+    * [[unigramLogProb]] in the CCNet/KenLM filter family: per document,
+    * the average −ln P(term | prev) with P estimated from the corpus'
+    * own bigram counts (c(prev, term) / c(prev·)). Word-salad that
+    * happens to use common WORDS still scores high here because its
+    * TRANSITIONS are corpus-atypical — the signal an n-gram-LM quality
+    * filter actually wants.
+    *
+    * Scale shape: bigrams are derived scan-locally from one token
+    * array (a `transform(sequence)` fold, no self-join on position);
+    * the two count tables are map-side-combinable hash aggs keyed by
+    * (prev, term) / (prev); the join-back keys on the same columns.
+    * Documents with fewer than two words have no bigrams and drop out
+    * (mirrored by the oracle).
+    */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pairs = df
+      .withColumn("__t", split(col(textCol), " "))
+      // guard BEFORE sequence(): Spark's sequence(2, 1) is DESCENDING,
+      // not empty, so a one-word doc would fabricate garbage bigrams
+      .filter(size(col("__t")) >= 2)
+      .select(
+        col(idCol),
+        explode(expr(
+          "transform(sequence(2, size(__t)), i -> struct(__t[i-2] AS prev, __t[i-1] AS term))"
+        )).as("b"))
+      .select(col(idCol), col("b.prev").as("prev"), col("b.term").as("term"))
+    val c2 = pairs.groupBy(col("prev"), col("term")).agg(count(lit(1)).as("__c2"))
+    val c1 = pairs.groupBy(col("prev")).agg(count(lit(1)).as("__c1"))
+    pairs
+      .join(c2, Seq("prev", "term"))
+      .join(c1, Seq("prev"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("int").as("n_bigrams"),
+        round(avg(-log(col("__c2").cast("double") / col("__c1"))), 6).as("avg_neg_logprob2"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
     * Extracting high quality monolingual datasets from web crawl
     * data"): score each document with the corpus-unigram LM

@@ -391,6 +391,12 @@ object PipelineQueries extends QueryPack {
         .tfidfTopTerm(Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
     },
+    // conditional bigram-LM scoring: transitions, not just word choice
+    "q_bigram_logprob" -> { (s, dir) =>
+      TextAnalysis
+        .bigramLogProb(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
     // unigram-LM negative log-likelihood (perplexity-style filter)
     "q_unigram_logprob" -> { (s, dir) =>
       TextAnalysis
@@ -1658,6 +1664,20 @@ object PipelineQueries extends QueryPack {
         |SELECT doc_id, n_words, avg_neg_logprob,
         |       CAST(NTILE(3) OVER (ORDER BY avg_neg_logprob, doc_id) AS INT) AS bucket
         |FROM scored ORDER BY doc_id""".stripMargin,
+    // bigram LM: same corpus-estimated counts in DuckDB list math
+    "q_bigram_logprob" ->
+      """WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+        |big AS (SELECT doc_id,
+        |               UNNEST(LIST_TRANSFORM(RANGE(2, LEN(t) + 1),
+        |                      i -> {'prev': t[i-1], 'term': t[i]})) AS b
+        |        FROM toks WHERE LEN(t) >= 2),
+        |pairs AS (SELECT doc_id, b.prev AS prev, b.term AS term FROM big),
+        |c2 AS (SELECT prev, term, COUNT(*) AS c2 FROM pairs GROUP BY 1, 2),
+        |c1 AS (SELECT prev, COUNT(*) AS c1 FROM pairs GROUP BY 1)
+        |SELECT p.doc_id, CAST(COUNT(*) AS INT) AS n_bigrams,
+        |       ROUND(AVG(-LN(CAST(c2.c2 AS DOUBLE) / c1.c1)), 6) AS avg_neg_logprob2
+        |FROM pairs p JOIN c2 USING (prev, term) JOIN c1 USING (prev)
+        |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
     "q_unigram_logprob" ->
       """WITH tok AS (
         |  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents),

@@ -135,6 +135,41 @@ class CurationSpec extends SparkSpec {
     assert(sizes.max <= 3 * (1000 / 7))
   }
 
+  test("bigramLogProb scores atypical transitions; one-word docs drop out") {
+    // corpus bigrams: "a b" ×2, "b a" ×1, "a c" ×1  (doc 3 has no bigrams)
+    // c(prev=a)=3: P(b|a)=2/3, P(c|a)=1/3; c(prev=b)=1: P(a|b)=1
+    val docs = Seq(
+      (1L, "a b a c"), // bigrams: a b, b a, a c
+      (2L, "a b"),
+      (3L, "solo")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis
+      .bigramLogProb(docs, "doc_id", "text")
+      .collect()
+      .map(row => row.getAs[Long]("doc_id") ->
+        (row.getAs[Int]("n_bigrams"), row.getAs[Double]("avg_neg_logprob2")))
+      .toMap
+    assert(!r.contains(3L)) // no bigrams → no row (oracle mirrors)
+    assert(r(1L)._1 == 3 && r(2L)._1 == 1)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val d1 = (-math.log(2.0 / 3) + -math.log(1.0) + -math.log(1.0 / 3)) / 3
+    assert(r(1L)._2 == r6(d1))
+    assert(r(2L)._2 == r6(-math.log(2.0 / 3)))
+    // transitions matter: common words, atypical order scores HIGHER
+    val salad = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat"),
+      (3L, "the cat sat on the mat"),
+      (4L, "mat the on sat cat the")
+    ).toDF("doc_id", "text")
+    val s = TextAnalysis
+      .bigramLogProb(salad, "doc_id", "text")
+      .collect()
+      .map(row => row.getAs[Long]("doc_id") -> row.getAs[Double]("avg_neg_logprob2"))
+      .toMap
+    assert(s(4L) > s(1L))
+  }
+
   test("repetition signals match hand-computed values") {
     // "a a a b": 4 words, 2 distinct -> dup 0.5; bigrams [a a, a a, a b]
     // -> modal 2/3; longest run of 'a' = 3
