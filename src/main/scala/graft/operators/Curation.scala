@@ -323,6 +323,41 @@ object Curation {
     * across runs/engines/partitionings, and still a narrow scan-local
     * filter (the rate lookup is a broadcast-free literal map).
     */
+  /** EXACT-k stratified sampling — when the training mix needs exact
+    * per-stratum COUNTS, not keep-rates ([[sampleStratified]]'s
+    * hash-percent form drifts by ±binomial noise): rank rows within
+    * each stratum by a seeded hash of the id (md5 hex for the
+    * engine-mirrorable gate form, xxhash64 for production) with the id
+    * as tie-break, keep rank ≤ k. Deterministic across runs/engines,
+    * different per seed, and every stratum yields min(k, |stratum|)
+    * rows exactly.
+    *
+    * Scale: one rank window partitioned by the stratum — the same
+    * shape (and WindowGroupLimit partial-rank benefit) as newest-N-
+    * per-key; no global sort, no count pre-pass.
+    */
+  def sampleExactK(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      k: Int,
+      seed: Long,
+      hashFamily: HashFamily = HashFamily.Md5
+  ): DataFrame = {
+    require(k >= 0, s"k must be >= 0, got $k")
+    val key = hashFamily match {
+      case HashFamily.Md5 =>
+        md5(concat(lit(seed.toString), lit("|"), col(idCol).cast("string")))
+      case HashFamily.XxHash64 => xxhash64(lit(seed), col(idCol))
+    }
+    val w = Window
+      .partitionBy(col(strataCol))
+      .orderBy(key.asc, col(idCol).asc)
+    df.withColumn("__rk", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   def sampleStratified(
       idCol: String,
       strataCol: String,

@@ -376,6 +376,14 @@ object PipelineQueries extends QueryPack {
       ).select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
     },
+    // exact-k stratified sample: 20 docs per source, seeded-hash rank
+    "q_sample_exact_k" -> { (s, dir) =>
+      Curation
+        .sampleExactK(
+          Tables.load(s, dir, "documents").select(col("doc_id"), col("source")),
+          "doc_id", "source", k = 20, seed = 7L)
+        .orderBy(col("doc_id"))
+    },
     // sequence packing: cumulative-token pack assignment per source
     "q_pack_sequences" -> { (s, dir) =>
       val d = Tables
@@ -1220,6 +1228,16 @@ object PipelineQueries extends QueryPack {
     "q_sample_hash" ->
       """SELECT doc_id, source FROM documents
         |WHERE CAST('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 25
+        |ORDER BY doc_id""".stripMargin,
+    // exact-k per stratum: seeded-md5 rank, id tie-break — both
+    // engines order the same lowercase hex strings
+    "q_sample_exact_k" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, source,
+        |         ROW_NUMBER() OVER (PARTITION BY source
+        |           ORDER BY MD5('7|' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, source FROM ranked WHERE rk <= 20
         |ORDER BY doc_id""".stripMargin,
     "q_pii_scrub" ->
       """WITH r AS (SELECT doc_id,

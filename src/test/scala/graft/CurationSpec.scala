@@ -170,6 +170,27 @@ class CurationSpec extends SparkSpec {
     assert(s(4L) > s(1L))
   }
 
+  test("sampleExactK: exact per-stratum counts, deterministic, seed-sensitive") {
+    val docs = spark
+      .range(0, 300)
+      .select(col("id").as("doc_id"),
+        concat(lit("s"), (col("id") % 3).cast("string")).as("src"))
+    def ids(seed: Long) = Curation
+      .sampleExactK(docs, "doc_id", "src", k = 10, seed = seed)
+      .collect()
+      .map(r => (r.getAs[String]("src"), r.getAs[Long]("doc_id")))
+    val a = ids(1)
+    assert(a.groupBy(_._1).view.mapValues(_.length).toMap ==
+      Map("s0" -> 10, "s1" -> 10, "s2" -> 10))
+    assert(a.sorted.sameElements(ids(1).sorted)) // deterministic
+    assert(!a.toSet.equals(ids(2).toSet)) // different epoch/seed → different sample
+    // k larger than a stratum returns the whole stratum, no more
+    val small = Curation
+      .sampleExactK(docs.filter(col("doc_id") < 5), "doc_id", "src", k = 10, seed = 1)
+      .count()
+    assert(small == 5)
+  }
+
   test("repetition signals match hand-computed values") {
     // "a a a b": 4 words, 2 distinct -> dup 0.5; bigrams [a a, a a, a b]
     // -> modal 2/3; longest run of 'a' = 3
