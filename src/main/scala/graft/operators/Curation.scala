@@ -607,8 +607,15 @@ object Curation {
   }
 
   /** Deterministic epoch shuffle — global training-order randomization
-    * that is reproducible run-to-run (resumable mid-epoch, auditable)
-    * and different per epoch. The order key is a seeded hash of the id
+    * that is reproducible run-to-run and different per epoch. What is
+    * stable is the global row ORDER (key is a pure hash of (seed, id)):
+    * replaying the epoch re-reads rows in the identical sequence, so
+    * resume by ROW OFFSET into that order is exact. File/partition
+    * BOUNDARIES are not pinned — `repartitionByRange` samples its range
+    * splits (seeded off the RDD lineage), so a re-run can cut the same
+    * total order into different files; resume by file index needs the
+    * boundary row-keys recorded at write time (or fixed key-space
+    * splits over the 64-bit hash range). The order key is a seeded hash of the id
     * (xxhash64(seed, id) — production; md5 for an engine-mirrorable
     * key), computed scan-locally; the global order is realized with
     * `repartitionByRange` on the key plus `sortWithinPartitions`, so
@@ -674,10 +681,15 @@ object Curation {
     require(keepPct >= 0 && keepPct <= 100, s"keepPct must be in [0,100], got $keepPct")
     val scored = Similarity
       .assignCellsScored(emb.select(col(idCol), col(vecCol)), centroids, vecCol)
-    // hard-first = ascending cosine; id tie-break keeps rank total-ordered
+    // hard-first = ascending cosine; id tie-break keeps rank total-ordered.
+    // Rank on the 6dp-ROUNDED cosine (the ivfTopK/hardNegatives
+    // convention): ranking raw doubles lets a last-ulp divergence
+    // between engines flip a near-tie rank — and with it the keep
+    // boundary — at larger scales
+    val rankCos = round(col("cell_cos"), 6)
     val order =
-      if (keepHard) Seq(col("cell_cos").asc, col(idCol).asc)
-      else Seq(col("cell_cos").desc, col(idCol).asc)
+      if (keepHard) Seq(rankCos.asc, col(idCol).asc)
+      else Seq(rankCos.desc, col(idCol).asc)
     val w = Window.partitionBy(col("cell")).orderBy(order: _*)
     val wAll = Window.partitionBy(col("cell"))
     scored

@@ -231,6 +231,9 @@ object Multimodal {
 
   /** The aHash kernel: 8×8 block-mean luminance, bit = cell > mean. */
   def aHash(payload: Array[Byte]): Option[Long] = {
+    // null binary column value → null hash, same contract as
+    // audioFingerprint/aviDibLayout (a corpus column WILL have nulls)
+    if (payload == null) return None
     javax.imageio.ImageIO.setUseCache(false)
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(payload))
@@ -356,6 +359,7 @@ object Multimodal {
     * pixel, normalized to [0,1]). Returns None for undecodable bytes.
     */
   def decodeImage(payload: Array[Byte]): Option[(Int, Int, Int, Double)] = {
+    if (payload == null) return None
     // in-memory streams only: the default ImageIO stream cache spills
     // through temp FILES, which would put a disk round-trip in a
     // per-row executor loop

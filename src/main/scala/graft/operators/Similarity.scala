@@ -760,6 +760,18 @@ object Similarity {
     * candidates, never the full corpus — and the per-query top-k is a
     * cell-bounded window. Mining recall is tuned by nlist exactly like
     * IVF search recall.
+    *
+    * Full cost model (self-mining, n = |corpus|): assignment is
+    * O(n · nlist · dim) scan-local codegen; pairing is
+    * O(n · n/nlist) shuffled candidates. Pinned nlist ⇒ the pairing
+    * term is quadratic (the gated q_hard_negatives: 26× at 10×,
+    * BASELINE.md). nlist ∝ n holds |cell| — and the shuffled pair
+    * volume per vector — constant, leaving only the assignment term's
+    * small per-row constant growing (q_hard_negatives_scaled measures
+    * it); the exact balance point is nlist ≈ sqrt(n · C) if assignment
+    * and pairing constants ever meet, and a hash-blocked variant
+    * (projection buckets, planes ≈ log2(n/cellTarget)) caps per-row
+    * assignment at O(log n · dim) when they do.
     */
   def hardNegatives(
       df: DataFrame,

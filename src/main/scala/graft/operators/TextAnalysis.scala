@@ -488,17 +488,20 @@ object TextAnalysis {
     *     row-partition math, mirrorable in any engine; the global
     *     window is a single-partition sort, fine at gate scale, wrong
     *     at 100 TB.
-    *   - `exact = false` (the scale path): `approx_percentile` cutoffs
-    *     from ONE map-side-combinable aggregate, broadcast back, and a
-    *     scan-local fold assigns buckets — no global sort; boundary
-    *     placement differs from ntile only within sketch error.
+    *   - `exact = false` (the scale path, and the DEFAULT — library
+    *     callers should not inherit a single-partition global sort):
+    *     `approx_percentile` cutoffs from ONE map-side-combinable
+    *     aggregate, broadcast back, and a scan-local fold assigns
+    *     buckets — no global sort; boundary placement differs from
+    *     ntile only within sketch error. Only the gated oracle query
+    *     opts into `exact = true` (ntile is engine-mirrorable).
     */
   def perplexityBuckets(
       df: DataFrame,
       idCol: String,
       textCol: String,
       buckets: Int = 3,
-      exact: Boolean = true
+      exact: Boolean = false
   ): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     val scored = unigramLogProb(df, idCol, textCol)

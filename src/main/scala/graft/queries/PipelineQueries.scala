@@ -343,10 +343,14 @@ object PipelineQueries extends QueryPack {
         .decontaminateFuzzy(d, evalSet, "doc_id", "text")
         .orderBy(col("doc_id"))
     },
-    // CCNet head/middle/tail quality tiers from the corpus unigram LM
+    // CCNet head/middle/tail quality tiers from the corpus unigram LM.
+    // exact=true is the ORACLE pin (ntile is engine-mirrorable; global
+    // window fine at gate scale) — the library default is the
+    // approx-cutoff scale path, benched as q_perplexity_buckets_approx
     "q_perplexity_buckets" -> { (s, dir) =>
       TextAnalysis
-        .perplexityBuckets(Tables.load(s, dir, "documents"), "doc_id", "text", buckets = 3)
+        .perplexityBuckets(Tables.load(s, dir, "documents"), "doc_id", "text",
+          buckets = 3, exact = true)
         .orderBy(col("doc_id"))
     },
     // Gopher-style repetition signals as single-pass array folds
@@ -902,6 +906,44 @@ object PipelineQueries extends QueryPack {
       Similarity
         .ivfPqTopK(emb.filter(col("vec_id") < 3), enc, centroids, "vec_id", "embedding",
           cbs, k = 5, nprobe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    // the perplexity-gate SCALE path (exact=false, the library
+    // default): approx_percentile cutoffs broadcast back + scan-local
+    // bucket fold — no partition-less window anywhere in the plan
+    // (PlanGuardSpec sweeps for it). Bench-only: sketch-based cutoffs
+    // have no deterministic DuckDB mirror; agreement with the exact
+    // tiers is spec-pinned (CurationSpec)
+    "q_perplexity_buckets_approx" -> { (s, dir) =>
+      TextAnalysis
+        .perplexityBuckets(Tables.load(s, dir, "documents"), "doc_id", "text",
+          buckets = 3, exact = false)
+        .orderBy(col("doc_id"))
+    },
+    // hard-negative mining with nlist SCALED to the corpus (the
+    // production sizing the hardNegatives scaladoc contracts; the gated
+    // q_hard_negatives pins nlist=8 for the oracle convention and is
+    // n²/nlist — 26× at 10×, BASELINE.md round 10). |cell| ≈ 250 held
+    // constant ⇒ the pairing term is linear; the assignment fold's
+    // n·nlist term has a tiny constant (dim multiply-adds in codegen)
+    // — both measured in BASELINE.md's growth table. Bench-only: nlist
+    // depends on a corpus count, not SQL-mirrorable deterministically.
+    "q_hard_negatives_scaled" -> { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      // metadata-only count: sizes nlist the way a production pipeline
+      // would (rows/targetCellSize), not a full scan
+      val n = emb.count()
+      val nlist = math.max(8L, n / 250L)
+      val centroids = emb
+        .filter(col("vec_id") < nlist)
+        .select(
+          col("vec_id").cast("int").as("centroid_id"),
+          col("embedding").as("centroid_vec"))
+      Similarity
+        .hardNegatives(emb, "vec_id", "embedding", "label", centroids, k = 3)
+        .select(
+          col("query_id"), col("query_label"),
+          col("neighbor_id"), col("neighbor_label"), col("cos"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }
   )
@@ -1462,7 +1504,7 @@ object PipelineQueries extends QueryPack {
          |cells AS (SELECT vec_id, centroid_id AS cell, cos FROM assign WHERE rn = 1),
          |ranked AS (
          |  SELECT vec_id, cell, cos,
-         |         ROW_NUMBER() OVER (PARTITION BY cell ORDER BY cos ASC, vec_id) AS cell_rank,
+         |         ROW_NUMBER() OVER (PARTITION BY cell ORDER BY ROUND(cos, 6) ASC, vec_id) AS cell_rank,
          |         COUNT(*) OVER (PARTITION BY cell) AS n
          |  FROM cells)
          |SELECT vec_id, cell, ROUND(cos, 6) AS cell_cos, CAST(cell_rank AS INT) AS cell_rank

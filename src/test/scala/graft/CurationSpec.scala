@@ -84,7 +84,7 @@ class CurationSpec extends SparkSpec {
       (6L, "ff gg hh ii jj kk")
     ).toDF("doc_id", "text")
     val exact = TextAnalysis
-      .perplexityBuckets(docs, "doc_id", "text", buckets = 3)
+      .perplexityBuckets(docs, "doc_id", "text", buckets = 3, exact = true)
       .collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("bucket"))
       .toMap

@@ -13,6 +13,11 @@ class PlanGuardSpec extends SparkSpec {
   private def physical(name: String): String =
     SparkEntry.benchQueries(name)(spark, dir).queryExecution.executedPlan.toString
 
+  // pre-AQE physical tree: collect-traversable (executedPlan wraps the
+  // whole query in an AdaptiveSparkPlanExec leaf, hiding the nodes)
+  private def sparkPlan(name: String): org.apache.spark.sql.execution.SparkPlan =
+    SparkEntry.benchQueries(name)(spark, dir).queryExecution.sparkPlan
+
   test("filters and projections are pushed to the parquet scan") {
     val plan = physical("q_filter_project")
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"))
@@ -44,6 +49,24 @@ class PlanGuardSpec extends SparkSpec {
         !plan.contains("SortAggregate"),
         s"$name fell back to SortAggregate"
       )
+    }
+  }
+
+  test("no gated or benched plan contains a partition-less window") {
+    // A Window with no PARTITION BY collapses the whole input onto ONE
+    // task's sort — the single worst scale shape an operator can hide.
+    // Allowlist: q_perplexity_buckets deliberately pins the exact ntile
+    // oracle form (engine-mirrorable, gate-scale only); the library
+    // default and q_perplexity_buckets_approx take the broadcast-cutoff
+    // path this sweep proves windowless.
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    val allowed = Set("q_perplexity_buckets")
+    SparkEntry.benchQueries.keys.toSeq.sorted.filterNot(allowed).foreach { name =>
+      val bad = sparkPlan(name).collect {
+        case w: WindowExec if w.partitionSpec.isEmpty           => w.nodeName
+        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w.nodeName
+      }
+      assert(bad.isEmpty, s"$name plans a partition-less ${bad.mkString(",")}")
     }
   }
 
