@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   *     with primary keys offset by `replica * (max+1)` — joins keep their
   *     selectivity, dims stay dims (realistic: facts grow faster).
   *   - `documents` replicate with offset doc_ids and a per-replica
-  *     character rotation over a 10-letter alphabet (`translate`), so
-  *     replicas share no shingles: the duplicate/near-duplicate structure
+  *     character-rotation PAIR over two disjoint 10-letter alphabets
+  *     (`translate`, up to 100 distinct transforms), so replicas share
+  *     (essentially) no shingles: the duplicate/near-duplicate structure
   *     scales LINEARLY (same clusters ×K) instead of quadratically
   *     (every doc suddenly having K twins would inflate LSH buckets by K
   *     and candidate pairs by K² — a different workload, not a bigger one).
@@ -32,7 +33,12 @@ import org.apache.spark.sql.functions._
   */
 object ScaleUp {
 
-  private val alphabet = "aeiousnrtl" // high-frequency letters; rotation != identity for 1..9
+  // two DISJOINT high-frequency letter sets; replica r applies rotation
+  // r%10 over the first and r/10 over the second, giving 100 distinct
+  // length-preserving transforms with no pair composing to another
+  // (cross-replica exact text dups would need BOTH rotations equal)
+  private val alphabet  = "aeiousnrtl"
+  private val alphabet2 = "mcgwhdbpyk"
 
   def main(args: Array[String]): Unit = {
     val src = args(0)
@@ -40,7 +46,8 @@ object ScaleUp {
     val factor = args(2).toInt
     val docFactor = if (args.length > 3) args(3).toInt else factor
     require(factor >= 1 && docFactor >= 1, "factors must be >= 1")
-    require(docFactor <= alphabet.length, s"docFactor > ${alphabet.length} would repeat a rotation (exact cross-replica dups)")
+    require(docFactor <= alphabet.length * alphabet2.length,
+      s"docFactor > ${alphabet.length * alphabet2.length} would repeat a rotation pair (exact cross-replica dups)")
 
     val spark = SparkSession
       .builder()
@@ -100,13 +107,22 @@ object ScaleUp {
     // shingle overlap; length (and so n_chars) is preserved by translate
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val dStride = maxOf(docs, "doc_id") + 1
-    val rotations = (0 until docFactor).map { r =>
-      val to = alphabet.drop(r) + alphabet.take(r)
-      r -> to
-    }
-    val translated = rotations
-      .map { case (r, to) => (col("__r") === r, translate(col("text"), alphabet, to)) }
+    def rot(a: String, r: Int) = a.drop(r) + a.take(r)
+    // replica r → rotation r%10 over alphabet, then r/10 over alphabet2
+    // (disjoint sets: the composition is order-independent and a pair
+    // (r1, r2) uniquely identifies the transform). Residual shingle
+    // overlap between replicas sharing ONE rotation needs a shingle
+    // with no letter from the other set — rare, and a band match needs
+    // 4 consecutive minhash agreements on top.
+    val pass1 = (0 until math.min(docFactor, alphabet.length))
+      .map(r => (pmod(col("__r"), lit(alphabet.length)) === r,
+        translate(col("text"), alphabet, rot(alphabet, r))))
       .foldRight(col("text")) { case ((cond, v), acc) => when(cond, v).otherwise(acc) }
+    val n2 = (docFactor + alphabet.length - 1) / alphabet.length
+    val translated = (0 until n2)
+      .map(r => ((col("__r") / alphabet.length).cast("int") === r,
+        translate(pass1, alphabet2, rot(alphabet2, r))))
+      .foldRight(pass1) { case ((cond, v), acc) => when(cond, v).otherwise(acc) }
     write(
       replicated(docs, docFactor)
         .withColumn("text", translated)

@@ -71,4 +71,125 @@ class KafkaBindingSpec extends SparkSpec {
     assert(back == rows.collect().toSet)
     assert(decoded.select("__topic").head.getString(0) == "ticks")
   }
+
+  // ---- Avro WIRE contract (registry framing, no broker needed) ----
+
+  // independent re-derivation of the Avro binary primitives: the golden
+  // fixtures below are built from THESE, not from avro-core, so the
+  // test cross-checks two implementations of the spec against each other
+  private def zigzagVarint(n: Long): Array[Byte] = {
+    var z = (n << 1) ^ (n >> 63)
+    val out = scala.collection.mutable.ArrayBuffer[Byte]()
+    while ((z & ~0x7fL) != 0) { out += ((z & 0x7f) | 0x80).toByte; z >>>= 7 }
+    out += z.toByte
+    out.toArray
+  }
+  private def avroString(s: String): Array[Byte] =
+    zigzagVarint(s.length.toLong) ++ s.getBytes("UTF-8")
+  private def frame(schemaId: Int, body: Array[Byte]): Array[Byte] =
+    Array[Byte](0, (schemaId >>> 24).toByte, (schemaId >>> 16).toByte,
+      (schemaId >>> 8).toByte, schemaId.toByte) ++ body
+
+  test("Avro wire bytes match an independently-derived golden fixture") {
+    import graft.sources.KafkaAvroCodec
+    val ws = KafkaAvroCodec.wireSchemas(tick, keySchemaId = 7, valueSchemaId = 9)
+    // epoch-millis constructor: timezone-independent (Timestamp.valueOf
+    // would bake the JVM's zone into the fixture)
+    val ts = new java.sql.Timestamp(1704067200000L) // 2024-01-01T00:00:00Z
+    val row = Seq(WireTick("AB", "X", 1.5, ts)).toDF().head()
+
+    // value record: sym|venue|ts are nullable unions ["null", T] (branch
+    // 1 = zigzag 02); px is a non-nullable raw little-endian double
+    val pxBits = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putDouble(1.5).array()
+    val expectedValue = frame(9,
+      zigzagVarint(1) ++ avroString("AB") ++
+        zigzagVarint(1) ++ avroString("X") ++
+        pxBits ++
+        zigzagVarint(1) ++ zigzagVarint(1704067200000000L))
+    assert(KafkaAvroCodec.encodeValue(tick, ws, row).toSeq == expectedValue.toSeq)
+
+    // key record: just the key columns, same framing under the key id
+    val expectedKey = frame(7,
+      zigzagVarint(1) ++ avroString("AB") ++ zigzagVarint(1) ++ avroString("X"))
+    assert(KafkaAvroCodec.encodeKey(tick, ws, row).toSeq == expectedKey.toSeq)
+
+    // decode returns the exact row values; re-encode returns the exact bytes
+    val decoded = KafkaAvroCodec.decodeValue(tick, ws, expectedValue)
+    assert(decoded.getAs[String](0) == "AB" && decoded.getAs[String](1) == "X")
+    assert(decoded.getAs[Double](2) == 1.5 && decoded.getAs[java.sql.Timestamp](3) == ts)
+
+    // registry drift fails fast, not garbage rows
+    val wrongId = KafkaAvroCodec.wireSchemas(tick, keySchemaId = 7, valueSchemaId = 10)
+    intercept[IllegalArgumentException] {
+      KafkaAvroCodec.decodeValue(tick, wrongId, expectedValue)
+    }
+  }
+
+  test("encodeAvro/decodeAvro round-trip a frame with tombstones and headers") {
+    import graft.sources.KafkaAvroCodec
+    val ws = KafkaAvroCodec.wireSchemas(tick)
+    val rows = Seq(
+      WireTick("AAPL", "X", 101.5, new java.sql.Timestamp(1704067200000L)),
+      WireTick("MSFT", "Y", 402.25, new java.sql.Timestamp(1704067201000L))
+    ).toDF()
+      .withColumn("__headers", map(lit("trace"), lit("t-1")))
+    val encoded = KafkaAvroCodec.encodeAvro(rows, tick, ws)
+    assert(encoded.columns.toSeq == Seq("key", "value", "__headers"))
+    // every frame carries the registry framing
+    encoded.collect().foreach { r =>
+      val v = r.getAs[Array[Byte]]("value")
+      assert(v(0) == 0 && v(4) == 2, "value frame must carry magic 0 + schema id 2")
+      assert(r.getAs[Map[String, String]]("__headers") == Map("trace" -> "t-1"))
+    }
+    val decoded = KafkaAvroCodec.decodeAvro(encoded, tick, ws)
+    val back = decoded
+      .filter(!col("__tombstone"))
+      .select("sym", "venue", "px", "ts").as[WireTick].collect().toSet
+    assert(back == rows.select("sym", "venue", "px", "ts").as[WireTick].collect().toSet)
+
+    // a tombstone (all non-key columns null) encodes a NULL value frame
+    val tomb = Seq(("AAPL", "X")).toDF("sym", "venue")
+      .withColumn("px", lit(null).cast("double"))
+      .withColumn("ts", lit(null).cast("timestamp"))
+    val encTomb = KafkaAvroCodec.encodeAvro(tomb, tick, ws)
+    val tr = encTomb.head()
+    assert(tr.getAs[Array[Byte]]("value") == null, "tombstone must be a null value")
+    assert(tr.getAs[Array[Byte]]("key") != null, "tombstone still carries its key")
+    val decTomb = KafkaAvroCodec.decodeAvro(encTomb, tick, ws)
+    assert(decTomb.head().getAs[Boolean]("__tombstone"))
+  }
+
+  test("Avro wire codec round-trips decimal, date, map and array columns") {
+    import graft.sources.KafkaAvroCodec
+    val m = EntityModel[WireOrder]("order").key("id")
+      .decimal("amt", 12, 2).toTopic("orders").validated
+    val ws = KafkaAvroCodec.wireSchemas(m)
+    val row = Seq(WireOrder(
+      7L,
+      new java.math.BigDecimal("12345.67"),
+      java.sql.Date.valueOf("2024-03-01"),
+      Map("a" -> "1", "b" -> "2"),
+      Seq(1L, 2L, 3L)
+    )).toDF().head()
+    val wire = KafkaAvroCodec.encodeValue(m, ws, row)
+    val back = KafkaAvroCodec.decodeValue(m, ws, wire)
+    assert(back.getAs[Long](0) == 7L)
+    assert(back.getAs[java.math.BigDecimal](1) == new java.math.BigDecimal("12345.67"))
+    assert(back.getAs[java.sql.Date](2) == java.sql.Date.valueOf("2024-03-01"))
+    assert(back.getAs[Map[String, String]](3) == Map("a" -> "1", "b" -> "2"))
+    assert(back.getAs[Seq[Long]](4) == Seq(1L, 2L, 3L))
+    // byte identity under re-encode: decode∘encode is the identity on wires
+    val rows2 = Seq(back).toList
+    val reencoded = KafkaAvroCodec.encodeValue(m, ws,
+      spark.createDataFrame(spark.sparkContext.parallelize(rows2), m.schema).head())
+    assert(reencoded.toSeq == wire.toSeq)
+  }
 }
+
+case class WireOrder(
+    id: Long,
+    amt: java.math.BigDecimal,
+    dt: java.sql.Date,
+    attrs: Map[String, String],
+    path: Seq[Long])
