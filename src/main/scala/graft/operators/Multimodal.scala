@@ -16,12 +16,14 @@ import org.apache.spark.sql.{DataFrame, Row}
   * JPEG, WBMP) partition-local — actual raster dims, frame counts, mean
   * luminance, bilinear resample + PNG re-encode. AUDIO decode is REAL
   * (`decodeAudio`). VIDEO frame decode is REAL for uncompressed AVI
-  * (`decodeVideoFrames`: RIFF chunk walk + raw 24-bpp DIB rows);
-  * COMPRESSED video stays stubbed (`decodeStub`) — no compressed video
-  * codec ships in a bare JVM; swap it for a JNI/FFmpeg kernel (or a
-  * Python `mapInPandas` stage in PySpark) without touching the plan
-  * shape — schema, batch shape, partition-local execution, and metadata
-  * pruning are the same contract on both paths.
+  * (`decodeVideoFrames`: RIFF chunk walk + raw 24-bpp DIB rows) AND for
+  * Motion-JPEG AVI (`decodeMjpegFrames`: every movi chunk is a complete
+  * JPEG through the stock javax.imageio path). Inter-frame codecs
+  * (H.264…) stay stubbed (`decodeStub`) — no such codec ships in a
+  * bare JVM; swap in a JNI/FFmpeg kernel (or a Python `mapInPandas`
+  * stage in PySpark) without touching the plan shape — schema, batch
+  * shape, partition-local execution, and metadata pruning are the same
+  * contract on all paths.
   */
 object Multimodal {
 
@@ -956,7 +958,14 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](payloadIdx)
-        aviDibFrameHashes(bytes).zipWithIndex.map { case (hsh, i) =>
+        // codec-agnostic: uncompressed 'DIB ' first, then 'MJPG' — the
+        // downstream Hamming pairing never sees which codec produced
+        // the 8-byte hash
+        val hashes = {
+          val dib = aviDibFrameHashes(bytes)
+          if (dib.nonEmpty) dib else aviMjpegFrameHashes(bytes)
+        }
+        hashes.zipWithIndex.map { case (hsh, i) =>
           Row.fromSeq(r.toSeq ++ Seq[Any](i, hsh))
         }
       }
@@ -1050,12 +1059,230 @@ object Multimodal {
     }(enc)
   }
 
+  // -- compressed video: Motion-JPEG ('MJPG') ------------------------
+
+  /** Parse an AVI whose stream is Motion-JPEG: every '00dc'/'00db'
+    * chunk in the movi LIST is a COMPLETE baseline JPEG. Returns the
+    * (offset, length) of each frame chunk, or None when the strf
+    * BITMAPINFOHEADER does not declare biCompression = 'MJPG'.
+    * Bounds-checked like [[aviDibLayout]] — untrusted corpus bytes.
+    */
+  private[graft] def aviMjpegLayout(bytes: Array[Byte]): Option[Seq[(Int, Int)]] = {
+    if (bytes == null || bytes.length < 12) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def cc(off: Int): String =
+      if (off + 4 > bytes.length) "" else new String(bytes, off, 4, "US-ASCII")
+    if (cc(0) != "RIFF" || cc(8) != "AVI ") return None
+    val MJPG = 0x47504a4d // 'MJPG' little-endian
+    var compression = -1
+    var moviStart, moviEnd = -1
+    def walk(from: Int, to: Int): Unit = {
+      var off = from
+      while (off + 8 <= to) {
+        val id = cc(off)
+        val size = bb.getInt(off + 4)
+        if (size < 0 || off + 8 + size > to) return
+        if (id == "LIST" && size >= 4) {
+          val listType = cc(off + 8)
+          if (listType == "movi") { moviStart = off + 12; moviEnd = off + 8 + size }
+          else walk(off + 12, off + 8 + size)
+        } else if (id == "strf" && size >= 40 && compression == -1) {
+          compression = bb.getInt(off + 8 + 16)
+        }
+        off += 8 + size + (size & 1)
+      }
+    }
+    walk(12, bytes.length)
+    if (moviStart < 0 || compression != MJPG) return None
+    val out = Seq.newBuilder[(Int, Int)]
+    var off = moviStart
+    var truncated = false
+    while (!truncated && off + 8 <= moviEnd) {
+      val id = cc(off)
+      val size = bb.getInt(off + 4)
+      if (size < 0 || off + 8 + size > moviEnd) truncated = true
+      else {
+        val isFrame = id.length == 4 &&
+          id(0).isDigit && id(1).isDigit && (id.endsWith("db") || id.endsWith("dc"))
+        if (isFrame && size > 0) out += ((off + 8, size))
+        off += 8 + size + (size & 1)
+      }
+    }
+    Some(out.result())
+  }
+
+  /** Synthesize a COMPLETE Motion-JPEG AVI: the genuine container
+    * (hdrl with avih + strl(strh 'vids'/'MJPG' + strf with
+    * biCompression='MJPG') and a movi LIST of '00dc' chunks), each
+    * frame a real baseline JPEG (javax.imageio, quality 0.92) of the
+    * same closed-form raster as [[synthAviDib]]: every channel of every
+    * pixel in image row y of frame f is `(base + 7·f + y) % 256`.
+    * JPEG is lossy — oracles on the decode are tolerance-banded, not
+    * exact (MultimodalSpec).
+    */
+  def synthAviMjpeg(
+      width: Int,
+      height: Int,
+      totalFrames: Int,
+      usPerFrame: Int,
+      base: Long
+  ): Array[Byte] = {
+    val frames = (0 until totalFrames).map { f =>
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        val v = ((base + 7L * f + y) % 256).toInt
+        val rgb = (v << 16) | (v << 8) | v
+        var x = 0
+        while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val params = writer.getDefaultWriteParam
+      params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      params.setCompressionQuality(0.92f)
+      val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+      try {
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+      } finally { writer.dispose(); ios.close() }
+      baos.toByteArray
+    }
+    val maxFrame = frames.map(_.length).max
+    val padded = frames.map(fb => fb.length + (fb.length & 1))
+    val strlLen = 4 + (8 + 56) + (8 + 40)
+    val hdrlLen = 4 + (8 + 56) + (8 + strlLen)
+    val moviLen = 4 + padded.map(8 + _).sum
+    val riffLen = 4 + (8 + hdrlLen) + (8 + moviLen)
+    val bb = java.nio.ByteBuffer
+      .allocate(8 + riffLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+    fourcc("RIFF"); bb.putInt(riffLen); fourcc("AVI ")
+    fourcc("LIST"); bb.putInt(hdrlLen); fourcc("hdrl")
+    fourcc("avih"); bb.putInt(56)
+    bb.putInt(usPerFrame); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    bb.putInt(totalFrames); bb.putInt(0); bb.putInt(1); bb.putInt(maxFrame)
+    bb.putInt(width); bb.putInt(height); bb.putInt(0); bb.putInt(0)
+    bb.putInt(0); bb.putInt(0)
+    fourcc("LIST"); bb.putInt(strlLen); fourcc("strl")
+    fourcc("strh"); bb.putInt(56)
+    fourcc("vids"); fourcc("MJPG")
+    bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    bb.putInt(usPerFrame); bb.putInt(1000000)
+    bb.putInt(0); bb.putInt(totalFrames)
+    bb.putInt(maxFrame); bb.putInt(-1); bb.putInt(0)
+    bb.putShort(0); bb.putShort(0)
+    bb.putShort(width.toShort); bb.putShort(height.toShort)
+    fourcc("strf"); bb.putInt(40)
+    bb.putInt(40); bb.putInt(width); bb.putInt(height)
+    bb.putShort(1); bb.putShort(24)
+    bb.putInt(0x47504a4d); bb.putInt(0) // biCompression = 'MJPG'
+    bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    fourcc("LIST"); bb.putInt(moviLen); fourcc("movi")
+    frames.foreach { fb =>
+      fourcc("00dc"); bb.putInt(fb.length)
+      bb.put(fb)
+      if ((fb.length & 1) == 1) bb.put(0.toByte) // RIFF word alignment
+    }
+    bb.array()
+  }
+
+  /** Attach synthetic MJPEG AVIs ([[synthAviMjpeg]]) — same closed-form
+    * parameter cycles as [[withSyntheticVideoFrames]].
+    */
+  def withSyntheticVideoMjpeg(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField("payload", BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val payload = synthAviMjpeg(
+          width = (32 + (id % 8) * 8).toInt,
+          height = (24 + (id % 6) * 4).toInt,
+          totalFrames = (2 + id % 4).toInt,
+          usPerFrame = if (id % 2 == 0) 33333 else 40000,
+          base = id % 200)
+        Row.fromSeq(r.toSeq :+ payload)
+      }
+    }(enc)
+  }
+
+  /** REAL compressed-video frame decode for Motion-JPEG AVI: each movi
+    * frame chunk is a complete JPEG, decoded by the same javax.imageio
+    * path as still images ([[decodeImage]]) — no external codec. One
+    * output row per frame: `(frame_idx, frame_width, frame_height,
+    * brightness_sum)` with brightness the integer Σ of RGB channel
+    * bytes (deterministic within a JVM; JPEG loss makes it
+    * tolerance-banded, not bit-pinned, across decoders). Partition-
+    * local; payloads never shuffle. Non-MJPG payloads yield zero rows —
+    * compose with [[decodeVideoFrames]] for 'DIB ' streams.
+    */
+  def decodeMjpegFrames(df: DataFrame, payloadCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("frame_idx", IntegerType),
+      StructField("frame_width", IntegerType),
+      StructField("frame_height", IntegerType),
+      StructField("brightness_sum", LongType)
+    ))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        mjpegFrameStats(bytes).zipWithIndex.map { case ((w, h, sum), i) =>
+          Row.fromSeq(r.toSeq ++ Seq[Any](i, w, h, sum))
+        }
+      }
+    }(enc)
+  }
+
+  private[graft] def mjpegFrameStats(bytes: Array[Byte]): Seq[(Int, Int, Long)] =
+    aviMjpegLayout(bytes).map { chunks =>
+      chunks.flatMap { case (off, len) =>
+        val jpeg = java.util.Arrays.copyOfRange(bytes, off, off + len)
+        decodeImage(jpeg).map { case (w, h, _, _) =>
+          // decodeImage returns MEAN luminance as a double; the frame
+          // contract wants the integer channel sum — recompute from the
+          // raster for exactness
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          (w, h, sum)
+        }
+      }
+    }.getOrElse(Nil)
+
+  /** Per-frame aHash for an MJPEG AVI — each frame chunk IS a JPEG, so
+    * the still-image [[aHash]] kernel applies directly.
+    */
+  private[graft] def aviMjpegFrameHashes(bytes: Array[Byte]): Seq[Long] =
+    aviMjpegLayout(bytes).map { chunks =>
+      chunks.flatMap { case (off, len) =>
+        aHash(java.util.Arrays.copyOfRange(bytes, off, off + len))
+      }
+    }.getOrElse(Nil)
+
   /** Deterministic fake decode: features derived from payload bytes.
-    * STUB retained for COMPRESSED-codec video only — this container
-    * ships no video codec; image decode is REAL (`decodeImage`), audio
-    * decode is REAL (`decodeAudio`), video CONTAINER metadata is REAL
-    * ([[videoMeta]]), and UNCOMPRESSED-AVI frame decode is REAL
-    * ([[decodeVideoFrames]]). Signature and batch shape are the real
+    * STUB retained for codecs with no JVM decoder (H.264 etc.) —
+    * image decode is REAL (`decodeImage`), audio decode is REAL
+    * (`decodeAudio`), video CONTAINER metadata is REAL ([[videoMeta]]),
+    * UNCOMPRESSED-AVI frame decode is REAL ([[decodeVideoFrames]]), and
+    * COMPRESSED Motion-JPEG frame decode is REAL
+    * ([[decodeMjpegFrames]] — per-frame JPEGs through the stock
+    * javax.imageio path). Signature and batch shape are the real
     * contract.
     */
   def decodeStub(payload: Array[Byte]): (Int, Int, Int, Double) = {

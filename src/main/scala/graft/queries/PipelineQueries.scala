@@ -908,6 +908,24 @@ object PipelineQueries extends QueryPack {
           cbs, k = 5, nprobe = 2)
         .orderBy(col("query_id"), col("rank"))
     },
+    // COMPRESSED-video frame decode: Motion-JPEG AVI, every movi chunk
+    // a real JPEG through javax.imageio — closes the compressed-video
+    // stub for the one compressed codec a bare JVM can decode.
+    // Bench-only (no SQL engine decodes JPEG); closed-form round-trip
+    // is spec-pinned with JPEG-loss tolerance (MultimodalSpec)
+    "q_video_mjpeg_frames" -> { (s, dir) =>
+      val ids = Tables.load(s, dir, "documents").select(col("doc_id"))
+      Multimodal
+        .decodeMjpegFrames(Multimodal.withSyntheticVideoMjpeg(ids, "doc_id"), "payload")
+        .select(col("doc_id"), col("frame_width"), col("frame_height"), col("brightness_sum"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_frames"),
+          max(col("frame_width")).as("width"),
+          max(col("frame_height")).as("height"),
+          sum(col("brightness_sum")).as("brightness"))
+        .orderBy(col("doc_id"))
+    },
     // the perplexity-gate SCALE path (exact=false, the library
     // default): approx_percentile cutoffs broadcast back + scan-local
     // bucket fold — no partition-less window anywhere in the plan

@@ -404,6 +404,50 @@ class MultimodalSpec extends SparkSpec {
       s"only the intact uncompressed AVI may decode — got $decoded")
   }
 
+  test("real MJPEG frame decode: per-frame JPEGs recover the closed form within JPEG loss") {
+    // base 40, heights small → no % 256 wrap inside a frame, so the
+    // raster is a smooth gradient JPEG reproduces closely; expected
+    // brightness is the DIB closed form, tolerance-banded for loss
+    val payload = Multimodal.synthAviMjpeg(32, 24, 3, 33333, base = 40L)
+    val frames = Multimodal.decodeMjpegFrames(Seq((1L, payload)).toDF("id", "payload"), "payload")
+      .orderBy($"frame_idx")
+      .select($"frame_idx", $"frame_width", $"frame_height", $"brightness_sum")
+      .as[(Int, Int, Int, Long)]
+      .collect()
+    assert(frames.length == 3, "every movi chunk must decode to a frame")
+    for (f <- 0 until 3) {
+      val (idx, w, h, sum) = frames(f)
+      assert((idx, w, h) == ((f, 32, 24)))
+      val expected = 3L * 32 * (0 until 24).map(y => 40L + 7 * f + y).sum
+      val perChannelErr = math.abs(sum - expected).toDouble / (3 * 32 * 24)
+      assert(perChannelErr < 3.0,
+        s"frame $f brightness $sum vs closed-form $expected: mean channel error $perChannelErr")
+    }
+    // decode is deterministic within the JVM
+    val again = Multimodal.decodeMjpegFrames(Seq((1L, payload)).toDF("id", "payload"), "payload")
+      .orderBy($"frame_idx").select($"brightness_sum").as[Long].collect()
+    assert(again.toSeq == frames.map(_._4).toSeq)
+
+    // a DIB AVI of the SAME scene hashes within a small Hamming band of
+    // the MJPEG frames (codec-agnostic scene identity), and
+    // videoFrameHashes picks the right codec path for each container
+    val dib = Multimodal.synthAviDib(32, 24, 3, 33333, base = 40L)
+    val hashes = Multimodal
+      .videoFrameHashes(
+        Seq((1L, payload), (2L, dib)).toDF("doc_id", "payload"), "payload")
+      .select($"doc_id", $"frame_idx", $"frame_ahash")
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(hashes(1L).length == 3 && hashes(2L).length == 3)
+    for (f <- 0 until 3) {
+      val ham = java.lang.Long.bitCount(hashes(1L)(f) ^ hashes(2L)(f))
+      assert(ham <= 16, s"frame $f: MJPEG vs DIB aHash hamming $ham — same scene must be near")
+    }
+    // non-MJPG payloads yield zero rows from the MJPEG path
+    assert(Multimodal.decodeMjpegFrames(Seq((9L, dib)).toDF("id", "payload"), "payload")
+      .count() == 0)
+  }
+
   test("real image decode runs unchanged on a stream (stateless, append mode)") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
