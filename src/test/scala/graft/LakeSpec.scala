@@ -62,4 +62,48 @@ class LakeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }.head
     assert(partialScan.metrics("numPartitions").value == 3)
   }
+
+  test("TimeBucket pull read prunes the PERSISTED bar table by WINDOWSTART") {
+    // the production pull path (ref: src/Runtime/HoppingWindow.cs:33-76)
+    // reads a MATERIALIZED bar table, not the in-memory derivation the
+    // gated q_timebucket_read pins — a WINDOWSTART >= bound must prune
+    // day partitions at planning time and push the residual filter into
+    // the parquet scan, or the pull scans the whole bar history.
+    val dir = Files.createTempDirectory("graft_bar_lake").toString
+    val bars = SparkEntry.benchQueries("q_bars_1s")(spark, "/root/testdata/sf0.001")
+    Lake.materializeByDay(bars, "window_start", dir)
+
+    val allDays = spark.read.parquet(dir).select(col("day")).distinct().count()
+    assert(allDays >= 3, s"bar fixture needs several day shards, got $allDays")
+
+    val lastDay = spark.read.parquet(dir)
+      .agg(max(col("day")).cast("string")).head.getString(0)
+    val pull = Lake.readRange(spark, dir, "window_start",
+        lastDay, java.time.LocalDate.parse(lastDay).plusDays(1).toString)
+      .filter(col("event_type") === "purchase")
+      .select(col("window_start"), col("event_type"), col("close"), col("cnt"))
+    val got = pull.collect().length
+    assert(got > 0)
+
+    val scan = collectWithSubqueries(pull.queryExecution.executedPlan) {
+      case s: FileSourceScanExec => s
+    }.head
+    assert(scan.metrics("numPartitions").value == 1,
+      s"WINDOWSTART bound must prune to the one matching day of $allDays")
+    // the residual time + event_type predicates reach the parquet scan
+    // (row-group min/max skipping inside the selected partition) —
+    // read the untruncated metadata, not toString's elided copy
+    val pushed = scan.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(window_start"),
+      s"window_start must be a pushed filter — got: $pushed")
+    assert(pushed.contains("EqualTo(event_type,purchase)"),
+      s"event_type equality must be pushed to the scan — got: $pushed")
+
+    // and the pruned read returns exactly the unpruned filter's rows
+    val expected = bars
+      .filter(col("window_start") >= lit(lastDay).cast("timestamp") &&
+        col("event_type") === "purchase")
+      .count()
+    assert(got == expected, s"pruned pull returned $got rows, expected $expected")
+  }
 }
