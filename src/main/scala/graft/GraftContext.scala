@@ -64,6 +64,13 @@ final class GraftContext(
   def entityModel(name: String): EntityModel[_] =
     entities.getOrElse(name, throw new NoSuchElementException(s"entity '$name' not registered"))
 
+  /** Model snapshots for design-time tooling (KSQL script emission /
+    * Avro export — the reference's `GetEntityModels`,
+    * `src/Context/KsqlContext.Model.cs`).
+    */
+  def entityModels: Map[String, EntityModel[_]] = entities.toMap
+  def derivedModels: Map[String, QueryModel] = derived.toMap
+
   /** Catalog the planner reads from: derived entities resolve
     * recursively through their own plans (views-over-views).
     */

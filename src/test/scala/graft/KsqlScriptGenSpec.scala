@@ -1,0 +1,124 @@
+package graft
+
+import graft.core.{EntityModel, Period}
+import graft.dsl.Ksql
+import graft.plans.KsqlScriptGen
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+/** Pins the design-time KSQL emission surface against the reference's
+  * `designtime-ksql-script` / `designtime-ksql-tumbling` examples
+  * (`/root/reference/examples/designtime-ksql-script/Program.cs`,
+  * `designtime-ksql-tumbling/Program.cs`): base-entity DDL carries the
+  * WITH surface of `WithClauseBuilder.cs:36-66`, derived entities render
+  * as CSAS/CTAS with the executed Catalyst tree as the SELECT source.
+  */
+class KsqlScriptGenSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def ordersCtx: GraftContext = {
+    val orders = EntityModel[graft.examples.OrderEvent]("orders")
+      .key("id").timestamp("created_at").toTopic("orders_v1")
+    val ctx = new GraftContext(spark, _ => spark.emptyDataFrame)
+    ctx.register(orders)
+    ctx.toQuery(
+      "order_summaries",
+      Ksql.from(orders)
+        .where(col("status") === "Completed")
+        .select(col("id"), to_date(col("created_at")).as("created_date"))
+        .build())
+    ctx
+  }
+
+  test("base-entity DDL: stream with topic, key format, timestamp") {
+    val ddl = KsqlScriptGen.build(ordersCtx).statements(1)
+    assert(ddl ==
+      "CREATE STREAM ORDERS WITH (KAFKA_TOPIC='orders_v1', " +
+        "KEY_FORMAT='KAFKA', VALUE_FORMAT='AVRO', " +
+        "VALUE_AVRO_SCHEMA_FULL_NAME='graft.orders_value', " +
+        "TIMESTAMP='CREATED_AT', PARTITIONS=1, REPLICAS=1);")
+  }
+
+  test("derived entity renders as CSAS with WHERE and projection") {
+    val csas = KsqlScriptGen.build(ordersCtx).statements(2)
+    assert(csas ==
+      """CREATE STREAM IF NOT EXISTS ORDER_SUMMARIES WITH (KAFKA_TOPIC='order_summaries', KEY_FORMAT='KAFKA', VALUE_FORMAT='AVRO', VALUE_AVRO_SCHEMA_FULL_NAME='graft.order_summaries_value', PARTITIONS=1, REPLICAS=1) AS
+        |SELECT ID, CAST(CREATED_AT AS DATE) AS CREATED_DATE
+        |FROM ORDERS
+        |WHERE (STATUS = 'Completed')
+        |EMIT CHANGES;""".stripMargin)
+  }
+
+  test("tumbling OHLC view renders as windowed CTAS (reference tumbling example)") {
+    val ticks = EntityModel[graft.examples.Tick]("ticks")
+      .key("symbol").timestamp("timestamp_utc").decimal("price", 18, 4)
+    val ctx = new GraftContext(spark, _ => spark.emptyDataFrame)
+    ctx.register(ticks)
+    ctx.toQuery(
+      "minute_bars",
+      Ksql.from(ticks)
+        .tumbling(Seq(Period.Minutes(1)))
+        .groupBy("symbol" -> col("symbol"))
+        .select(
+          col("symbol"),
+          min_by(col("price"), col("timestamp_utc")).as("open"),
+          max(col("price")).as("high"),
+          min(col("price")).as("low"),
+          max_by(col("price"), col("timestamp_utc")).as("close"))
+        .build())
+    val ctas = KsqlScriptGen.build(ctx).statements(2)
+    assert(ctas ==
+      """CREATE TABLE IF NOT EXISTS MINUTE_BARS WITH (KAFKA_TOPIC='minute_bars', KEY_FORMAT='KAFKA', VALUE_FORMAT='AVRO', VALUE_AVRO_SCHEMA_FULL_NAME='graft.minute_bars_value', PARTITIONS=1, REPLICAS=1) AS
+        |SELECT SYMBOL, EARLIEST_BY_OFFSET(PRICE) AS OPEN, MAX(PRICE) AS HIGH, MIN(PRICE) AS LOW, LATEST_BY_OFFSET(PRICE) AS CLOSE
+        |FROM TICKS
+        |WINDOW TUMBLING (SIZE 1 MINUTES)
+        |GROUP BY SYMBOL
+        |EMIT CHANGES;""".stripMargin)
+  }
+
+  test("expression dialect: CASE/IN/NOT/LIKE/COUNT DISTINCT/UCASE/LEN") {
+    def r(c: org.apache.spark.sql.Column) = KsqlScriptGen.renderColumn(c)
+    assert(r(upper(col("s"))) == "UCASE(S)")
+    assert(r(length(col("s"))) == "LEN(S)")
+    assert(r(countDistinct(col("u"))) == "COUNT_DISTINCT(U)")
+    assert(r(col("x").isin(1, 2, 3)) == "(X IN (1, 2, 3))")
+    assert(r(!col("b")) == "(NOT B)")
+    assert(r(col("s").startsWith("ab")) == "(S LIKE 'ab%')")
+    assert(r(col("v").isNull) == "(V IS NULL)")
+    assert(r(when(col("a") > 1, "big").otherwise(lit(null)).as("c"))
+      == "CASE WHEN (A > 1) THEN 'big' ELSE NULL END AS C")
+    assert(r((col("a") + col("b") * 2).as("x")) == "(A + (B * 2)) AS X")
+  }
+
+  test("ksql type mapping covers the Avro-visible surface") {
+    import KsqlScriptGen.ksqlType
+    assert(ksqlType(IntegerType) == "INTEGER")
+    assert(ksqlType(LongType) == "BIGINT")
+    assert(ksqlType(StringType) == "VARCHAR")
+    assert(ksqlType(BinaryType) == "BYTES")
+    assert(ksqlType(DecimalType(18, 4)) == "DECIMAL(18, 4)")
+    assert(ksqlType(ArrayType(FloatType)) == "ARRAY<DOUBLE>")
+    assert(ksqlType(MapType(StringType, LongType)) == "MAP<VARCHAR, BIGINT>")
+  }
+
+  test("value-schema export covers every registered entity") {
+    val schemas = KsqlScriptGen.exportValueSchemas(ordersCtx).toMap
+    assert(schemas.keySet == Set("orders"))
+    assert(schemas("orders").contains("\"name\""))
+  }
+
+  test("script is deterministic: same model, same bytes") {
+    assert(KsqlScriptGen.build(ordersCtx).toSql ==
+      KsqlScriptGen.build(ordersCtx).toSql)
+  }
+}
