@@ -562,4 +562,86 @@ object TextAnalysis {
           graft.functions.GramMinHash(ColumnBridge.expression(col(textColName)), gram, stride))
     }
   }
+
+  /** BM25 retrieval: top-K corpus documents per query under the
+    * Lucene-variant BM25 score
+    *
+    *   idf(t)  = ln((N - df + 0.5) / (df + 0.5) + 1)
+    *   s(q, d) = Σ_{t ∈ q∩d} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * the standard sparse-retrieval baseline next to the dense ANN family
+    * (Similarity.scala) — used in pipelines for eval-set retrieval,
+    * contamination auditing, and hard-negative seeding for ranker training.
+    *
+    * Scale shape (100 TB corpus, bounded query set): the corpus is
+    * tokenized ONCE into a (doc, term, tf) aggregate with a map-side
+    * combine; doc length and the corpus-wide avgdl/N ride in as a
+    * broadcast one-row aggregate. The QUERY side is small by contract
+    * (an eval set, not a second corpus), so query terms broadcast onto
+    * the term stream — the corpus never shuffles on terms for the match.
+    * The per-(query, doc) sum is again hash-aggregable, and top-K per
+    * query goes through the rank window's WindowGroupLimit partial: only
+    * K rows per query survive each partition before the exchange, so the
+    * shuffled volume is O(K·|queries|), independent of corpus size.
+    *
+    * Determinism (oracle convention, QueryPack.scala): per-term scores
+    * sum in engine-dependent order, so the FINAL score is rounded to
+    * 6 dp and ranking runs on (rounded score, doc id) — last-ulp double
+    * divergence between engines cannot flip ranks.
+    */
+  def bm25TopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryIdCol: String,
+      queryTextCol: String,
+      topK: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    // doc length rides THROUGH the tf aggregate (max of a per-doc
+    // constant is hash-aggregable) instead of joining a corpus-sized
+    // length table back on doc id — one corpus shuffle total
+    val withLen = corpus
+      .select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .withColumn("dl", size(col("__toks")).cast("double"))
+    val tok = withLen
+      .select(col(idCol), col("dl"), explode(col("__toks")).as("term"))
+    val tf = tok
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val stats = withLen.agg(
+      avg(col("dl")).as("avgdl"),
+      count(lit(1)).cast("double").as("n"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // query terms are deduped per query (BM25 scores a term once) and
+    // SMALL by contract; attaching df to the query side keeps the df
+    // lookup broadcast-shaped — the corpus-side tf stream never
+    // shuffles on term for the match
+    val qterms = queries
+      .select(col(queryIdCol), explode(split(col(queryTextCol), " ")).as("term"))
+      .distinct()
+    val qdf = qterms.join(dfreq, "term")
+    val perTerm = tf
+      .join(broadcast(qdf), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn(
+        "idf",
+        log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn(
+        "ts",
+        col("idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+    val scored = perTerm
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(round(sum(col("ts")), 6).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryIdCol))
+      .orderBy(col("score").desc, col(idCol))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+  }
 }

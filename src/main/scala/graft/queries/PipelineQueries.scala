@@ -315,6 +315,23 @@ object PipelineQueries extends QueryPack {
     },
     // benchmark decontamination: doc_id % 97 == 0 stands in for the
     // eval suite; 3-gram shingle membership against its broadcast set
+    // BM25 sparse retrieval: the eval split (doc_id % 97 = 0, first five
+    // tokens as the query) retrieves top-10 from the remaining corpus
+    "q_bm25" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val queries = d
+        .filter(col("doc_id") % 97 === 0)
+        .select(
+          col("doc_id").as("query_id"),
+          array_join(slice(split(col("text"), " "), 1, 5), " ").as("qtext"))
+      TextAnalysis
+        .bm25TopK(
+          d.filter(col("doc_id") % 97 =!= 0),
+          queries,
+          "doc_id", "text", "query_id", "qtext",
+          topK = 10)
+        .orderBy(col("query_id"), col("rank"))
+    },
     "q_decontaminate" -> { (s, dir) =>
       val d = Tables.load(s, dir, "documents")
       Curation
@@ -1582,6 +1599,30 @@ object PipelineQueries extends QueryPack {
         |                i -> MD5(SUBSTRING(text, i, 8)))) AS fingerprint
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    "q_bm25" ->
+      """WITH corp AS (
+        |  SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents WHERE doc_id % 97 <> 0),
+        |q AS (
+        |  SELECT doc_id AS query_id, (STRING_SPLIT(text, ' '))[1:5] AS qt
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |qterms AS (SELECT DISTINCT query_id, UNNEST(qt) AS term FROM q),
+        |tok AS (SELECT doc_id, UNNEST(t) AS term, LEN(t) AS dl FROM corp),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT AVG(LEN(t)) AS avgdl, CAST(COUNT(*) AS DOUBLE) AS n FROM corp),
+        |per AS (
+        |  SELECT qterms.query_id, tf.doc_id,
+        |         LN((n - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) /
+        |           (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS ts
+        |  FROM tf JOIN qterms ON tf.term = qterms.term
+        |  JOIN dfreq ON tf.term = dfreq.term CROSS JOIN stats),
+        |scored AS (SELECT query_id, doc_id, ROUND(SUM(ts), 6) AS score FROM per GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
     "q_decontaminate" ->
       """WITH sh AS (
         |  SELECT doc_id,

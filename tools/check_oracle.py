@@ -92,9 +92,11 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     failed = []
+    checked = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
+        checked += 1
         try:
             spark_rel = con.sql(
                 f"SELECT * FROM '{outdir}/{name}/*.parquet'")
@@ -139,7 +141,7 @@ def main():
             failed.append(name)
         else:
             print(f"OK   {name} ({len(sr)} rows)")
-    print(f"\n{len(oracle) - len(failed)}/{len(oracle)} OK")
+    print(f"\n{checked - len(failed)}/{checked} OK")
     sys.exit(1 if failed else 0)
 
 
