@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Curation, Dedup, HashFamily, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, HashFamily, Multimodal, Retrieval, Similarity, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -330,6 +330,34 @@ object PipelineQueries extends QueryPack {
           queries,
           "doc_id", "text", "query_id", "qtext",
           topK = 10)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    // hybrid retrieval: BM25 (lexical) + brute-force cosine (dense)
+    // fused by reciprocal rank — corpus is the docs that HAVE an
+    // embedding (inner join on id), so both rankers see the same pool
+    "q_hybrid_rrf" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val e = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val joined = d.join(e, col("doc_id") === col("vec_id"))
+      val corpus = joined.filter(col("doc_id") % 97 =!= 0)
+      val qs = joined.filter(col("doc_id") % 97 === 0)
+      val sparse = TextAnalysis
+        .bm25TopK(
+          corpus.select(col("doc_id"), col("text")),
+          qs.select(
+            col("doc_id").as("query_id"),
+            array_join(slice(split(col("text"), " "), 1, 5), " ").as("qtext")),
+          "doc_id", "text", "query_id", "qtext",
+          topK = 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val dense = Similarity
+        .bruteForceTopK(
+          qs.select(col("doc_id").as("vec_id"), col("embedding")),
+          corpus.select(col("doc_id").as("vec_id"), col("embedding")),
+          "vec_id", "embedding", 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      Retrieval
+        .rrfFuse(Seq(sparse, dense), k = 60, topK = 10)
         .orderBy(col("query_id"), col("rank"))
     },
     "q_decontaminate" -> { (s, dir) =>
@@ -1621,6 +1649,55 @@ object PipelineQueries extends QueryPack {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
         |  FROM scored)
         |SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+    "q_hybrid_rrf" ->
+      """WITH docs AS (
+        |  SELECT d.doc_id, d.text, e.embedding
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        |corp AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t, embedding FROM docs WHERE doc_id % 97 <> 0),
+        |q AS (SELECT doc_id AS query_id, (STRING_SPLIT(text, ' '))[1:5] AS qt, embedding AS qvec
+        |      FROM docs WHERE doc_id % 97 = 0),
+        |qterms AS (SELECT DISTINCT query_id, UNNEST(qt) AS term FROM q),
+        |tok AS (SELECT doc_id, UNNEST(t) AS term, LEN(t) AS dl FROM corp),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT AVG(LEN(t)) AS avgdl, CAST(COUNT(*) AS DOUBLE) AS n FROM corp),
+        |per AS (
+        |  SELECT qterms.query_id, tf.doc_id,
+        |         LN((n - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) /
+        |           (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS ts
+        |  FROM tf JOIN qterms ON tf.term = qterms.term
+        |  JOIN dfreq ON tf.term = dfreq.term CROSS JOIN stats),
+        |sscored AS (SELECT query_id, doc_id, ROUND(SUM(ts), 6) AS score FROM per GROUP BY 1, 2),
+        |sparse AS (
+        |  SELECT query_id, doc_id,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+        |  FROM sscored),
+        |dscored AS (
+        |  SELECT q.query_id, c.doc_id,
+        |         ROUND(
+        |           LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(q.qvec) + 1),
+        |             i -> CAST(q.qvec[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) /
+        |           (SQRT(LIST_SUM(LIST_TRANSFORM(q.qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |            SQRT(LIST_SUM(LIST_TRANSFORM(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos
+        |  FROM q CROSS JOIN corp c),
+        |dense AS (
+        |  SELECT query_id, doc_id,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rank
+        |  FROM dscored),
+        |unioned AS (
+        |  SELECT query_id, doc_id, rank FROM sparse WHERE rank <= 20
+        |  UNION ALL SELECT query_id, doc_id, rank FROM dense WHERE rank <= 20),
+        |fused AS (
+        |  SELECT query_id, doc_id,
+        |         ROUND(SUM(CAST(1.0 AS DOUBLE) / (60 + rank)), 6) AS rrf,
+        |         CAST(COUNT(*) AS INT) AS n_lists
+        |  FROM unioned GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
+        |  FROM fused)
+        |SELECT query_id, doc_id, rrf, n_lists, CAST(rank AS INT) AS rank
         |FROM ranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
     "q_decontaminate" ->
