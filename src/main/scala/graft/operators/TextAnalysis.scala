@@ -599,11 +599,30 @@ object TextAnalysis {
       topK: Int = 10,
       k1: Double = 1.2,
       b: Double = 0.75
-  ): DataFrame = {
-    require(topK > 0, "topK must be positive")
-    // doc length rides THROUGH the tf aggregate (max of a per-doc
-    // constant is hash-aggregable) instead of joining a corpus-sized
-    // length table back on doc id — one corpus shuffle total
+  ): DataFrame =
+    bm25Serve(bm25Index(corpus, idCol, textCol), queries,
+      queryIdCol, queryTextCol, topK, k1, b)
+
+  /** The persisted form of a BM25 corpus: the three tables
+    * [[bm25Serve]] scores against. At 100 TB the corpus is indexed
+    * ONCE (one tokenize scan + one (doc, term) shuffle) and the tables
+    * written out — `tf` bucketed on `term` so repeated query batches
+    * equi-join without re-exchanging it — then every batch of queries
+    * pays only the broadcast-side term match, never a corpus rescan.
+    * `docIdCol` records the id column name so serve-side wiring is not
+    * positional.
+    */
+  final case class Bm25Index(
+      tf: DataFrame, dfreq: DataFrame, stats: DataFrame, docIdCol: String)
+
+  /** Build the BM25 index tables from a corpus: `tf` is
+    * (doc, term, tf, dl), `dfreq` is (term, df), `stats` the one-row
+    * (avgdl, n). Doc length rides THROUGH the tf aggregate (max of a
+    * per-doc constant is hash-aggregable) instead of joining a
+    * corpus-sized length table back on doc id — one corpus shuffle
+    * total, and `dfreq` reuses that aggregate's output.
+    */
+  def bm25Index(corpus: DataFrame, idCol: String, textCol: String): Bm25Index = {
     val withLen = corpus
       .select(col(idCol), split(col(textCol), " ").as("__toks"))
       .withColumn("dl", size(col("__toks")).cast("double"))
@@ -616,17 +635,34 @@ object TextAnalysis {
       avg(col("dl")).as("avgdl"),
       count(lit(1)).cast("double").as("n"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // query terms are deduped per query (BM25 scores a term once) and
-    // SMALL by contract; attaching df to the query side keeps the df
-    // lookup broadcast-shaped — the corpus-side tf stream never
-    // shuffles on term for the match
+    Bm25Index(tf, dfreq, stats, idCol)
+  }
+
+  /** Score a query batch against a (possibly persisted and re-read)
+    * [[Bm25Index]]. Query terms are deduped per query (BM25 scores a
+    * term once) and SMALL by contract; attaching df to the query side
+    * keeps the df lookup broadcast-shaped — the corpus-side tf stream
+    * never shuffles on term for the match, and with `tf` stored
+    * term-bucketed the match is also exchange-free on re-reads.
+    */
+  def bm25Serve(
+      index: Bm25Index,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      topK: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val idCol = index.docIdCol
     val qterms = queries
       .select(col(queryIdCol), explode(split(col(queryTextCol), " ")).as("term"))
       .distinct()
-    val qdf = qterms.join(dfreq, "term")
-    val perTerm = tf
+    val qdf = qterms.join(index.dfreq, "term")
+    val perTerm = index.tf
       .join(broadcast(qdf), "term")
-      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(index.stats))
       .withColumn(
         "idf",
         log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))

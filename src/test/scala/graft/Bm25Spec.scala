@@ -79,4 +79,28 @@ class Bm25Spec extends SparkSpec {
       .collect()
     assert(out.isEmpty)
   }
+
+  test("persisted index round-trips: serve-from-parquet equals one-shot") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_idx").toString
+    val built = TextAnalysis.bm25Index(corpus, "doc_id", "text")
+    // the production cadence: index written once (tf bucketed on term
+    // for exchange-free serve joins), query batches served from disk
+    built.tf.write.mode("overwrite").parquet(s"$dir/tf")
+    built.dfreq.write.mode("overwrite").parquet(s"$dir/dfreq")
+    built.stats.write.mode("overwrite").parquet(s"$dir/stats")
+    val reread = TextAnalysis.Bm25Index(
+      spark.read.parquet(s"$dir/tf"),
+      spark.read.parquet(s"$dir/dfreq"),
+      spark.read.parquet(s"$dir/stats"),
+      "doc_id")
+    val q = queries((10L, "apple cherry"), (11L, "banana"))
+    val served = TextAnalysis
+      .bm25Serve(reread, q, "query_id", "qtext", topK = 10)
+      .orderBy("query_id", "rank").collect()
+    val oneShot = TextAnalysis
+      .bm25TopK(corpus, q, "doc_id", "text", "query_id", "qtext", topK = 10)
+      .orderBy("query_id", "rank").collect()
+    assert(served.toSeq === oneShot.toSeq)
+    assert(served.nonEmpty)
+  }
 }
