@@ -1100,17 +1100,28 @@ object Dedup {
     * cell boundary is missed) — raise nlist resolution or probe
     * neighboring cells via [[Similarity.ivfTopK]] when that matters.
     */
+  /** @param assignPlanes Some(p): hash-blocked approximate assignment
+    *   ([[Similarity.assignCellsApprox]]) on BOTH sides — required once
+    *   nlist scales with the corpus, where the exact per-row fold is
+    *   O(nlist·dim); blocking stays consistent because both sides share
+    *   the same deterministic assignment function.
+    */
   def dropIncrementalSemanticDuplicates(
       newDocs: DataFrame,
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       centroids: DataFrame,
-      threshold: Double = 0.9
+      threshold: Double = 0.9,
+      assignPlanes: Option[Int] = None
   ): DataFrame =
     dropIncrementalSemanticDuplicatesAgainstAssigned(
-      newDocs, Similarity.assignCells(corpus, centroids, vecCol),
-      idCol, vecCol, centroids, threshold)
+      newDocs,
+      assignPlanes match {
+        case Some(p) => Similarity.assignCellsApprox(corpus, centroids, vecCol, p)
+        case None    => Similarity.assignCells(corpus, centroids, vecCol)
+      },
+      idCol, vecCol, centroids, threshold, assignPlanes)
 
   /** [[dropIncrementalSemanticDuplicates]] over a PRECOMPUTED corpus
     * cell assignment — the embedding-space mirror of
@@ -1129,9 +1140,14 @@ object Dedup {
       idCol: String,
       vecCol: String,
       centroids: DataFrame,
-      threshold: Double = 0.9
+      threshold: Double = 0.9,
+      assignPlanes: Option[Int] = None
   ): DataFrame = {
-    val nc = Similarity.assignCells(newDocs, centroids, vecCol)
+    val assigned = assignPlanes match {
+      case Some(p) => Similarity.assignCellsApprox(newDocs, centroids, vecCol, p)
+      case None    => Similarity.assignCells(newDocs, centroids, vecCol)
+    }
+    val nc = assigned
       .select(col(idCol).as("__nid"), col(vecCol).as("__nvec"), col("cell"))
     val cc = corpusCells
       .select(col(idCol).as("__cid"), col(vecCol).as("__cvec"), col("cell"))

@@ -566,6 +566,89 @@ object Similarity {
       .drop("__one", "__cents", "__nearest")
   }
 
+  /** Approximate nearest-centroid assignment — the hash-blocked variant
+    * the [[hardNegatives]] scaladoc's cost model calls for once
+    * nlist ∝ n makes the exact fold the bottleneck: [[assignCells]] is
+    * O(nlist · dim) PER ROW, so with nlist = n/cellTarget the corpus
+    * assignment is quadratic — the round-11 sf10 growth table measured
+    * exactly that (36× at 10× rows for nlist-scaled hard-negative
+    * mining, ~n^1.5 per decade).
+    *
+    * Here each row scores only the centroids whose [[signBucket]]
+    * coarse bucket matches one of the row's `planes + 1` probes (its
+    * own bucket plus every Hamming-1 neighbor — sign flips near a
+    * hyperplane are the dominant quantization error, and multi-probe
+    * recovers them). With planes ≈ log2(nlist / cellTarget) the
+    * expected candidate count is (planes + 1) · cellTarget, so per-row
+    * cost is O(log(nlist) · dim) and the corpus pass is ~linear. Rows
+    * whose probes all hit centroid-free buckets (an empirically tiny
+    * residue) fall back to the exact fold IN THE SAME expression — the
+    * assignment is total, and the worst case degrades to
+    * [[assignCells]], never to wrong output.
+    *
+    * The plan shape is unchanged from the exact fold: the bucket→
+    * centroids map and the sorted fallback array ride in on one-row
+    * broadcasts; no shuffle, no corpus × nlist row blow-up. Candidates
+    * are sorted by centroid_id before the fold, so ties break exactly
+    * like [[assignCells]] (smallest id). The assignment is
+    * approximate: a row near a coarse hyperplane may land in a
+    * neighboring cell — for cell-BLOCKED operators (near-dup, mining)
+    * both sides use the same deterministic function, so blocking stays
+    * consistent and only boundary recall is traded. Broadcast budget
+    * bounds nlist exactly as in [[assignCells]].
+    */
+  def assignCellsApprox(
+      df: DataFrame, centroids: DataFrame, vecCol: String, planes: Int): DataFrame =
+    assignCellsApproxScored(df, centroids, vecCol, planes).drop("cell_cos")
+
+  /** [[assignCellsApprox]] keeping the winning cosine (the
+    * [[assignCellsScored]] twin). */
+  def assignCellsApproxScored(
+      df: DataFrame, centroids: DataFrame, vecCol: String, planes: Int): DataFrame = {
+    require(planes >= 1 && planes <= 62, "planes must be in [1, 62]")
+    val bucketMap = centroids
+      .groupBy(signBucket(col("centroid_vec"), planes).as("__cb"))
+      .agg(sort_array(
+        collect_list(struct(col("centroid_id"), col("centroid_vec")))).as("__bl"))
+      .agg(map_from_entries(collect_list(struct(col("__cb"), col("__bl")))).as("__bmap"))
+      .select(col("__bmap"), lit(1).as("__one"))
+    val centArr = centroids
+      .agg(sort_array(
+        collect_list(struct(col("centroid_id"), col("centroid_vec")))).as("__cents"))
+      .select(col("__cents"), lit(1).as("__one"))
+    val bucket = signBucket(col(vecCol), planes)
+    val probes = array(bucket +: (0 until planes).map(j =>
+      bucket.bitwiseXOR(lit(1L << j))): _*)
+    // per-bucket lists are id-sorted and probe buckets are distinct, so
+    // a final sort of the (small) concatenation restores global id
+    // order — fold tie-break identical to the exact path
+    val cand = sort_array(flatten(filter(
+      transform(probes, p => element_at(col("__bmap"), p)),
+      a => a.isNotNull)))
+    def fold(arr: Column) = aggregate(
+      arr,
+      struct(lit(Double.MinValue).as("best"), lit(-1).as("cell")),
+      (acc, c) => {
+        val s = cosine(col(vecCol), c.getField("centroid_vec"))
+        when(
+          s > acc.getField("best"),
+          struct(s.as("best"), c.getField("centroid_id").as("cell"))
+        ).otherwise(acc)
+      }
+    )
+    df.withColumn("__one", lit(1))
+      .join(broadcast(bucketMap), Seq("__one"))
+      .join(broadcast(centArr), Seq("__one"))
+      .withColumn("__cand", cand)
+      .withColumn(
+        "__nearest",
+        when(size(col("__cand")) > 0, fold(col("__cand")))
+          .otherwise(fold(col("__cents"))))
+      .withColumn("cell", col("__nearest.cell"))
+      .withColumn("cell_cos", col("__nearest.best"))
+      .drop("__one", "__bmap", "__cents", "__cand", "__nearest")
+  }
+
   def ivfTopK(
       queries: DataFrame,
       corpus: DataFrame,
@@ -773,16 +856,26 @@ object Similarity {
     * (projection buckets, planes ≈ log2(n/cellTarget)) caps per-row
     * assignment at O(log n · dim) when they do.
     */
+  /** @param assignPlanes Some(p): use the hash-blocked
+    *   [[assignCellsApprox]] with `p` coarse planes instead of the
+    *   exact fold — REQUIRED for the nlist ∝ n cadence, where exact
+    *   assignment is O(nlist·dim) per row and dominates (see the
+    *   assignCellsApprox scaladoc); pick p ≈ log2(nlist / cellTarget).
+    */
   def hardNegatives(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       labelCol: String,
       centroids: DataFrame,
-      k: Int
+      k: Int,
+      assignPlanes: Option[Int] = None
   ): DataFrame = {
-    val cells = assignCells(
-      df.select(col(idCol), col(vecCol), col(labelCol)), centroids, vecCol)
+    val slim = df.select(col(idCol), col(vecCol), col(labelCol))
+    val cells = assignPlanes match {
+      case Some(p) => assignCellsApprox(slim, centroids, vecCol, p)
+      case None    => assignCells(slim, centroids, vecCol)
+    }
     val q = cells.select(
       col(idCol).as("query_id"), col(vecCol).as("__qvec"),
       col(labelCol).as("query_label"), col("cell"))

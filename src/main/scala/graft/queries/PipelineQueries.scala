@@ -987,27 +987,56 @@ object PipelineQueries extends QueryPack {
     // production sizing the hardNegatives scaladoc contracts; the gated
     // q_hard_negatives pins nlist=8 for the oracle convention and is
     // n²/nlist — 26× at 10×, BASELINE.md round 10). |cell| ≈ 250 held
-    // constant ⇒ the pairing term is linear; the assignment fold's
-    // n·nlist term has a tiny constant (dim multiply-adds in codegen)
-    // — both measured in BASELINE.md's growth table. Bench-only: nlist
-    // depends on a corpus count, not SQL-mirrorable deterministically.
+    // constant ⇒ the pairing term is linear; the round-11 sf10 run
+    // measured the EXACT assignment fold's n·nlist term going
+    // super-linear (36× at 10×), so this row now uses the hash-blocked
+    // approximate assignment (planes ≈ log2(nlist/16)) — per-row cost
+    // O(log nlist · dim), whole pass ~linear (BASELINE.md growth
+    // table). Bench-only: nlist depends on a corpus count, not
+    // SQL-mirrorable deterministically.
     "q_hard_negatives_scaled" -> { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
       // metadata-only count: sizes nlist the way a production pipeline
       // would (rows/targetCellSize), not a full scan
       val n = emb.count()
       val nlist = math.max(8L, n / 250L)
+      val planes = math.max(1, (math.log(nlist / 16.0) / math.log(2)).ceil.toInt)
       val centroids = emb
         .filter(col("vec_id") < nlist)
         .select(
           col("vec_id").cast("int").as("centroid_id"),
           col("embedding").as("centroid_vec"))
       Similarity
-        .hardNegatives(emb, "vec_id", "embedding", "label", centroids, k = 3)
+        .hardNegatives(emb, "vec_id", "embedding", "label", centroids, k = 3,
+          assignPlanes = Some(planes))
         .select(
           col("query_id"), col("query_label"),
           col("neighbor_id"), col("neighbor_label"), col("cos"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
+    },
+    // incremental semantic dedup with nlist SCALED to the corpus — the
+    // gated q_semantic_incremental pins 8 centroids for the oracle, so
+    // its per-cell new×corpus join is n²/8 (34.6× at 10×, round-11
+    // sf10 table). Here |cell| ≈ 250 bounds the pair join and the
+    // hash-blocked assignment keeps the corpus pass ~linear. Bench-only
+    // for the same count-derived-nlist reason as above.
+    "q_semantic_incremental_scaled" -> { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val n = emb.count()
+      val nlist = math.max(8L, n / 250L)
+      val planes = math.max(1, (math.log(nlist / 16.0) / math.log(2)).ceil.toInt)
+      val centroids = emb
+        .filter(col("vec_id") < nlist)
+        .select(
+          col("vec_id").cast("int").as("centroid_id"),
+          col("embedding").as("centroid_vec"))
+      Dedup
+        .dropIncrementalSemanticDuplicates(
+          emb.filter(col("vec_id") % 2 === 1), emb.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", centroids, threshold = 0.3,
+          assignPlanes = Some(planes))
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
     }
   )
 

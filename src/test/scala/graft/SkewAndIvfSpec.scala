@@ -280,4 +280,56 @@ class SkewAndIvfSpec extends SparkSpec {
     val rows = topk.collect()
     assert(rows.nonEmpty && rows.forall(_.getAs[Int]("rank") <= 3))
   }
+
+  test("approx cell assignment: total, valid cells, high exact-agreement") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = emb.filter($"vec_id" < 16)
+      .select(col("vec_id").cast("int").as("centroid_id"), col("embedding").as("centroid_vec"))
+    val exact = Similarity.assignCells(emb, cents, "embedding")
+      .select($"vec_id", $"cell".as("ecell"))
+    val approx = Similarity.assignCellsApprox(emb, cents, "embedding", planes = 3)
+      .select($"vec_id", $"cell".as("acell"))
+    val n = emb.count()
+    // total: every row assigned, to a real centroid id
+    assert(approx.count() == n)
+    assert(approx.filter($"acell" < 0 || $"acell" >= 16).count() == 0)
+    // the coarse buckets + Hamming-1 probes find the true nearest for
+    // the bulk of rows (measures 0.6 on these near-uniform test
+    // vectors, whose cosines to rival centroids are nearly tied —
+    // clustered production embeddings agree far more; floor is slack).
+    // What cell-BLOCKED operators actually need is consistency: both
+    // sides share the deterministic function, pinned by the scaled
+    // bench twins.
+    val agree = exact.join(approx, "vec_id").filter($"ecell" === $"acell").count()
+    assert(agree.toDouble / n >= 0.45, s"agreement ${agree.toDouble / n}")
+  }
+
+  test("approx assignment falls back to the exact fold when probes miss") {
+    import spark.implicits._
+    // one centroid whose bucket (all-negative signs = 0) is Hamming-2+
+    // away from every vector's probe set at planes=3 → every row takes
+    // the fallback path and must still match the exact assignment
+    val vecs = Seq(
+      (1L, Array(1f, 1f, 1f, 1f)),
+      (2L, Array(1f, 1f, 1f, -1f))
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((7, Array(-1f, -1f, -1f, -0.5f)))
+      .toDF("centroid_id", "centroid_vec")
+    val out = Similarity.assignCellsApprox(vecs, cents, "embedding", planes = 3)
+      .select($"vec_id", $"cell").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(out == Map(1L -> 7, 2L -> 7))
+  }
+
+  test("scaled hard negatives (approx assignment) keep the k and label contracts") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = emb.filter($"vec_id" < 12)
+      .select(col("vec_id").cast("int").as("centroid_id"), col("embedding").as("centroid_vec"))
+    val out = Similarity
+      .hardNegatives(emb, "vec_id", "embedding", "label", cents, k = 3,
+        assignPlanes = Some(3))
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getAs[Int]("rank") <= 3))
+    assert(out.forall(r => r.getAs[Int]("query_label") != r.getAs[Int]("neighbor_label")))
+  }
 }
