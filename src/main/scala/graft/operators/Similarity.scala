@@ -649,6 +649,12 @@ object Similarity {
       .drop("__one", "__bmap", "__cents", "__cand", "__nearest")
   }
 
+  /** @param assignPlanes Some(p): corpus-side cell assignment via the
+    *   hash-blocked [[assignCellsApprox]] — the nlist ∝ n sizing makes
+    *   the exact fold quadratic over the corpus (see that scaladoc);
+    *   the query side stays exact (it is small and needs the n-best
+    *   cells, not the argmax).
+    */
   def ivfTopK(
       queries: DataFrame,
       corpus: DataFrame,
@@ -656,10 +662,14 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      nprobe: Int = 1
+      nprobe: Int = 1,
+      assignPlanes: Option[Int] = None
   ): DataFrame = {
-    val corpusCells = assignCells(
-      corpus.select(col(idCol), col(vecCol)), centroids, vecCol)
+    val corpusSlim = corpus.select(col(idCol), col(vecCol))
+    val corpusCells = assignPlanes match {
+      case Some(p) => assignCellsApprox(corpusSlim, centroids, vecCol, p)
+      case None    => assignCells(corpusSlim, centroids, vecCol)
+    }
 
     // Query-side nprobe ranking keeps the window — the query set is small
     // and needs the n-best cells, not just the argmax.
