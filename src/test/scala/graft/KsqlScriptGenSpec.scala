@@ -3,10 +3,8 @@ package graft
 import graft.core.{EntityModel, Period}
 import graft.dsl.Ksql
 import graft.plans.KsqlScriptGen
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.scalatest.funsuite.AnyFunSuite
 
 import java.sql.Timestamp
 
@@ -17,14 +15,11 @@ import java.sql.Timestamp
   * WITH surface of `WithClauseBuilder.cs:36-66`, derived entities render
   * as CSAS/CTAS with the executed Catalyst tree as the SELECT source.
   */
-class KsqlScriptGenSpec extends AnyFunSuite {
-
-  private lazy val spark = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.ui.enabled", "false")
-    .config("spark.sql.session.timeZone", "UTC")
-    .getOrCreate()
+class KsqlScriptGenSpec extends SparkSpec {
+  // NOTE: must use the shared SparkSpec session — a private
+  // builder().config(...).getOrCreate() here RETURNS the shared session
+  // with this suite's configs applied to it (shuffle.partitions leak),
+  // which broke SkewJoinAqeSpec's median-based skew detection.
 
   private def ordersCtx: GraftContext = {
     val orders = EntityModel[graft.examples.OrderEvent]("orders")
