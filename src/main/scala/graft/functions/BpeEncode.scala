@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `bpe_encode(text)` → array<string> of BPE subword tokens (Sennrich
+  * et al. 2016, the byte-pair-encoding tokenizer every modern LLM data
+  * pipeline budgets with).
+  *
+  * The merge table rides in as a broadcast-literal constructor
+  * parameter — the [[PqCodec]] codebook idiom: it ships once per task
+  * closure, never per row, and the rank lookup is a transient
+  * per-executor HashMap built lazily. Encoding is the standard
+  * rank-greedy loop: per whitespace word, start from characters and
+  * repeatedly merge the adjacent pair with the LOWEST merge rank
+  * (all of its occurrences, left to right) until no adjacent pair has
+  * a rank. Rank-greedy encode reproduces the training-order merge
+  * application exactly — the classic equivalence the BPE paper's
+  * reference implementation relies on.
+  *
+  * Scale shape: one narrow per-row pass inside the scan — zero
+  * shuffle, zero explode; cost O(word_len²·applied_merges) per word on
+  * short natural-language words. Interpreted eval only
+  * ([[CodegenFallback]]): the loops are already tight JVM code, same
+  * rationale as [[SimHashText]].
+  */
+case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"bpe_encode expects a string, got ${other.sql}")
+    }
+
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      // the " " separator never occurs inside a symbol (words are
+      // split on spaces before pairing), so it is a safe composite key
+      m.putIfAbsent(a + " " + b, i)
+    }
+    m
+  }
+
+  private def encodeWord(word: String, out: java.util.ArrayList[UTF8String]): Unit = {
+    if (word.isEmpty) { out.add(UTF8String.EMPTY_UTF8); return }
+    // surrogate-pair aware split: one symbol per code point
+    var syms = new java.util.ArrayList[String](word.length)
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      val n = Character.charCount(cp)
+      syms.add(word.substring(i, i + n))
+      i += n
+    }
+    var done = syms.size <= 1
+    while (!done) {
+      var best = Int.MaxValue
+      var j = 0
+      while (j < syms.size - 1) {
+        val r = ranks.get(syms.get(j) + " " + syms.get(j + 1))
+        if (r != null && r < best) best = r
+        j += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val (a, b) = merges(best)
+        val next = new java.util.ArrayList[String](syms.size)
+        var k = 0
+        while (k < syms.size) {
+          if (k < syms.size - 1 && syms.get(k) == a && syms.get(k + 1) == b) {
+            next.add(a + b); k += 2
+          } else { next.add(syms.get(k)); k += 1 }
+        }
+        syms = next
+        done = syms.size <= 1
+      }
+    }
+    var k = 0
+    while (k < syms.size) { out.add(UTF8String.fromString(syms.get(k))); k += 1 }
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val out = new java.util.ArrayList[UTF8String](words.length * 2)
+    var w = 0
+    while (w < words.length) { encodeWord(words(w), out); w += 1 }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+    copy(child = newChild)
+}

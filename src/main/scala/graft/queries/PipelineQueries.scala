@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Curation, Dedup, HashFamily, Multimodal, Retrieval, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, HashFamily, Multimodal, Retrieval, Similarity, TextAnalysis, Tokenizer}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1037,6 +1037,18 @@ object PipelineQueries extends QueryPack {
           assignPlanes = Some(planes))
         .select(col("vec_id"), col("label"))
         .orderBy(col("vec_id"))
+    },
+    // trainable BPE: corpus → ONE word-count hash agg → bounded
+    // top-vocabCap table → driver merge loop; encode = broadcast-
+    // literal native expression at scan speed (Tokenizer scaladoc).
+    // Bench-only: BPE training/encoding has no DuckDB mirror; the
+    // merge/encode semantics are spec-pinned (TokenizerSpec)
+    "q_bpe_tokenize" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val model = Tokenizer.train(docs, "text", numMerges = 200, vocabCap = 16384)
+      Tokenizer
+        .tokenize(docs, "text", model)
+        .select(col("doc_id"), col("n_tokens"), col("tokens"))
     }
   )
 
