@@ -60,4 +60,64 @@ object Lake {
           col(timeCol) < lit(toExclusive).cast("timestamp")
       )
   }
+
+  /** Z-order-clustered write — the THIRD storage axis: day partitions
+    * prune on time, bucketing co-locates joins, and Z-ordering makes
+    * parquet min/max stats prune MULTI-dimensional range predicates on
+    * any of `zCols`, not just a leading sort column. A linear sort by
+    * (a, b) leaves every file spanning all of `b`; the Morton curve
+    * gives each file a compact hyper-rectangle, so a `b`-only filter
+    * skips all but ~1/2^bits of the row groups (ZOrderSpec measures
+    * exactly this from scan metrics).
+    *
+    * Scale shape: one pass computes per-column quantile boundaries
+    * (`approx_percentile`, all columns in a single aggregate); the
+    * Z-key is a broadcast-literal native expression
+    * ([[graft.functions.ZValue]], binary-search + bit-interleave per
+    * row); `repartitionByRange` on the key gives every output task a
+    * contiguous Z-range (one range shuffle — the same exchange any
+    * clustering write pays) and `sortWithinPartitions` orders inside
+    * each file so row groups nest inside the file's rectangle. No
+    * window, no global sort, no driver data path beyond the bounded
+    * boundary arrays.
+    *
+    * `zCols` must be numeric/date/timestamp (rank needs an order);
+    * hash a string column first if equality-only pruning is enough.
+    */
+  def writeZOrdered(
+      df: DataFrame,
+      zCols: Seq[String],
+      path: String,
+      bits: Int = 8,
+      numFiles: Int = 64,
+      maxRecordsPerFile: Long = 0L
+  ): Unit = {
+    require(zCols.nonEmpty, "writeZOrdered needs at least one column")
+    val ranked = zCols.map(c => col(c).cast("double").as(s"__zr_$c"))
+    val probes = (1 until (1 << bits)).map(_.toDouble / (1 << bits))
+    val qAgg = zCols.map(c =>
+      expr(s"approx_percentile(`__zr_$c`, array(${probes.mkString(",")}))")
+        .as(s"__q_$c"))
+    val qRow = df.select(ranked: _*).agg(qAgg.head, qAgg.tail: _*).head()
+    val boundaries = zCols.indices.map { i =>
+      qRow.getSeq[Double](i).toArray
+    }
+    val zed = df.withColumn(
+      "__z",
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.ZValue(
+          zCols.map(c =>
+            org.apache.spark.sql.graftbridge.ColumnBridge
+              .expression(col(c).cast("double"))),
+          boundaries,
+          bits)))
+    zed
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("overwrite")
+      .parquet(path)
+  }
 }
