@@ -680,4 +680,87 @@ object TextAnalysis {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
   }
+
+  /** Naive-Bayes quality classifier — the model-based filtering step
+    * of the big LLM data pipelines (the fastText-linear-classifier
+    * role: score every document against a weakly-labeled "high
+    * quality" seed set). Multinomial NB with Laplace smoothing is the
+    * closed-form member of that family: ONE pass over the labeled
+    * corpus yields per-token class counts, the per-token log-odds
+    * weight is pure column math on the vocabulary-sized aggregate, and
+    * scoring is the [[unigramLogProb]] shape — explode + broadcast
+    * join-back of the (tiny) weight table + one per-doc hash agg. No
+    * gradient loop, no driver data path, deterministic.
+    *
+    * `nbTokenWeights` is the train face (persist it; the model is a
+    * vocabulary-sized table + a one-row prior) and [[nbScore]] the
+    * serve face — the same split as the BM25 index/serve pair, so a
+    * production pipeline trains once and scores every batch against
+    * the persisted weights.
+    */
+  def nbTokenWeights(
+      labeled: DataFrame,
+      textCol: String,
+      labelCol: String): (DataFrame, DataFrame) = {
+    val tok = labeled
+      .select(col(labelCol).cast("long").as("__y"),
+        explode(split(col(textCol), " ")).as("term"))
+    val counts = tok
+      .groupBy(col("term"))
+      .agg(sum(col("__y")).as("__c1"), count(lit(1)).as("__ct"))
+    // totals from the vocabulary aggregate (no corpus re-scan) + doc
+    // prior from the labeled frame's own tiny aggregate
+    val totals = counts.agg(
+      sum(col("__c1")).as("__n1"),
+      sum(col("__ct") - col("__c1")).as("__n0"),
+      count(lit(1)).as("__v"))
+    val prior = labeled.agg(
+      log((sum(col(labelCol).cast("long")) + 1.0) /
+        (sum(lit(1) - col(labelCol).cast("long")) + 1.0)).as("prior"))
+    val weights = counts
+      .crossJoin(broadcast(totals))
+      .select(
+        col("term"),
+        (log((col("__c1") + 1.0) / (col("__n1") + col("__v"))) -
+          log((col("__ct") - col("__c1") + 1.0) / (col("__n0") + col("__v"))))
+          .as("w"))
+    (weights, prior)
+  }
+
+  /** Score `docs` against trained NB `weights` + `prior`: per document
+    * `score = prior + Σ w(term)` (unseen terms contribute 0 — their
+    * smoothed odds belong to the model's complement mass), predicted
+    * high-quality iff score > 0. The weight join-back broadcasts (the
+    * table is vocabulary-sized); the corpus never shuffles.
+    */
+  def nbScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      weights: DataFrame,
+      prior: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+    tok
+      .join(broadcast(weights), Seq("term"), "left")
+      .crossJoin(broadcast(prior))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("int").as("n_tokens"),
+        round(first(col("prior")) + sum(coalesce(col("w"), lit(0.0))), 6).as("score"))
+      .withColumn("pred_quality", col("score") > 0)
+  }
+
+  /** Composed train-and-score (the gated-query face): weak labels come
+    * from `labelCol` of `labeled`; every doc in `docs` gets scored.
+    */
+  def nbQualityScore(
+      labeled: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String): DataFrame = {
+    val (weights, prior) = nbTokenWeights(labeled, textCol, labelCol)
+    nbScore(docs, idCol, textCol, weights, prior)
+  }
 }

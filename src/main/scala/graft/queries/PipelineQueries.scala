@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Curation, Dedup, HashFamily, Multimodal, Retrieval, Similarity, TextAnalysis, Tokenizer}
+import graft.operators.{Curation, Dedup, HashFamily, History, Multimodal, Retrieval, Similarity, TextAnalysis, Tokenizer}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -771,6 +771,31 @@ object PipelineQueries extends QueryPack {
         .asOf(purchases, clicks, keyCols = Seq("user_id"), leftTs = "ts", rightTs = "ts",
           rightPayload = Seq("click_ts", "click_value"))
         .orderBy(col("event_id"))
+    },
+    // model-based quality filtering (the fastText-classifier role):
+    // closed-form multinomial NB — train = ONE labeled-corpus pass to
+    // a vocabulary-sized weight table, score = broadcast join-back +
+    // per-doc agg (TextAnalysis.nbTokenWeights scaladoc). Weak labels
+    // here are a deterministic id-hash split (pins the math; semantic
+    // separation is spec-pinned in CurationSpec with real quality tiers)
+    "q_nb_quality" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val labeled = docs.withColumn("y", (col("doc_id") % 3 === 0).cast("int"))
+      TextAnalysis
+        .nbQualityScore(labeled, docs, "doc_id", "text", "y")
+        .orderBy(col("doc_id"))
+    },
+    // changelog → SCD type-2 history: per-user event_type state as
+    // versioned validity intervals, no-op updates collapsed — one
+    // key-partitioned exchange, in-partition sorts only (History
+    // scaladoc); event_id is the unique window tie-break (BASELINE.md
+    // round-6 session-window incident)
+    "q_scd2" -> { (s, dir) =>
+      History
+        .scd2(Tables.load(s, dir, "events"),
+          keyCols = Seq("user_id"), tsCol = "ts",
+          attrCols = Seq("event_type"), tieBreak = Seq("event_id"))
+        .orderBy(col("user_id"), col("version"))
     }
   )
 
@@ -2406,6 +2431,46 @@ object PipelineQueries extends QueryPack {
         |SELECT p.event_id, p.user_id, p.ts, p.value, c.ts AS click_ts, c.click_value
         |FROM purchases p ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND c.ts <= p.ts
-        |ORDER BY p.event_id""".stripMargin
+        |ORDER BY p.event_id""".stripMargin,
+    // mirrors TextAnalysis.nbQualityScore: Laplace-smoothed log-odds
+    // from one token pass, prior from doc counts, unseen terms = 0
+    "q_nb_quality" ->
+      """WITH labeled AS (
+        |  SELECT doc_id, text, CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y FROM documents),
+        |tok AS (SELECT y, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM labeled),
+        |counts AS (SELECT term, SUM(y) AS c1, COUNT(*) AS ct FROM tok GROUP BY 1),
+        |totals AS (SELECT SUM(c1) AS n1, SUM(ct - c1) AS n0, COUNT(*) AS v FROM counts),
+        |prior AS (SELECT LN((SUM(y) + 1.0) / (SUM(1 - y) + 1.0)) AS p FROM labeled),
+        |w AS (SELECT term,
+        |        LN((c1 + 1.0) / (n1 + v)) - LN((ct - c1 + 1.0) / (n0 + v)) AS w
+        |      FROM counts CROSS JOIN totals),
+        |dtok AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents)
+        |SELECT d.doc_id, CAST(COUNT(*) AS INT) AS n_tokens,
+        |       ROUND(FIRST(prior.p) + SUM(COALESCE(w.w, 0)), 6) AS score,
+        |       (ROUND(FIRST(prior.p) + SUM(COALESCE(w.w, 0)), 6) > 0) AS pred_quality
+        |FROM dtok d LEFT JOIN w USING (term) CROSS JOIN prior
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+    // mirrors History.scd2: null-safe change detection (first_row guard
+    // matches Spark's struct <=> lag(null) = false), intervals from
+    // LEAD over the collapsed rows, BIGINT version
+    "q_scd2" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |         LAG(event_type) OVER w AS prev_et,
+        |         (ROW_NUMBER() OVER w = 1) AS first_row
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), changes AS (
+        |  SELECT user_id, event_type, ts, event_id FROM marked
+        |  WHERE first_row OR prev_et IS DISTINCT FROM event_type
+        |)
+        |SELECT user_id, event_type,
+        |       ts AS valid_from,
+        |       LEAD(ts) OVER w2 AS valid_to,
+        |       CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS version,
+        |       (LEAD(ts) OVER w2 IS NULL) AS is_current
+        |FROM changes
+        |WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin
   )
 }

@@ -595,4 +595,40 @@ class CurationSpec extends SparkSpec {
       .collect()
     assert(r.toSeq == Seq(12L, 11L, 20L))
   }
+
+  test("NB quality classifier separates clean prose from junk on held-out docs") {
+    val labeled = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", 1),
+      (2L, "a clear well formed sentence with common words", 1),
+      (3L, "the dog and the fox ran over a green field", 1),
+      (4L, "buy buy buy cheap cheap pills pills pills now now", 0),
+      (5L, "zzz qqq xxx zzz qqq xxx spam spam spam spam", 0),
+      (6L, "click here click here cheap pills zzz spam now", 0)
+    ).toDF("doc_id", "text", "y")
+    val held = Seq(
+      (10L, "the brown dog jumps over a green field"), // clean-like
+      (11L, "cheap spam pills zzz qqq click now") // junk-like
+    ).toDF("doc_id", "text")
+    val scored = TextAnalysis
+      .nbQualityScore(labeled, held, "doc_id", "text", "y")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    assert(scored(10L)._1 > scored(11L)._1)
+    assert(scored(10L)._2 && !scored(11L)._2)
+
+    // split train/serve faces compose to the same scores (the
+    // persisted-model path is the same math)
+    val (w, p) = TextAnalysis.nbTokenWeights(labeled, "text", "y")
+    val served = TextAnalysis.nbScore(held, "doc_id", "text", w, p)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(served == scored.view.mapValues(_._1).toMap)
+
+    // fully-unseen vocabulary degrades to the prior alone
+    val unseen = Seq((20L, "wholly novel vocabulary only")).toDF("doc_id", "text")
+    val prior = p.head().getDouble(0)
+    val u = TextAnalysis.nbScore(unseen, "doc_id", "text", w, p).head()
+    assert(math.abs(u.getDouble(2) - BigDecimal(prior)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
 }
