@@ -49,13 +49,7 @@ object History {
 
     val changes =
       if (!collapseUnchanged) df
-      else {
-        // first row per key: lag is null, <=> yields false → kept
-        val attrs = struct(attrCols.map(col): _*)
-        df.withColumn("__same", attrs <=> lag(attrs, 1).over(w))
-          .filter(!col("__same"))
-          .drop("__same")
-      }
+      else collapsedChanges(df, keyCols, tsCol, attrCols, tieBreak)
 
     // same partition + prefix ordering as the collapse window — the
     // filter preserves both, so this plans one Exchange total
@@ -68,5 +62,28 @@ object History {
       .withColumn("is_current", col("valid_to").isNull)
       .select((keyCols ++ attrCols).map(col) ++
         Seq(col("valid_from"), col("valid_to"), col("version"), col("is_current")): _*)
+  }
+
+  /** The collapse half of [[scd2]] alone: keep only the rows where the
+    * tracked attributes differ (null-safely) from the key's previous
+    * row — i.e. the CHANGE rows, in their original schema. The
+    * incremental maintainer ([[graft.streaming.IncrementalScd2]])
+    * persists exactly these.
+    */
+  private[graft] def collapsedChanges(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      attrCols: Seq[String],
+      tieBreak: Seq[String]
+  ): DataFrame = {
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy((tsCol +: tieBreak).map(col): _*)
+    // first row per key: lag is null, <=> yields false → kept
+    val attrs = struct(attrCols.map(col): _*)
+    df.withColumn("__same", attrs <=> lag(attrs, 1).over(w))
+      .filter(!col("__same"))
+      .drop("__same")
   }
 }
