@@ -1063,6 +1063,25 @@ object PipelineQueries extends QueryPack {
         .select(col("vec_id"), col("label"))
         .orderBy(col("vec_id"))
     },
+    // BM25 with a FIXED query count (≤50, ids pinned below 4850):
+    // the gated q_bm25 scales queries ∝ corpus (doc_id % 97), which
+    // makes its growth rows n²/97 BY CONSTRUCTION — this twin holds
+    // the query batch constant so the growth table isolates the
+    // per-query corpus term (expected ~linear: one tf pass + bounded
+    // rank windows). Bench-only: same math as the gated row.
+    "q_bm25_serve_fixed" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val queries = d
+        .filter(col("doc_id") % 97 === 0 && col("doc_id") < 4850)
+        .select(
+          col("doc_id").as("query_id"),
+          array_join(slice(split(col("text"), " "), 1, 5), " ").as("qtext"))
+      TextAnalysis
+        .bm25TopK(
+          d.filter(col("doc_id") % 97 =!= 0), queries,
+          "doc_id", "text", "query_id", "qtext", topK = 10)
+        .orderBy(col("query_id"), col("rank"))
+    },
     // trainable BPE: corpus → ONE word-count hash agg → bounded
     // top-vocabCap table → driver merge loop; encode = broadcast-
     // literal native expression at scan speed (Tokenizer scaladoc).

@@ -84,6 +84,64 @@ object Lake {
     * `zCols` must be numeric/date/timestamp (rank needs an order);
     * hash a string column first if equality-only pruning is enough.
     */
+  /** Small-file compaction — the lake-maintenance pass every
+    * streaming/incremental append path eventually needs: micro-batch
+    * appends (IncrementalDedup/IncrementalScd2, the bar cascade sinks)
+    * accrete MB-scale files, and at 100 TB the file COUNT becomes the
+    * bottleneck (driver listing memory, task-launch overhead, parquet
+    * footer reads — a 1000-executor scan of 10M tiny files spends
+    * longer opening footers than decoding data).
+    *
+    * Rewrites `path` into ~`targetBytes` files: the output file count
+    * derives from the CURRENT on-disk byte size (a listing, no data
+    * read), rows land in files via one round-robin exchange
+    * (`repartition(n)` — no keyed shuffle, no sort), optionally
+    * re-sorted per file on `sortCols` to restore row-group locality
+    * the appends destroyed. The rewrite goes through a sibling temp
+    * directory and an atomic-rename swap, so a concurrent reader sees
+    * the old file set or the new one, never a mix.
+    *
+    * Operates on a FLAT store (one directory of parquet files — the
+    * shape every incremental append store here uses); for a
+    * `partitionBy` layout, compact each partition directory on its own
+    * so partition pruning survives.
+    */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      sortCols: Seq[String] = Nil
+  ): Long = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val dir = new java.io.File(path)
+    val files = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val bytes = files.map(_.length()).sum
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    if (files.length <= n) return files.length.toLong // already compact
+
+    val df = spark.read.parquet(path)
+    val repacked = {
+      val r = df.repartition(n)
+      if (sortCols.isEmpty) r else r.sortWithinPartitions(sortCols.map(col): _*)
+    }
+    val tmp = s"$path.__compact_tmp"
+    val old = s"$path.__compact_old"
+    repacked.write.mode("overwrite").parquet(tmp)
+    // swap: old set aside, new renamed in — two renames, no copy
+    val p = new java.io.File(path)
+    val t = new java.io.File(tmp)
+    val o = new java.io.File(old)
+    require(p.renameTo(o), s"compact: could not set aside $path")
+    require(t.renameTo(p), s"compact: could not swap in $tmp")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(o)
+    n.toLong
+  }
+
   def writeZOrdered(
       df: DataFrame,
       zCols: Seq[String],

@@ -106,4 +106,35 @@ class LakeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       .count()
     assert(got == expected, s"pruned pull returned $got rows, expected $expected")
   }
+
+  test("compact rewrites an append-accreted store into few files, content-identical") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_compact").toString + "/store"
+    // simulate 12 micro-batch appends → ≥ 12 small files
+    (0 until 12).foreach { b =>
+      spark.range(b * 100, (b + 1) * 100)
+        .select($"id", ($"id" * 2).as("v"))
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    def parquetFiles = Option(new java.io.File(dir).listFiles()).get
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(parquetFiles >= 12)
+    val before = spark.read.parquet(dir).orderBy($"id").collect()
+
+    val bytes = Option(new java.io.File(dir).listFiles()).get
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length()).sum
+    val n = Lake.compact(spark, dir, targetBytes = bytes / 3, sortCols = Seq("id"))
+    assert(n <= 4 && parquetFiles == n.toInt, s"expected ~3 files, got $parquetFiles (n=$n)")
+    assert(spark.read.parquet(dir).orderBy($"id").collect().sameElements(before))
+    // no leftover temp/old directories from the swap
+    val siblings = Option(new java.io.File(dir).getParentFile.listFiles()).get.map(_.getName)
+    assert(!siblings.exists(_.contains("__compact")), siblings.mkString(","))
+
+    // re-running converges: parquet recompression can shrink bytes and
+    // fold one more file, after which compact is a stable no-op
+    val again = Lake.compact(spark, dir, targetBytes = bytes / 3)
+    assert(again <= n && parquetFiles == again.toInt)
+    val third = Lake.compact(spark, dir, targetBytes = bytes / 3)
+    assert(third == again && parquetFiles == again.toInt)
+  }
 }
