@@ -535,6 +535,49 @@ object Curation {
   def normalize(text: Column): Column =
     trim(regexp_replace(lower(text), " +", " "))
 
+  /** Markup strip — the WET-extraction step a web-crawl corpus runs
+    * before any text analysis: remove script/style blocks WITH their
+    * contents, drop every remaining tag, decode the five predefined
+    * character entities plus numeric (decimal and hex) references, and
+    * collapse the leftover whitespace. Pure RE2 column regexes +
+    * codegen'd string ops — scan-local, zero shuffle, linear in bytes,
+    * exactly the [[normalize]] / `canonicalizeUrl` shape.
+    *
+    * Deliberately NOT an HTML5 parser: crawl extraction at 100 TB uses
+    * exactly this class of regex pass (tags are removed, not
+    * interpreted, so malformed markup degrades to dropped text, never
+    * to an error), and anything structure-aware belongs in a decode
+    * stage, not the scan.
+    */
+  def stripMarkup(text: Column): Column = {
+    // script/style lose their CONTENT (it is code, not prose); the
+    // (?is) flags make the match case-insensitive across lines. Two
+    // separate passes rather than a <(script|style)>…</\1> backref:
+    // RE2 engines (DuckDB, Go crawlers) have no backreferences, and
+    // the oracle must share these exact semantics
+    val noBlocks = regexp_replace(
+      regexp_replace(text, "(?is)<script\\b[^>]*>.*?</script\\s*>", " "),
+      "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    // entity decode: the predefined named set + the common numeric
+    // references as literal pairs (regexp_replace cannot compute a
+    // codepoint from a backref; a general &#N; decoder belongs in a
+    // decode stage, and the tail of rare numerics is noise a quality
+    // gate drops anyway). One pass per pair, all fused in codegen.
+    // ampersand forms decode LAST: decoding &amp; first would turn
+    // literal text like "&amp;lt;" into a second-round "&lt;" and
+    // double-decode it
+    val named = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&apos;" -> "'",
+      "&#39;" -> "'", "&#34;" -> "\"", "&#60;" -> "<", "&#62;" -> ">",
+      "&nbsp;" -> " ", "&#38;" -> "&", "&amp;" -> "&")
+    val decoded = named.foldLeft(noTags) { case (c, (e, r)) =>
+      regexp_replace(c, java.util.regex.Pattern.quote(e),
+        java.util.regex.Matcher.quoteReplacement(r))
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** End-to-end curation in ONE plan: language gate → quality gate →
     * PII scrub → canonical normalize → exact dedup keeping the
     * smallest id. A 100 TB pipeline runs these as one job, not five:

@@ -772,6 +772,23 @@ object PipelineQueries extends QueryPack {
           rightPayload = Seq("click_ts", "click_value"))
         .orderBy(col("event_id"))
     },
+    // WET extraction: deterministic markup synthesized around each
+    // doc (uppercase script tag + spaced close pin case/whitespace
+    // handling), then stripMarkup recovers the prose — scan-local
+    // regex chain, RE2-compatible by construction (no backrefs) so
+    // the oracle shares exact semantics
+    "q_strip_markup" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val raw = concat(
+        lit("<html><body onload=\"f()\"><h1>Doc "),
+        col("doc_id").cast("string"),
+        lit("</h1><SCRIPT type=\"text/javascript\">var x = 1 < 2;</script >" +
+          "<style>p { color: red }</style><p class=\"c\">"),
+        col("text"),
+        lit(" &amp; more &lt;tail&gt; &quot;q&quot; &#39;a&#39; x&nbsp;y</p></body></html>"))
+      d.select(col("doc_id"), Curation.stripMarkup(raw).as("clean_text"))
+        .orderBy(col("doc_id"))
+    },
     // model-based quality filtering (the fastText-classifier role):
     // closed-form multinomial NB — train = ONE labeled-corpus pass to
     // a vocabulary-sized weight table, score = broadcast join-back +
@@ -2451,6 +2468,28 @@ object PipelineQueries extends QueryPack {
         |FROM purchases p ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND c.ts <= p.ts
         |ORDER BY p.event_id""".stripMargin,
+    // mirrors Curation.stripMarkup: script/style with contents, tags,
+    // entity pairs (ampersand forms last), whitespace collapse
+    "q_strip_markup" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    '<html><body onload="f()"><h1>Doc ' || doc_id ||
+        |    '</h1><SCRIPT type="text/javascript">var x = 1 < 2;</script ><style>p { color: red }</style><p class="c">' ||
+        |    text || ' &amp; more &lt;tail&gt; &quot;q&quot; &#39;a&#39; x&nbsp;y</p></body></html>' AS raw
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    REGEXP_REPLACE(REGEXP_REPLACE(raw, '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+        |                   '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g') AS t1
+        |  FROM r),
+        |t AS (SELECT doc_id, REGEXP_REPLACE(t1, '<[^>]*>', ' ', 'g') AS t2 FROM s),
+        |d AS (SELECT doc_id,
+        |  REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(
+        |    t2, '&lt;','<'),'&gt;','>'),'&quot;','"'),'&apos;',''''),'&#39;',''''),'&#34;','"'),
+        |    '&#60;','<'),'&#62;','>'),'&nbsp;',' '),'&#38;','&'),'&amp;','&') AS t3
+        |  FROM t)
+        |SELECT doc_id, TRIM(REGEXP_REPLACE(t3, '\s+', ' ', 'g')) AS clean_text
+        |FROM d ORDER BY doc_id""".stripMargin,
     // mirrors TextAnalysis.nbQualityScore: Laplace-smoothed log-odds
     // from one token pass, prior from doc counts, unseen terms = 0
     "q_nb_quality" ->

@@ -596,6 +596,26 @@ class CurationSpec extends SparkSpec {
     assert(r.toSeq == Seq(12L, 11L, 20L))
   }
 
+  test("stripMarkup: blocks with contents, tags, single-pass entities, whitespace") {
+    def strip(s: String): String = {
+      val df = Seq(s).toDF("raw").select(Curation.stripMarkup($"raw").as("c"))
+      df.head().getString(0)
+    }
+    assert(strip("<p>hello <b>world</b></p>") == "hello world")
+    // script/style contents are dropped, case-insensitively, even with
+    // a spaced closing tag
+    assert(strip("a<SCRIPT>var x = 1 < 2;</script >b<style>p{}</style>c") == "a b c")
+    // entities decode once: literal "&amp;lt;" is the TEXT "&lt;", not "<"
+    assert(strip("x &amp;lt; y &lt;tag&gt; &quot;q&quot; &#39;a&#39;") ==
+      "x &lt; y <tag> \"q\" 'a'")
+    // malformed tags degrade to dropped text, never an error
+    assert(strip("a <p <b> c") == "a c")
+    // an UNCLOSED script cannot be bounded — its tag strips, code stays
+    // (the documented degradation; a quality gate drops such docs)
+    assert(strip("a <script>code") == "a code")
+    assert(strip("  a\t\n b  ") == "a b")
+  }
+
   test("NB quality classifier separates clean prose from junk on held-out docs") {
     val labeled = Seq(
       (1L, "the quick brown fox jumps over the lazy dog", 1),
