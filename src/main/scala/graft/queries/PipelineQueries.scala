@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Curation, Dedup, HashFamily, History, Multimodal, Retrieval, Similarity, TextAnalysis, Tokenizer}
+import graft.operators.{Curation, Dedup, HashFamily, History, IntervalJoin, Multimodal, Retrieval, Similarity, TextAnalysis, Tokenizer}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -771,6 +771,29 @@ object PipelineQueries extends QueryPack {
         .asOf(purchases, clicks, keyCols = Seq("user_id"), leftTs = "ts", rightTs = "ts",
           rightPayload = Seq("click_ts", "click_value"))
         .orderBy(col("event_id"))
+    },
+    // interval-overlap join: per-user exposure windows derived from
+    // events, even-vs-odd ids as the two sides — bucketized to a
+    // (key, grid-cell) EQUI-join with emit-once at the max(starts)
+    // cell (IntervalJoin scaladoc), where the naive inequality join
+    // is a per-key nested loop
+    "q_interval_join" -> { (s, dir) =>
+      val iv = Tables.load(s, dir, "events")
+        .select(
+          col("user_id"), col("event_id"), col("ts").as("s"),
+          expr("timestampadd(SECOND, CAST(FLOOR(value * 37) AS INT) % 7200 + 600, ts)")
+            .as("e"))
+      val l = iv.filter(col("event_id") % 2 === 0)
+        .select(col("user_id"), col("event_id").as("l_id"),
+          col("s").as("l_s"), col("e").as("l_e"))
+      val r = iv.filter(col("event_id") % 2 === 1)
+        .select(col("user_id"), col("event_id").as("r_id"),
+          col("s").as("r_s"), col("e").as("r_e"))
+      IntervalJoin
+        .overlap(l, r, Seq("user_id"), "l_s", "l_e", "r_s", "r_e",
+          bucketSeconds = 1800)
+        .select(col("user_id"), col("l_id"), col("r_id"))
+        .orderBy(col("l_id"), col("r_id"))
     },
     // WET extraction: deterministic markup synthesized around each
     // doc (uppercase script tag + spaced close pin case/whitespace
@@ -2468,6 +2491,18 @@ object PipelineQueries extends QueryPack {
         |FROM purchases p ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND c.ts <= p.ts
         |ORDER BY p.event_id""".stripMargin,
+    // mirrors IntervalJoin.overlap: DuckDB's inequality join IS the
+    // executable spec of the bucketized equi-join form
+    "q_interval_join" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id, ts AS s,
+        |         ts + ((CAST(FLOOR(value * 37) AS INT) % 7200 + 600) * INTERVAL 1 SECOND) AS e
+        |  FROM events),
+        |l AS (SELECT user_id, event_id AS l_id, s AS l_s, e AS l_e FROM iv WHERE event_id % 2 = 0),
+        |r AS (SELECT user_id, event_id AS r_id, s AS r_s, e AS r_e FROM iv WHERE event_id % 2 = 1)
+        |SELECT l.user_id, l_id, r_id
+        |FROM l JOIN r ON l.user_id = r.user_id AND l_s < r_e AND r_s < l_e
+        |ORDER BY l_id, r_id""".stripMargin,
     // mirrors Curation.stripMarkup: script/style with contents, tags,
     // entity pairs (ampersand forms last), whitespace collapse
     "q_strip_markup" ->

@@ -128,7 +128,17 @@ object IncrementalScd2 {
       spark.read.parquet(storeDir).drop(BatchCol),
       keyCols, tsCol, attrCols, tieBreak, collapseUnchanged = false)
 
-  /** Drive the loop from a stream: one [[ingestBatch]] per micro-batch. */
+  /** Drive the loop from a stream: one [[ingestBatch]] per micro-batch.
+    *
+    * @param compactEvery every N batches, fold the store's accreted
+    *   per-batch files back to ~`targetBytes` files
+    *   ([[graft.sources.Lake.compact]]) — without it a long-running
+    *   loop accumulates one file set per micro-batch and the store
+    *   read in step 2 becomes footer-bound. The `ingest_batch` stamp
+    *   is a data COLUMN, so replay idempotence survives the rewrite;
+    *   compaction only needs the store quiescent, which foreachBatch
+    *   guarantees (batches of one query never overlap).
+    */
   def attach(
       arriving: DataFrame,
       storeDir: String,
@@ -136,14 +146,21 @@ object IncrementalScd2 {
       tsCol: String,
       attrCols: Seq[String],
       tieBreak: Seq[String],
-      checkpointLocation: Option[String] = None
+      checkpointLocation: Option[String] = None,
+      compactEvery: Option[Int] = None,
+      compactTargetBytes: Long = 128L * 1024 * 1024
   ): StreamingQuery = {
+    require(compactEvery.forall(_ > 0), "compactEvery must be positive")
     val spark = arriving.sparkSession
     val writer = arriving.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         ingestBatch(spark, batch, storeDir, keyCols, tsCol, attrCols, tieBreak,
           batchId = Some(bid))
+        compactEvery.foreach { n =>
+          if (bid > 0 && bid % n == 0)
+            graft.sources.Lake.compact(spark, storeDir, compactTargetBytes)
+        }
       }
     checkpointLocation
       .fold(writer)(c => writer.option("checkpointLocation", c))

@@ -68,6 +68,32 @@ class IncrementalScd2Spec extends SparkSpec {
     assert(current == Map("A" -> "x", "B" -> "z", "C" -> "v"))
   }
 
+  test("periodic compaction bounds the store's file count without losing state") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_scd2c").toString + "/store"
+    IncrementalScd2.seed(
+      Seq(("A", t(0), 0L, "s")).toDF("k", "ts", "id", "attr"), dir, K, "ts", A, T)
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(String, Timestamp, Long, String)]
+    val q = IncrementalScd2.attach(
+      mem.toDF().toDF("k", "ts", "id", "attr"), dir, K, "ts", A, T,
+      compactEvery = Some(2), compactTargetBytes = 1L << 20)
+    try {
+      (1 to 6).foreach { i =>
+        mem.addData(("A", t(i), i.toLong, s"v$i"))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val files = Option(new java.io.File(dir).listFiles()).get
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    // 7 appends (seed + 6) would leave ≥ 7 files; compaction folds them
+    assert(files <= 3, s"expected a compacted store, found $files files")
+    // state intact: 7 versions of A (s, v1..v6), v6 current
+    val v = IncrementalScd2.view(spark, dir, K, "ts", A, T)
+    assert(v.count() == 7)
+    assert(v.filter($"is_current").select($"attr").as[String].collect().toSeq == Seq("v6"))
+  }
+
   test("replayed batch is a no-op (batchId-keyed append)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_scd2r").toString + "/store"
     IncrementalScd2.seed(
