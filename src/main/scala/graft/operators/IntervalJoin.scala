@@ -67,4 +67,43 @@ object IntervalJoin {
       .filter(greatest(col("__lb0"), col("__rb0")) === col("__bucket"))
       .drop("__bucket", "__lb0", "__rb0")
   }
+
+  /** Streaming overlap join — Spark's native stream-stream join IS the
+    * right engine here (state-store hash join + watermark pruning); the
+    * operator's job is to derive the state-bound conditions it needs.
+    * `maxSpanSeconds` (an upper bound on EITHER side's interval length
+    * — enforce upstream) implies overlapping starts lie within
+    * ±maxSpan, which gives the join the start-to-start range Spark
+    * requires to seal and evict state at the watermark. Without that
+    * derived bound the raw `s < e` conditions keep state forever.
+    *
+    * Inner join only: interval overlap is symmetric, and outer
+    * null-padding for never-overlapped intervals belongs to the
+    * WITHIN-join family ([[graft.plans.Planner]]).
+    */
+  def overlapStream(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftStart: String,
+      leftEnd: String,
+      rightStart: String,
+      rightEnd: String,
+      maxSpanSeconds: Long,
+      watermarkDelay: String = "10 seconds"
+  ): DataFrame = {
+    require(maxSpanSeconds > 0, "maxSpanSeconds must be positive")
+    val lw = left.withWatermark(leftStart, watermarkDelay)
+    val rw = right.withWatermark(rightStart, watermarkDelay)
+    val keyCond = keyCols
+      .map(k => lw(k) === rw(k))
+      .reduce(_ && _)
+    val overlapCond =
+      lw(leftStart) < rw(rightEnd) && rw(rightStart) < lw(leftEnd)
+    val stateBound =
+      rw(rightStart) >= lw(leftStart) - expr(s"INTERVAL $maxSpanSeconds SECONDS") &&
+        rw(rightStart) <= lw(leftStart) + expr(s"INTERVAL $maxSpanSeconds SECONDS")
+    val joined = lw.join(rw, keyCond && overlapCond && stateBound, "inner")
+    keyCols.foldLeft(joined)((d, k) => d.drop(rw(k)))
+  }
 }

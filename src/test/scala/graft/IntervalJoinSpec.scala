@@ -68,6 +68,31 @@ class IntervalJoinSpec extends SparkSpec {
     assert(naive.nonEmpty && bucketized == naive)
   }
 
+  test("streaming overlap join matches pairs and excludes the half-open touch") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val lm = MemoryStream[(String, Long, Timestamp, Timestamp)]
+    val rm = MemoryStream[(String, Long, Timestamp, Timestamp)]
+    val out = IntervalJoin.overlapStream(
+      lm.toDF().toDF("k", "l_id", "l_s", "l_e"),
+      rm.toDF().toDF("k", "r_id", "r_s", "r_e"),
+      Seq("k"), "l_s", "l_e", "r_s", "r_e", maxSpanSeconds = 300)
+    val q = out.writeStream.format("memory").queryName("ij_stream")
+      .outputMode("append").start()
+    try {
+      lm.addData(("A", 1L, t(0), t(100)), ("A", 2L, t(500), t(900)))
+      rm.addData(
+        ("A", 11L, t(90), t(110)), // overlaps 1
+        ("A", 12L, t(100), t(200)), // touches 1 at 100 → excluded
+        ("A", 13L, t(600), t(650)), // nested in 2
+        ("B", 14L, t(0), t(1000))) // wrong key
+      q.processAllAvailable()
+      val got = spark.table("ij_stream")
+        .select($"l_id", $"r_id").as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 11L), (2L, 13L)))
+    } finally q.stop()
+  }
+
   test("plans a hash equi-join, not a nested loop") {
     val l = mk(("A", 1L, 0L, 100L)).toDF("k", "l_id", "l_s", "l_e")
     val r = mk(("A", 2L, 50L, 150L)).toDF("k", "r_id", "r_s", "r_e")
