@@ -358,6 +358,54 @@ object Curation {
       .drop("__rk")
   }
 
+  /** WEIGHTED exact-k sampling without replacement per stratum —
+    * Efraimidis–Spirakis (2006) exponential keys: rank rows by
+    * `−ln(u)/w` ascending (u a seeded per-id uniform, w the weight)
+    * and keep the k smallest. Inclusion probability is proportional
+    * to weight, the draw is WITHOUT replacement, and — because u is a
+    * pure function of (seed, id), the established sampler convention
+    * here — the same corpus, seed and weights reproduce the same
+    * sample on any engine or partitioning. The quality-weighted /
+    * token-weighted corpus draw every mixture pipeline needs, with
+    * [[sampleExactK]]'s exact-count guarantee.
+    *
+    * Keys round to 6 dp before ranking with the id tie-break (the
+    * pruneByPrototypicality rule: last-ulp libm divergence between
+    * engines must not flip a rank). Scale: the identical one-window
+    * WindowGroupLimit shape as [[sampleExactK]] — no global sort, no
+    * count pre-pass. Rows with non-positive weight are dropped
+    * (A-ES is undefined there; give junk weight 0 to exclude it).
+    */
+  def sampleWeightedK(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      weightCol: String,
+      k: Int,
+      seed: Long,
+      hashFamily: HashFamily = HashFamily.Md5
+  ): DataFrame = {
+    require(k >= 0, s"k must be >= 0, got $k")
+    // uniform in (0, 1]: the md5-first-8-hex convention, +1 so ln never
+    // sees zero (u = 1 gives key 0 — a legal best rank, not an inf)
+    val u = hashFamily match {
+      case HashFamily.Md5 =>
+        (conv(substring(md5(concat(lit(seed.toString), lit("|"),
+          col(idCol).cast("string"))), 1, 8), 16, 10).cast("long") % 1000000L
+          + 1L) / 1000001.0
+      case HashFamily.XxHash64 =>
+        (pmod(xxhash64(lit(seed), col(idCol)), lit(1000000L)) + 1L) / 1000001.0
+    }
+    val key = round(-log(u) / col(weightCol), 6)
+    val w = Window
+      .partitionBy(col(strataCol))
+      .orderBy(key.asc, col(idCol).asc)
+    df.filter(col(weightCol) > 0)
+      .withColumn("__rk", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rk") <= k)
+      .withColumnRenamed("__rk", "sample_rank")
+  }
+
   def sampleStratified(
       idCol: String,
       strataCol: String,

@@ -772,6 +772,19 @@ object PipelineQueries extends QueryPack {
           rightPayload = Seq("click_ts", "click_value"))
         .orderBy(col("event_id"))
     },
+    // token-weighted exact-k corpus draw per source (Efraimidis-
+    // Spirakis exponential keys; Curation.sampleWeightedK scaladoc) —
+    // same WindowGroupLimit shape as q_sample_exact_k, inclusion
+    // probability ∝ token count
+    "q_sample_weighted" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      Curation
+        .sampleWeightedK(d, "doc_id", "source", "n_tokens", k = 20, seed = 7L)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("sample_rank").cast("long").as("sample_rank"))
+        .orderBy(col("source"), col("sample_rank"))
+    },
     // interval-overlap join: per-user exposure windows derived from
     // events, even-vs-odd ids as the two sides — bucketized to a
     // (key, grid-cell) EQUI-join with emit-once at the max(starts)
@@ -2491,6 +2504,24 @@ object PipelineQueries extends QueryPack {
         |FROM purchases p ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND c.ts <= p.ts
         |ORDER BY p.event_id""".stripMargin,
+    // mirrors Curation.sampleWeightedK: same md5-first-8-hex uniform,
+    // −LN(u)/w keys rounded to 6dp, id tie-break
+    "q_sample_weighted" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         (CAST('0x' || SUBSTRING(MD5('7|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |            % 1000000 + 1) / 1000001.0 AS u
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         ROUND(-LN(u) / n_tokens, 6) AS skey
+        |  FROM t WHERE n_tokens > 0)
+        |SELECT doc_id, source, n_tokens,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY skey, doc_id) AS BIGINT) AS sample_rank
+        |FROM k
+        |QUALIFY sample_rank <= 20
+        |ORDER BY source, sample_rank""".stripMargin,
     // mirrors IntervalJoin.overlap: DuckDB's inequality join IS the
     // executable spec of the bucketized equi-join form
     "q_interval_join" ->

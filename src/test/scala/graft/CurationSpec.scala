@@ -596,6 +596,28 @@ class CurationSpec extends SparkSpec {
     assert(r.toSeq == Seq(12L, 11L, 20L))
   }
 
+  test("sampleWeightedK: exact counts, weight bias, determinism, zero-weight drop") {
+    val rows = (0 until 200).map(i => (i.toLong, "s", 1.0)) ++
+      (200 until 205).map(i => (i.toLong, "s", 1000.0)) ++
+      (300 until 303).map(i => (i.toLong, "t", 5.0)) ++
+      Seq((400L, "t", 0.0), (401L, "t", -2.0)) // dropped
+    val df = rows.toDF("doc_id", "source", "w")
+    val got = Curation.sampleWeightedK(df, "doc_id", "source", "w", k = 10, seed = 3L)
+    // exact per-stratum counts: min(k, positive-weight rows)
+    val bySrc = got.groupBy($"source").count().as[(String, Long)].collect().toMap
+    assert(bySrc == Map("s" -> 10L, "t" -> 3L))
+    // 1000×-weight rows dominate a k=10 draw over 200 unit-weight rows
+    val heavy = got.filter($"doc_id" >= 200 && $"doc_id" < 205).count()
+    assert(heavy == 5, s"expected all 5 heavy rows sampled, got $heavy")
+    // deterministic per seed; a different seed redraws the light picks
+    val again = Curation.sampleWeightedK(df, "doc_id", "source", "w", 10, 3L)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(again == got.select($"doc_id").as[Long].collect().toSet)
+    val other = Curation.sampleWeightedK(df, "doc_id", "source", "w", 10, 4L)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(other != again)
+  }
+
   test("stripMarkup: blocks with contents, tags, single-pass entities, whitespace") {
     def strip(s: String): String = {
       val df = Seq(s).toDF("raw").select(Curation.stripMarkup($"raw").as("c"))
