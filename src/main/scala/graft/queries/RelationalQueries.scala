@@ -139,6 +139,25 @@ object RelationalQueries extends QueryPack {
     // EventSet newest-N, distributed per-key form (EventSetLimitExtensions
     // keeps the NEWEST records; GraftContext.latest is the client-pull
     // variant of the same ordering)
+    // time-RANGE rolling window (trailing 1 day per user): the frame is
+    // VALUE-bounded, so duplicate timestamps need no tie-break — every
+    // row at ts' ∈ [ts − 1d, ts] is in the frame regardless of order.
+    // Key-partitioned sliding state; at 100 TB the same per-key window
+    // argument as scd2/as-of applies (hottest key bounds a task)
+    "q_rolling_range" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-86400000000L, 0L)
+      graft.sources.Tables
+        .load(s, dir, "events")
+        .select(
+          col("event_id"), col("user_id"), col("ts"),
+          round(sum(col("value")).over(w), 6).as("rolling_1d"),
+          count(lit(1)).over(w).cast("long").as("n_1d"))
+        .orderBy(col("event_id"))
+    },
+
     "q_latest_n" -> { (s, dir) =>
       graft.operators.TopN
         .newestPerKey(
@@ -332,6 +351,16 @@ object RelationalQueries extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    // mirrors q_rolling_range: RANGE frames are value-bounded —
+    // inclusive [ts − 1 day, ts] on both engines, no tie-break needed
+    "q_rolling_range" ->
+      """SELECT event_id, user_id, ts,
+        |       ROUND(SUM(value) OVER w, 6) AS rolling_1d,
+        |       CAST(COUNT(*) OVER w AS BIGINT) AS n_1d
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 1 DAY PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q_filter_project" ->
       """SELECT l_orderkey, l_linenumber,
         |       l_extendedprice * (1 - l_discount) AS net_price
