@@ -198,6 +198,66 @@ object StreamingCuration {
       Seq(idCol), "left")
   }
 
+  /** Persist the Naive-Bayes quality model (the round-11 batch
+    * classifier, [[graft.operators.TextAnalysis.nbTokenWeights]]): the
+    * vocabulary-sized log-odds table + the one-row prior. The labeled
+    * pass — the only corpus-scale work — happens HERE, once.
+    */
+  def seedNbClassifier(
+      labeled: DataFrame,
+      modelDir: String,
+      textCol: String = "text",
+      labelCol: String = "y"
+  ): Unit = {
+    val (weights, prior) =
+      graft.operators.TextAnalysis.nbTokenWeights(labeled, textCol, labelCol)
+    weights.write.mode("overwrite").parquet(s"$modelDir/weights")
+    prior.write.mode("overwrite").parquet(s"$modelDir/prior")
+  }
+
+  /** Score one micro-batch against the persisted NB model —
+    * batch-sized work only (the weight join broadcasts). */
+  def nbBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      modelDir: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame =
+    graft.operators.TextAnalysis.nbScore(
+      batch, idCol, textCol,
+      spark.read.parquet(s"$modelDir/weights"),
+      spark.read.parquet(s"$modelDir/prior"))
+
+  /** Attach the NB quality gate to a stream: per micro-batch, score
+    * against the seeded model and append rows with `score > minScore`
+    * to `outDir`, stamped and replay-idempotent.
+    */
+  def attachNbGate(
+      docs: DataFrame,
+      modelDir: String,
+      outDir: String,
+      checkpointDir: String,
+      minScore: Double = 0.0,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        if (!hasBatch(spark, outDir, batchId)) {
+          nbBatch(spark, batch, modelDir, idCol, textCol)
+            .filter(col("score") > minScore)
+            .join(batch, Seq(idCol))
+            .withColumn(BatchCol, lit(batchId))
+            .write.mode("append").parquet(outDir)
+        }
+        ()
+      }
+      .start()
+
   /** Attach the perplexity gate to a stream: per micro-batch, score
     * against the seeded LM and append rows in buckets ≤ `keepMaxBucket`
     * to `outDir`, stamped and replay-idempotent.

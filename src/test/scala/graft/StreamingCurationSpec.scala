@@ -108,6 +108,38 @@ class StreamingCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming NB gate keeps clean-like docs against the persisted model across batches") {
+    val root = java.nio.file.Files.createTempDirectory("graft_nb_stream").toString
+    val modelDir = s"$root/model"
+    val outDir = s"$root/kept"
+    val labeled = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", 1),
+      (2L, "a clear well formed sentence with common words", 1),
+      (3L, "the dog and the fox ran over a green field", 1),
+      (4L, "buy buy buy cheap cheap pills pills pills now now", 0),
+      (5L, "zzz qqq xxx zzz qqq xxx spam spam spam spam", 0),
+      (6L, "click here click here cheap pills zzz spam now", 0)
+    ).toDF("doc_id", "text", "y")
+    StreamingCuration.seedNbClassifier(labeled, modelDir)
+
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingCuration.attachNbGate(
+      mem.toDF().toDF("doc_id", "text"), modelDir, outDir, s"$root/chk")
+    try {
+      mem.addData((100L, "the brown dog jumps over a green field"))
+      q.processAllAvailable()
+      mem.addData((101L, "cheap spam pills zzz qqq click now"))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(outDir).select($"doc_id").as[Long].collect().toSet
+      assert(kept == Set(100L), s"junk-like 101 must score below 0 — got $kept")
+      // the original text and the audit columns both land in the store
+      val cols = spark.read.parquet(outDir).columns.toSet
+      assert(Set("text", "score", "pred_quality", "n_tokens").subsetOf(cols))
+    } finally q.stop()
+  }
+
   test("gate and decontamination appends are replay-idempotent (batchId-keyed)") {
     val root = java.nio.file.Files.createTempDirectory("graft_replay").toString
     val modelDir = s"$root/model"
