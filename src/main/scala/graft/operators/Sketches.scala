@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.CountMinSketch
+
+/** Mergeable-sketch corpus statistics: the "precompute per shard, merge at
+  * read" primitive that makes fleet-wide distinct counts, cross-corpus
+  * overlap estimates and heavy-hitter probes O(sketch) instead of
+  * O(corpus) at 100 TB.
+  *
+  * The reference exposes only exact streaming aggregates (Count /
+  * CountDistinct — ref: src/Query/Builders/ProjectionBuilder.cs aggregate
+  * map); at 100 TB an exact global COUNT(DISTINCT token) is a full-corpus
+  * shuffle EVERY time someone asks. Sketches invert the cost model:
+  *
+  *   - each ingest batch / table shard aggregates once into a few-KB
+  *     binary sketch (map-side combinable, one pass, scan speed);
+  *   - the persisted sketch table is re-aggregatable: any rollup
+  *     (per-source, per-day, global) is a union over KB-sized binaries —
+  *     no rescan of the corpus, ever;
+  *   - set algebra (theta intersection/difference) answers "how much of
+  *     the eval set leaked into train?" WITHOUT the decontamination join,
+  *     at any scale, in milliseconds.
+  *
+  * Everything here rides Spark's native DataSketches-backed aggregates
+  * (`hll_sketch_agg`, `theta_sketch_agg`, codegen'd, no UDFs); estimates
+  * are deterministic for a fixed lgK, so results are stable across runs
+  * (pinned in SketchesSpec). No DuckDB mirror exists for the DataSketches
+  * wire format, so the gated rows live in benchDefs with spec-pinned
+  * accuracy instead of a SQL oracle (same convention as the xxhash64
+  * twins — see QueryPack).
+  */
+object Sketches {
+
+  /** Default lgK (2^12 registers ≈ 4 KB, ~1.6% HLL relative error). */
+  val DefaultLgK = 12
+
+  /** Per-shard HLL sketches over `valueCol`, one row per `shardCols`
+    * group. This is the WRITE side of the pattern: run once per ingest
+    * batch and persist next to the data. Scale shape: one hash
+    * aggregate; partial sketches merge map-side, so the exchange carries
+    * |shards| × ~4 KB regardless of corpus size.
+    */
+  def hllShardSketches(
+      df: DataFrame,
+      shardCols: Seq[String],
+      valueCol: String,
+      lgK: Int = DefaultLgK
+  ): DataFrame = {
+    require(shardCols.nonEmpty, "need at least one shard column")
+    df.groupBy(shardCols.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lgK).as("hll_sketch"))
+  }
+
+  /** READ side: roll persisted shard sketches up to `groupCols` (empty =
+    * global) and estimate the distinct count. Union of register-wise
+    * maxes is lossless at a fixed lgK: merging shard sketches yields the
+    * SAME estimate as sketching the union directly (asserted in
+    * SketchesSpec), so rollups never re-read the corpus.
+    */
+  def hllMergeEstimate(
+      sketches: DataFrame,
+      groupCols: Seq[String],
+      sketchCol: String = "hll_sketch"
+  ): DataFrame = {
+    val merged = hll_sketch_estimate(hll_union_agg(col(sketchCol), false))
+      .as("distinct_est")
+    if (groupCols.isEmpty) sketches.agg(merged)
+    else sketches.groupBy(groupCols.map(col): _*).agg(merged)
+  }
+
+  /** One-row cross-corpus set-overlap estimate via theta sketches:
+    * |A|, |B|, |A∩B|, |A∪B|, Jaccard and containment(A in B's direction
+    * of interest: |A∩B|/|A|) — the decontamination SIZING question
+    * ("is it worth running the full fuzzy decontaminate?") answered with
+    * two one-pass scans and zero joins. Each side collapses to a single
+    * few-KB sketch before the (1×1, broadcast) combine.
+    */
+  def thetaOverlap(
+      left: DataFrame,
+      right: DataFrame,
+      valueCol: String,
+      lgK: Int = DefaultLgK
+  ): DataFrame = {
+    val l = left.agg(theta_sketch_agg(col(valueCol), lgK).as("sk_l"))
+    val r = right.agg(theta_sketch_agg(col(valueCol), lgK).as("sk_r"))
+    l.crossJoin(broadcast(r))
+      .select(
+        theta_sketch_estimate(col("sk_l")).as("est_left"),
+        theta_sketch_estimate(col("sk_r")).as("est_right"),
+        theta_sketch_estimate(theta_intersection(col("sk_l"), col("sk_r")))
+          .as("est_intersection"),
+        theta_sketch_estimate(theta_union(col("sk_l"), col("sk_r")))
+          .as("est_union"),
+        round(
+          theta_sketch_estimate(theta_intersection(col("sk_l"), col("sk_r")))
+            .cast("double") /
+            theta_sketch_estimate(theta_union(col("sk_l"), col("sk_r"))),
+          6
+        ).as("jaccard_est"),
+        round(
+          theta_sketch_estimate(theta_intersection(col("sk_l"), col("sk_r")))
+            .cast("double") /
+            theta_sketch_estimate(col("sk_l")),
+          6
+        ).as("containment_est")
+      )
+  }
+
+  /** Per-group theta sketches (WRITE side for set algebra rollups). */
+  def thetaShardSketches(
+      df: DataFrame,
+      shardCols: Seq[String],
+      valueCol: String,
+      lgK: Int = DefaultLgK
+  ): DataFrame = {
+    require(shardCols.nonEmpty, "need at least one shard column")
+    df.groupBy(shardCols.map(col): _*)
+      .agg(theta_sketch_agg(col(valueCol), lgK).as("theta_sketch"))
+  }
+
+  /** Count-min sketch over `valueCol`, returned as the driver-side probe
+    * object. The aggregate is distributed (map-side combinable); only the
+    * FINAL sketch — eps/e × ln(1/(1-confidence)) counters, a few KB —
+    * crosses to the driver, same bounded-model contract as the ANN
+    * codebooks (Similarity.trainPq). Probe guarantees (spec-pinned):
+    * estimate(x) ≥ true(x), and ≤ true(x) + eps·N w.p. `confidence`.
+    */
+  def cmsSketch(
+      df: DataFrame,
+      valueCol: String,
+      eps: Double = 0.0001,
+      confidence: Double = 0.99,
+      seed: Int = 42
+  ): CountMinSketch = {
+    val bytes = df
+      .agg(count_min_sketch(col(valueCol), lit(eps), lit(confidence), lit(seed))
+        .as("cms"))
+      .head()
+      .getAs[Array[Byte]]("cms")
+    CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+  }
+
+  /** Probe a bounded candidate list against a CMS (driver-side; the
+    * sketch is KBs, the candidates are a human-sized list). */
+  def cmsProbe(sketch: CountMinSketch, items: Seq[Any]): Seq[(Any, Long)] =
+    items.map(i => i -> sketch.estimateCount(i))
+
+  /** Tokenize helper shared by the sketch queries: whitespace tokens of
+    * `textCol`, exploded — the same token definition as
+    * TextAnalysis.vocabulary so sketch estimates are comparable to the
+    * exact vocabulary counts.
+    */
+  def explodedTokens(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(col(textCol), " ")).as("token"))
+
+  /** Exploded tokens keeping `keep` passthrough columns. */
+  def explodedTokens(df: DataFrame, textCol: String, keep: Seq[String]): DataFrame =
+    df.select(keep.map(col) :+ explode(split(col(textCol), " ")).as("token"): _*)
+}

@@ -475,6 +475,65 @@ object TextAnalysis {
         round(avg(-log(col("__c2").cast("double") / col("__c1"))), 6).as("avg_neg_logprob2"))
   }
 
+  /** PMI phrase mining over adjacent token pairs (Church & Hanks 1990
+    * association ratio): PMI(a,b) = ln( P(ab) / (P(a)·P(b)) ) with P(ab)
+    * from the bigram table and P(·) from the unigram table — the
+    * standard collocation detector used to promote multi-word
+    * expressions ("new york", "machine learning") to single tokenizer
+    * units before BPE training (see Tokenizer).
+    *
+    * Determinism contract (oracle-gated): every probability is a ratio
+    * of EXACT longs, so the doubles entering `ln` are bit-identical
+    * cross-engine; `ln` itself is libm (±1 ulp), absorbed by the 6-dp
+    * round per QueryPack conventions, and the top-K boundary is
+    * tie-broken on (prev, term).
+    *
+    * Scale shape: two map-side-combinable hash aggregates (unigram,
+    * bigram counts — both vocabulary-bounded, NOT corpus-bounded), two
+    * equi-joins between them, broadcast 1-row totals, and a TakeOrdered
+    * top-K — no global window, no corpus re-shuffle. `minCount` prunes
+    * the hapax tail before the joins, which is also what keeps PMI from
+    * degenerating to rare-pair noise.
+    */
+  def pmiPhrases(
+      df: DataFrame,
+      textCol: String,
+      minCount: Int = 5,
+      topK: Int = 50
+  ): DataFrame = {
+    require(minCount >= 1 && topK >= 1, "minCount and topK must be >= 1")
+    val toks = df.select(explode(split(col(textCol), " ")).as("token"))
+    val uni = toks.groupBy(col("token")).agg(count(lit(1)).as("c1"))
+    val tot = toks.agg(count(lit(1)).as("t"))
+    val pairs = df
+      .withColumn("__t", split(col(textCol), " "))
+      // same >= 2 guard as bigramLogProb: sequence(2, 1) is DESCENDING
+      .filter(size(col("__t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(2, size(__t)), i -> struct(__t[i-2] AS prev, __t[i-1] AS term))"
+      )).as("b"))
+      .select(col("b.prev").as("prev"), col("b.term").as("term"))
+    val bigc = pairs.groupBy(col("prev"), col("term")).agg(count(lit(1)).as("c2"))
+    val btot = pairs.agg(count(lit(1)).as("b"))
+    bigc
+      .filter(col("c2") >= minCount)
+      .join(uni.select(col("token").as("prev"), col("c1").as("__c1p")), "prev")
+      .join(uni.select(col("token").as("term"), col("c1").as("__c1t")), "term")
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(btot))
+      .select(
+        col("prev"),
+        col("term"),
+        col("c2"),
+        round(
+          log((col("c2") / col("b")) /
+            ((col("__c1p") / col("t")) * (col("__c1t") / col("t")))),
+          6
+        ).as("pmi"))
+      .orderBy(col("pmi").desc, col("prev"), col("term"))
+      .limit(topK)
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
     * Extracting high quality monolingual datasets from web crawl
     * data"): score each document with the corpus-unigram LM

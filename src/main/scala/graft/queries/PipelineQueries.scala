@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Curation, Dedup, HashFamily, History, IntervalJoin, Multimodal, Retrieval, Similarity, TextAnalysis, Tokenizer}
+import graft.operators.{Curation, Dedup, HashFamily, History, IntervalJoin, Multimodal, Retrieval, Similarity, Sketches, TextAnalysis, Tokenizer}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -849,6 +849,15 @@ object PipelineQueries extends QueryPack {
           keyCols = Seq("user_id"), tsCol = "ts",
           attrCols = Seq("event_type"), tieBreak = Seq("event_id"))
         .orderBy(col("user_id"), col("version"))
+    },
+    // PMI collocation mining: vocab-bounded count aggs + equi-joins +
+    // TakeOrdered top-K — no global window, corpus scanned twice and
+    // never re-shuffled (TextAnalysis.pmiPhrases scaladoc)
+    "q_pmi_bigrams" -> { (s, dir) =>
+      TextAnalysis
+        .pmiPhrases(Tables.load(s, dir, "documents"), "text",
+          minCount = 5, topK = 50)
+        .orderBy(col("pmi").desc, col("prev"), col("term"))
     }
   )
 
@@ -1146,6 +1155,35 @@ object PipelineQueries extends QueryPack {
       Tokenizer
         .tokenize(docs, "text", model)
         .select(col("doc_id"), col("n_tokens"), col("tokens"))
+    },
+    // mergeable HLL rollup: per-(source × hash-shard) token sketches —
+    // the persisted WRITE side — merged back to per-source distinct
+    // estimates. The exchange carries |shards| × 4 KB sketches, never
+    // tokens; a global re-rollup is a re-aggregate of the sketch table,
+    // not a corpus rescan. Bench-only: DataSketches estimates have no
+    // DuckDB mirror; accuracy + merge-losslessness spec-pinned
+    // (SketchesSpec)
+    "q_hll_tokens" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val toks = Sketches.explodedTokens(
+        d.withColumn("shard", (col("doc_id") % 8).cast("int")),
+        "text", Seq("source", "shard"))
+      val shardSketches =
+        Sketches.hllShardSketches(toks, Seq("source", "shard"), "token")
+      Sketches
+        .hllMergeEstimate(shardSketches, Seq("source"))
+        .orderBy(col("source"))
+    },
+    // decontamination sizing without the join: theta-sketch overlap
+    // between the train split and the held-out split's token sets —
+    // |∩|, |∪|, Jaccard, containment from two one-pass scans and a
+    // broadcast 1×1 combine. Bench-only; ±10% accuracy vs the exact
+    // intersection is spec-pinned (SketchesSpec)
+    "q_theta_overlap" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val train = Sketches.explodedTokens(d.filter(col("doc_id") % 10 =!= 0), "text")
+      val eval = Sketches.explodedTokens(d.filter(col("doc_id") % 10 === 0), "text")
+      Sketches.thetaOverlap(train, eval, "token")
     }
   )
 
@@ -2012,6 +2050,29 @@ object PipelineQueries extends QueryPack {
         |       ROUND(AVG(-LN(CAST(c2.c2 AS DOUBLE) / c1.c1)), 6) AS avg_neg_logprob2
         |FROM pairs p JOIN c2 USING (prev, term) JOIN c1 USING (prev)
         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+    // mirrors q_pmi_bigrams: all probabilities are ratios of exact
+    // longs; LN is libm, absorbed by ROUND(6); top-K boundary is
+    // tie-broken on (prev, term)
+    "q_pmi_bigrams" ->
+      """WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+        |toks AS (SELECT UNNEST(w) AS token FROM d),
+        |uni AS (SELECT token, COUNT(*) AS c1 FROM toks GROUP BY token),
+        |tot AS (SELECT COUNT(*) AS t FROM toks),
+        |big0 AS (
+        |  SELECT w[i] AS prev, w[i+1] AS term
+        |  FROM d, UNNEST(GENERATE_SERIES(1, LEN(w)-1)) AS u(i)
+        |  WHERE LEN(w) >= 2),
+        |bigc AS (SELECT prev, term, COUNT(*) AS c2 FROM big0 GROUP BY prev, term),
+        |btot AS (SELECT COUNT(*) AS b FROM big0)
+        |SELECT prev, term, c2,
+        |       ROUND(LN((c2 / b.b) / ((u1.c1 / t.t) * (u2.c1 / t.t))), 6) AS pmi
+        |FROM bigc
+        |JOIN uni u1 ON u1.token = bigc.prev
+        |JOIN uni u2 ON u2.token = bigc.term
+        |CROSS JOIN tot t CROSS JOIN btot b
+        |WHERE c2 >= 5
+        |ORDER BY pmi DESC, prev, term
+        |LIMIT 50""".stripMargin,
     "q_unigram_logprob" ->
       """WITH tok AS (
         |  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents),

@@ -347,6 +347,20 @@ object RelationalQueries extends QueryPack {
         .agg(graft.functions.KFunctions.histogram(col("bucket")).as("hmap"))
         .select(col("event_type"), to_json(col("hmap")).as("hist"))
         .orderBy(col("event_type"))
+    },
+
+    // per-type z-score outliers: exact decimal moments → broadcast
+    // stats join → scan-local flag (operators/Anomaly scaladoc for the
+    // determinism + one-pass scale argument)
+    "q_anomaly_zscore" -> { (s, dir) =>
+      graft.operators.Anomaly
+        .zScoreOutliers(
+          graft.sources.Tables.load(s, dir, "events"),
+          keyCol = "event_type",
+          valueCol = "value",
+          keepCols = Seq("event_id"),
+          threshold = 2.5)
+        .orderBy(col("event_id"))
     }
   )
 
@@ -486,7 +500,22 @@ object RelationalQueries extends QueryPack {
         |SELECT event_type,
         |       '{' || STRING_AGG('"' || bucket || '":' || CAST(cnt AS VARCHAR), ',' ORDER BY bucket) || '}' AS hist
         |FROM b GROUP BY event_type
-        |ORDER BY event_type""".stripMargin
+        |ORDER BY event_type""".stripMargin,
+    // mirrors q_anomaly_zscore: DECIMAL moments are exact, so s1/s2/n —
+    // and therefore every downstream IEEE double op — are bit-identical
+    // across engines; ROUND(6) only absorbs the final formatting
+    "q_anomaly_zscore" ->
+      """WITH s AS (
+        |  SELECT event_type,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s2,
+        |         COUNT(*) AS n
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, e.value,
+        |       ROUND((e.value - s.s1/s.n) / SQRT((s.s2 - s.s1*s.s1/s.n) / (s.n-1)), 6) AS z
+        |FROM events e JOIN s USING (event_type)
+        |WHERE ABS((e.value - s.s1/s.n) / SQRT((s.s2 - s.s1*s.s1/s.n) / (s.n-1))) > 2.5
+        |ORDER BY event_id""".stripMargin
   )
 
   private def catalog(s: SparkSession, dir: String) =
