@@ -28,9 +28,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * ([[CodegenFallback]]): the loops are already tight JVM code, same
   * rationale as [[SimHashText]].
   */
-case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+case class BpeEncode(
+    child: Expression,
+    merges: Seq[(String, String)],
+    boundaryMarker: Option[String] = None)
     extends UnaryExpression
     with CodegenFallback {
+
+  // GPT-2-style space marker: when set, every word AFTER the first has
+  // its first token prefixed with the marker (an empty word emits the
+  // marker alone, so runs of spaces survive). Decode is then the exact
+  // inverse: concat tokens, marker → space (Tokenizer.decode). The
+  // marker must not occur in the input text — callers use U+0120 "Ġ",
+  // outside every natural charset's text plane by convention.
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -51,8 +61,11 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     m
   }
 
-  private def encodeWord(word: String, out: java.util.ArrayList[UTF8String]): Unit = {
-    if (word.isEmpty) { out.add(UTF8String.EMPTY_UTF8); return }
+  private def encodeWord(
+      word: String,
+      prefix: String,
+      out: java.util.ArrayList[UTF8String]): Unit = {
+    if (word.isEmpty) { out.add(UTF8String.fromString(prefix)); return }
     // surrogate-pair aware split: one symbol per code point
     var syms = new java.util.ArrayList[String](word.length)
     var i = 0
@@ -86,14 +99,21 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
       }
     }
     var k = 0
-    while (k < syms.size) { out.add(UTF8String.fromString(syms.get(k))); k += 1 }
+    while (k < syms.size) {
+      out.add(UTF8String.fromString(if (k == 0) prefix + syms.get(k) else syms.get(k)))
+      k += 1
+    }
   }
 
   override def nullSafeEval(input: Any): Any = {
     val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
     val out = new java.util.ArrayList[UTF8String](words.length * 2)
+    val marker = boundaryMarker.getOrElse("")
     var w = 0
-    while (w < words.length) { encodeWord(words(w), out); w += 1 }
+    while (w < words.length) {
+      encodeWord(words(w), if (w == 0) "" else marker, out)
+      w += 1
+    }
     new GenericArrayData(out.toArray)
   }
 

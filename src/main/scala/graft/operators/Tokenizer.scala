@@ -129,10 +129,31 @@ object Tokenizer {
     BpeModel(merges.toSeq)
   }
 
+  /** GPT-2-style space marker used by [[encodeMarked]]/[[decode]]
+    * (U+0120 "Ġ" — must not occur in the input text).
+    */
+  val BoundaryMarker = "Ġ"
+
   /** `array<string>` of subword tokens for `textCol` under `model`. */
   def encode(model: BpeModel)(textCol: Column): Column =
     ColumnBridge.column(
       graft.functions.BpeEncode(ColumnBridge.expression(textCol), model.merges))
+
+  /** Like [[encode]] but word boundaries survive: every word after the
+    * first carries [[BoundaryMarker]] on its first token, making
+    * [[decode]] the EXACT inverse — the lossless round-trip a pipeline
+    * needs when the tokenized form replaces the raw text in storage.
+    */
+  def encodeMarked(model: BpeModel)(textCol: Column): Column =
+    ColumnBridge.column(
+      graft.functions.BpeEncode(
+        ColumnBridge.expression(textCol), model.merges, Some(BoundaryMarker)))
+
+  /** Exact inverse of [[encodeMarked]]: concat + marker → space. Pure
+    * built-in column ops — codegen'd, scan-local.
+    */
+  def decode(tokensCol: Column): Column =
+    replace(array_join(tokensCol, ""), lit(BoundaryMarker), lit(" "))
 
   /** Tokenize: adds `tokens` (array<string>) and `n_tokens` — the
     * token-budget columns downstream packing/mixing consume.

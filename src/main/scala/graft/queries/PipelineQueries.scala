@@ -850,6 +850,20 @@ object PipelineQueries extends QueryPack {
           attrCols = Seq("event_type"), tieBreak = Seq("event_id"))
         .orderBy(col("user_id"), col("version"))
     },
+    // lossless BPE round-trip: train → boundary-marked encode → decode
+    // must reproduce the raw text EXACTLY, cross-checked against the
+    // parquet ground truth by the DuckDB identity oracle. Pins the
+    // encode/decode inverse pair at the gate, not just in specs —
+    // the contract that lets tokenized storage replace raw text
+    "q_bpe_roundtrip" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val model = Tokenizer.train(docs, "text", numMerges = 100, vocabCap = 8192)
+      docs
+        .select(
+          col("doc_id"),
+          Tokenizer.decode(Tokenizer.encodeMarked(model)(col("text"))).as("text"))
+        .orderBy(col("doc_id"))
+    },
     // PMI collocation mining: vocab-bounded count aggs + equi-joins +
     // TakeOrdered top-K — no global window, corpus scanned twice and
     // never re-shuffled (TextAnalysis.pmiPhrases scaladoc)
@@ -2050,6 +2064,10 @@ object PipelineQueries extends QueryPack {
         |       ROUND(AVG(-LN(CAST(c2.c2 AS DOUBLE) / c1.c1)), 6) AS avg_neg_logprob2
         |FROM pairs p JOIN c2 USING (prev, term) JOIN c1 USING (prev)
         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+    // mirrors q_bpe_roundtrip: decode(encodeMarked(text)) must equal
+    // the raw text byte-for-byte — the oracle is the ground truth
+    "q_bpe_roundtrip" ->
+      "SELECT doc_id, text FROM documents ORDER BY doc_id",
     // mirrors q_pmi_bigrams: all probabilities are ratios of exact
     // longs; LN is libm, absorbed by ROUND(6); top-K boundary is
     // tie-broken on (prev, term)

@@ -40,6 +40,19 @@ object ExprPropSpec extends Properties("NativeExprs") {
       (toks.mkString("") == t.replace(" ", "")) :| s"tokens=$toks"
     }
 
+  private def encodeMarked(t: String, m: Seq[(String, String)]): Seq[String] = {
+    val out = BpeEncode(Literal(UTF8String.fromString(t), StringType), m, Some("Ġ"))
+      .eval(null).asInstanceOf[ArrayData]
+    (0 until out.numElements()).map(i => out.getUTF8String(i).toString)
+  }
+
+  property("boundary-marked bpe round-trips EXACTLY, for ANY merge list") =
+    Prop.forAll(text, merges) { (t, m) =>
+      // generators never emit the marker char, matching its contract
+      val decoded = encodeMarked(t, m).mkString("").replace("Ġ", " ")
+      (decoded == t) :| s"decoded=$decoded"
+    }
+
   property("bpe token count never exceeds code points and is deterministic") =
     Prop.forAll(text, merges) { (t, m) =>
       val toks = encode(t, m)

@@ -65,6 +65,24 @@ class TokenizerSpec extends SparkSpec {
     assert(model2.merges == model.merges)
   }
 
+  test("marked encode → decode is the exact identity, spaces included") {
+    val df = Seq(
+      "hello world hello bpe",
+      "hello  double  spaces", // runs of spaces must survive
+      " leading and trailing ",
+      "single",
+      ""
+    ).toDF("text")
+    val model = Tokenizer.train(
+      Seq("hello hello world bpe").toDF("text"), "text", numMerges = 10)
+    val out = df
+      .select(
+        col("text"),
+        Tokenizer.decode(Tokenizer.encodeMarked(model)(col("text"))).as("rt"))
+      .collect()
+    out.foreach(r => assert(r.getString(1) == r.getString(0), s"row=$r"))
+  }
+
   test("null text yields null tokens (nullSafeEval contract)") {
     val m = Tokenizer.BpeModel(Seq(("a", "b")))
     val df = Seq(Some("ab"), None).toDF("text")
