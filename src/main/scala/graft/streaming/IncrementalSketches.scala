@@ -1,0 +1,102 @@
+package graft.streaming
+
+import graft.operators.Sketches
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Streaming face of the mergeable-sketch pattern ([[graft.operators.Sketches]]):
+  * each arriving micro-batch collapses to a handful of per-shard HLL
+  * sketch rows appended to a persisted sketch store; any later distinct-
+  * count question (per source, per shard, global) is answered by merging
+  * the KB-sized store — the corpus itself is touched exactly once, at
+  * ingest.
+  *
+  * This is the [[IncrementalDedup]] cost inversion applied to statistics:
+  * the per-batch work is one map-side-combinable aggregate over the BATCH
+  * (never the history), the store grows by |shards| rows per batch, and
+  * the read side is O(|store|) regardless of corpus size. HLL union is
+  * lossless at a fixed lgK (SketchesSpec), so incrementally-maintained
+  * estimates are IDENTICAL to what a from-scratch sketch of the full
+  * corpus would report.
+  *
+  * Exactly-once: same `ingest_batch` stamp discipline as
+  * [[IncrementalDedup]] — a replayed `foreachBatch` invocation sees its
+  * own batch id already in the store and no-ops; sketching is
+  * deterministic, so a repaired append carries identical content.
+  */
+object IncrementalSketches {
+
+  private[graft] val BatchCol = "ingest_batch"
+
+  private def hasBatch(df: DataFrame, b: Long): Boolean =
+    df.filter(col(BatchCol) === b).limit(1).count() > 0
+
+  /** Write the initial sketch store from an existing corpus
+    * (`ingest_batch = -1`), establishing the stamped schema.
+    */
+  def seed(
+      df: DataFrame,
+      storeDir: String,
+      shardCols: Seq[String],
+      valueCol: String,
+      lgK: Int = Sketches.DefaultLgK
+  ): Unit =
+    Sketches
+      .hllShardSketches(df, shardCols, valueCol, lgK)
+      .withColumn(BatchCol, lit(-1L))
+      .write.mode("overwrite").parquet(storeDir)
+
+  /** Sketch one micro-batch and append its shard rows to the store.
+    * With `batchId` set, a replay is a no-op.
+    */
+  def ingestBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      storeDir: String,
+      shardCols: Seq[String],
+      valueCol: String,
+      batchId: Option[Long] = None,
+      lgK: Int = Sketches.DefaultLgK
+  ): Unit = {
+    batchId match {
+      case Some(b) if hasBatch(spark.read.parquet(storeDir), b) => return
+      case _ => ()
+    }
+    Sketches
+      .hllShardSketches(batch, shardCols, valueCol, lgK)
+      .withColumn(BatchCol, lit(batchId.getOrElse(-1L)))
+      .write.mode("append").parquet(storeDir)
+  }
+
+  /** Roll the persisted store up to `groupCols` (empty = global) and
+    * estimate — O(|store| rows), never a corpus read.
+    */
+  def estimate(
+      spark: SparkSession,
+      storeDir: String,
+      groupCols: Seq[String]
+  ): DataFrame =
+    Sketches.hllMergeEstimate(spark.read.parquet(storeDir), groupCols)
+
+  /** Attach the sketch maintenance loop to a stream. */
+  def attach(
+      arriving: DataFrame,
+      storeDir: String,
+      shardCols: Seq[String],
+      valueCol: String,
+      lgK: Int = Sketches.DefaultLgK,
+      checkpointLocation: Option[String] = None
+  ): StreamingQuery = {
+    val spark = arriving.sparkSession
+    val writer = arriving.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        ingestBatch(spark, batch, storeDir, shardCols, valueCol,
+          batchId = Some(bid), lgK = lgK)
+      }
+    checkpointLocation
+      .fold(writer)(c => writer.option("checkpointLocation", c))
+      .start()
+  }
+}
