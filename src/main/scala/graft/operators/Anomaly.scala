@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -54,5 +54,69 @@ object Anomaly {
       .filter(abs(z) > threshold)
       .select(keepCols.map(col) :+ col(keyCol) :+ col(valueCol) :+
         round(z, 6).as("z"): _*)
+  }
+
+  /** Population-stability-index drift report between a reference and a
+    * current snapshot of `valueCol`, over fixed `binEdges` (the
+    * monitoring question behind every retraining trigger: "did the
+    * corpus distribution move?"). One row per bin:
+    * `psi_term = (p_cur − p_ref) · ln(p_cur / p_ref)`; Σ psi_term is the
+    * PSI (common rule of thumb: < 0.1 stable, > 0.25 shifted).
+    *
+    * Laplace smoothing (+1 per bin) keeps empty bins finite AND keeps
+    * every proportion a ratio of exact longs — so, as in
+    * [[zScoreOutliers]], the only cross-engine wobble is libm `ln`,
+    * absorbed by the 6-dp round (QueryPack conventions).
+    *
+    * Scale shape: each side is ONE map-side-combinable count aggregate
+    * over bounded bins (the bin fold is a scan-local CASE chain), then a
+    * bins-sized broadcast-able join — the snapshots are read once and
+    * never shuffle.
+    */
+  def psiDrift(
+      ref: DataFrame,
+      cur: DataFrame,
+      valueCol: String,
+      binEdges: Seq[Double]
+  ): DataFrame = {
+    require(binEdges.nonEmpty && binEdges == binEdges.sorted && binEdges.distinct == binEdges,
+      "binEdges must be non-empty, sorted, distinct")
+    // bin i = #edges <= v: 0 .. binEdges.length (left-open first bin,
+    // right-open last); a CASE chain — largest edge checked FIRST —
+    // keeps it codegen'd scan math
+    val bin = binEdges.zipWithIndex.reverse
+      .foldLeft(Option.empty[Column]) { case (acc, (e, i)) =>
+        Some(acc.fold(when(col(valueCol) >= e, lit(i + 1)))(
+          _.when(col(valueCol) >= e, lit(i + 1))))
+      }
+      .get
+      .otherwise(lit(0))
+      .as("bin")
+    val nBins = binEdges.length + 1
+    def binCounts(df: DataFrame, cntName: String): DataFrame =
+      df.select(bin)
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as(cntName))
+    // dense bin frame so empty bins survive on BOTH sides
+    val bins = ref.sparkSession.range(0, nBins).select(col("id").cast("int").as("bin"))
+    val joined = bins
+      .join(binCounts(ref, "__cr"), Seq("bin"), "left")
+      .join(binCounts(cur, "__cc"), Seq("bin"), "left")
+      .na.fill(0L, Seq("__cr", "__cc"))
+    // totals from the (bins-sized) count table, NOT a second snapshot
+    // scan; +nBins is the Laplace mass
+    val totals = joined.agg(
+      (sum(col("__cr")) + nBins).cast("double").as("__tr"),
+      (sum(col("__cc")) + nBins).cast("double").as("__tc"))
+    val pRef = (col("__cr") + 1) / col("__tr")
+    val pCur = (col("__cc") + 1) / col("__tc")
+    joined
+      .crossJoin(broadcast(totals))
+      .select(
+        col("bin"),
+        col("__cr").as("n_ref"),
+        col("__cc").as("n_cur"),
+        round(pCur - pRef, 6).as("dp"),
+        round((pCur - pRef) * log(pCur / pRef), 6).as("psi_term"))
   }
 }

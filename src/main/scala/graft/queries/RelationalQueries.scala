@@ -349,6 +349,46 @@ object RelationalQueries extends QueryPack {
         .orderBy(col("event_type"))
     },
 
+    // ROLLUP subtotals (corpus reporting: per source×lang, per source,
+    // grand total in ONE pass — Spark expands grouping sets inside a
+    // single hash aggregate, no union of re-scans). Not in the
+    // reference DSL (like session windows — engine extra)
+    "q_rollup_stats" -> { (s, dir) =>
+      graft.sources.Tables
+        .load(s, dir, "documents")
+        .rollup(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first)
+    },
+
+    // PIVOT to a per-user activity matrix: one hash aggregate with a
+    // pinned pivot-value list (no distinct-scan planning pass), counts
+    // dense via fill(0) — the feature-table shape model training joins
+    // against
+    "q_pivot_counts" -> { (s, dir) =>
+      graft.sources.Tables
+        .load(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_id"))
+    },
+
+    // PSI distribution drift between two snapshot halves: scan-local
+    // CASE binning, one count agg per side, bins-sized joins — the
+    // retraining-trigger monitoring op (operators/Anomaly.psiDrift)
+    "q_psi_drift" -> { (s, dir) =>
+      val e = graft.sources.Tables.load(s, dir, "events")
+      graft.operators.Anomaly
+        .psiDrift(
+          e.filter(col("event_id") % 2 === 0),
+          e.filter(col("event_id") % 2 === 1),
+          "value",
+          binEdges = Seq(25.0, 50.0, 100.0, 200.0, 400.0))
+        .orderBy(col("bin"))
+    },
+
     // per-type z-score outliers: exact decimal moments → broadcast
     // stats join → scan-local flag (operators/Anomaly scaladoc for the
     // determinism + one-pass scale argument)
@@ -501,6 +541,38 @@ object RelationalQueries extends QueryPack {
         |       '{' || STRING_AGG('"' || bucket || '":' || CAST(cnt AS VARCHAR), ',' ORDER BY bucket) || '}' AS hist
         |FROM b GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "q_rollup_stats" ->
+      """SELECT source, lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY ROLLUP (source, lang)
+        |ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin,
+    "q_pivot_counts" ->
+      """SELECT user_id,
+        |       COUNT(*) FILTER (WHERE event_type='click') AS click,
+        |       COUNT(*) FILTER (WHERE event_type='view') AS view,
+        |       COUNT(*) FILTER (WHERE event_type='purchase') AS purchase,
+        |       COUNT(*) FILTER (WHERE event_type='signup') AS signup,
+        |       COUNT(*) FILTER (WHERE event_type='error') AS error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // mirrors q_psi_drift: Laplace-smoothed proportions are ratios of
+    // exact longs; LN is libm, absorbed by ROUND(6)
+    "q_psi_drift" ->
+      """WITH b AS (SELECT CAST(UNNEST(GENERATE_SERIES(0,5)) AS INT) AS bin),
+        |binned AS (
+        |  SELECT event_id,
+        |         CASE WHEN value >= 400 THEN 5 WHEN value >= 200 THEN 4
+        |              WHEN value >= 100 THEN 3 WHEN value >= 50 THEN 2
+        |              WHEN value >= 25 THEN 1 ELSE 0 END AS bin
+        |  FROM events),
+        |rc AS (SELECT bin, COUNT(*) AS cr FROM binned WHERE event_id % 2 = 0 GROUP BY bin),
+        |cc AS (SELECT bin, COUNT(*) AS cn FROM binned WHERE event_id % 2 = 1 GROUP BY bin),
+        |j AS (SELECT b.bin, COALESCE(rc.cr, 0) AS cr, COALESCE(cc.cn, 0) AS cn
+        |      FROM b LEFT JOIN rc USING (bin) LEFT JOIN cc USING (bin)),
+        |t AS (SELECT CAST(SUM(cr) + 6 AS DOUBLE) AS tr, CAST(SUM(cn) + 6 AS DOUBLE) AS tc FROM j)
+        |SELECT bin, cr AS n_ref, cn AS n_cur,
+        |       ROUND((cn+1)/t.tc - (cr+1)/t.tr, 6) AS dp,
+        |       ROUND(((cn+1)/t.tc - (cr+1)/t.tr) * LN(((cn+1)/t.tc)/((cr+1)/t.tr)), 6) AS psi_term
+        |FROM j CROSS JOIN t ORDER BY bin""".stripMargin,
     // mirrors q_anomaly_zscore: DECIMAL moments are exact, so s1/s2/n —
     // and therefore every downstream IEEE double op — are bit-identical
     // across engines; ROUND(6) only absorbs the final formatting
