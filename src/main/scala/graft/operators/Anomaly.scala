@@ -78,12 +78,25 @@ object Anomaly {
       cur: DataFrame,
       valueCol: String,
       binEdges: Seq[Double]
+  ): DataFrame =
+    psiFromCounts(
+      binCounts(ref, valueCol, binEdges),
+      binCounts(cur, valueCol, binEdges))
+
+  /** Dense per-bin counts of `valueCol` under `binEdges` — the
+    * persistable half of [[psiDrift]] (a drift monitor seeds the
+    * reference side ONCE and re-uses it per batch —
+    * [[graft.streaming.DriftMonitor]]). Bin i = #edges ≤ v: the CASE
+    * chain checks the LARGEST edge first, codegen'd scan math; the
+    * dense 0..|edges| frame keeps empty bins present.
+    */
+  def binCounts(
+      df: DataFrame,
+      valueCol: String,
+      binEdges: Seq[Double]
   ): DataFrame = {
     require(binEdges.nonEmpty && binEdges == binEdges.sorted && binEdges.distinct == binEdges,
       "binEdges must be non-empty, sorted, distinct")
-    // bin i = #edges <= v: 0 .. binEdges.length (left-open first bin,
-    // right-open last); a CASE chain — largest edge checked FIRST —
-    // keeps it codegen'd scan math
     val bin = binEdges.zipWithIndex.reverse
       .foldLeft(Option.empty[Column]) { case (acc, (e, i)) =>
         Some(acc.fold(when(col(valueCol) >= e, lit(i + 1)))(
@@ -92,22 +105,28 @@ object Anomaly {
       .get
       .otherwise(lit(0))
       .as("bin")
-    val nBins = binEdges.length + 1
-    def binCounts(df: DataFrame, cntName: String): DataFrame =
-      df.select(bin)
-        .groupBy(col("bin"))
-        .agg(count(lit(1)).as(cntName))
-    // dense bin frame so empty bins survive on BOTH sides
-    val bins = ref.sparkSession.range(0, nBins).select(col("id").cast("int").as("bin"))
-    val joined = bins
-      .join(binCounts(ref, "__cr"), Seq("bin"), "left")
-      .join(binCounts(cur, "__cc"), Seq("bin"), "left")
-      .na.fill(0L, Seq("__cr", "__cc"))
-    // totals from the (bins-sized) count table, NOT a second snapshot
-    // scan; +nBins is the Laplace mass
+    val bins = df.sparkSession
+      .range(0, binEdges.length + 1)
+      .select(col("id").cast("int").as("bin"))
+    bins
+      .join(
+        df.select(bin).groupBy(col("bin")).agg(count(lit(1)).as("cnt")),
+        Seq("bin"), "left")
+      .na.fill(0L, Seq("cnt"))
+  }
+
+  /** PSI math over two (dense, same-binning) count tables from
+    * [[binCounts]] — bins-sized frames only, no snapshot access.
+    */
+  def psiFromCounts(refCounts: DataFrame, curCounts: DataFrame): DataFrame = {
+    val joined = refCounts
+      .select(col("bin"), col("cnt").as("__cr"))
+      .join(curCounts.select(col("bin"), col("cnt").as("__cc")), Seq("bin"))
+    // totals from the (bins-sized) count tables, NOT a snapshot scan;
+    // +nBins is the Laplace mass
     val totals = joined.agg(
-      (sum(col("__cr")) + nBins).cast("double").as("__tr"),
-      (sum(col("__cc")) + nBins).cast("double").as("__tc"))
+      (sum(col("__cr")) + count(lit(1))).cast("double").as("__tr"),
+      (sum(col("__cc")) + count(lit(1))).cast("double").as("__tc"))
     val pRef = (col("__cr") + 1) / col("__tr")
     val pCur = (col("__cc") + 1) / col("__tc")
     joined
