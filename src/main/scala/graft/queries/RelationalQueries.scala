@@ -349,6 +349,30 @@ object RelationalQueries extends QueryPack {
         .orderBy(col("event_type"))
     },
 
+    // ordered-step funnel (view → click → purchase, 7-day horizon):
+    // one pushdown-filtered scan + user-keyed join + hash agg per step
+    // (operators/Funnel scaladoc for the greedy earliest-chain
+    // semantics and skew bound)
+    "q_funnel" -> { (s, dir) =>
+      graft.operators.Funnel
+        .conversion(
+          graft.sources.Tables.load(s, dir, "events"),
+          userCol = "user_id", typeCol = "event_type", tsCol = "ts",
+          steps = Seq("view", "click", "purchase"),
+          horizon = Some(expr("INTERVAL 7 DAYS")))
+        .orderBy(col("user_id"))
+    },
+
+    // weekly cohort retention triangle: two hash aggs + user-keyed
+    // join + broadcast cohort sizes — exact-count ratios only
+    "q_retention" -> { (s, dir) =>
+      graft.operators.Funnel
+        .weeklyRetention(
+          graft.sources.Tables.load(s, dir, "events"),
+          userCol = "user_id", tsCol = "ts")
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
+
     // ROLLUP subtotals (corpus reporting: per source×lang, per source,
     // grand total in ONE pass — Spark expands grouping sets inside a
     // single hash aggregate, no union of re-scans). Not in the
@@ -541,6 +565,40 @@ object RelationalQueries extends QueryPack {
         |       '{' || STRING_AGG('"' || bucket || '":' || CAST(cnt AS VARCHAR), ',' ORDER BY bucket) || '}' AS hist
         |FROM b GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    // mirrors q_funnel: MIN over timestamps at every stage — no
+    // floating point anywhere; stage flags are exact int math
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t_view FROM events
+        |            WHERE event_type='view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t_click
+        |       FROM events e JOIN s1 USING (user_id)
+        |       WHERE e.event_type='click' AND e.ts > s1.t_view
+        |         AND e.ts <= s1.t_view + INTERVAL 7 DAY
+        |       GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+        |       FROM events e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+        |       WHERE e.event_type='purchase' AND e.ts > s2.t_click
+        |         AND e.ts <= s1.t_view + INTERVAL 7 DAY
+        |       GROUP BY e.user_id)
+        |SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase,
+        |       CAST(1 + CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END
+        |              + CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END AS INT) AS stage_reached
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+    // mirrors q_retention: both engines truncate weeks to Monday;
+    // offsets are exact day diffs of week-aligned dates
+    "q_retention" ->
+      """WITH w AS (SELECT user_id, CAST(DATE_TRUNC('week', ts) AS DATE) AS wk FROM events),
+        |firsts AS (SELECT user_id, MIN(wk) AS cohort_week FROM w GROUP BY user_id),
+        |active AS (SELECT DISTINCT user_id, wk AS active_week FROM w),
+        |sizes AS (SELECT cohort_week, COUNT(*) AS n_cohort FROM firsts GROUP BY cohort_week)
+        |SELECT f.cohort_week,
+        |       CAST(DATE_DIFF('day', f.cohort_week, a.active_week) / 7 AS INT) AS week_offset,
+        |       COUNT(*) AS n_active, s.n_cohort,
+        |       ROUND(COUNT(*) / CAST(s.n_cohort AS DOUBLE), 6) AS retention
+        |FROM active a JOIN firsts f USING (user_id) JOIN sizes s ON s.cohort_week = f.cohort_week
+        |GROUP BY f.cohort_week, week_offset, s.n_cohort
+        |ORDER BY f.cohort_week, week_offset""".stripMargin,
     "q_rollup_stats" ->
       """SELECT source, lang, COUNT(*) AS n_docs,
         |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
