@@ -72,6 +72,50 @@ object Funnel {
     acc.select(col(userCol) +: steps.map(s => col(tCol(s))) :+ stage: _*)
   }
 
+  /** Gap-based BATCH sessionization: events more than `gapSeconds`
+    * apart start a new per-user session; output is one row per
+    * (user, session) with count and bounds. The batch face of the
+    * streaming session window (q_window_session) — run over history,
+    * not state.
+    *
+    * Scale shape: ONE user-keyed exchange feeding both windows (lag +
+    * running sum share the partition/order), then a hash agg on
+    * (user, session_idx) that needs no further shuffle (it is a
+    * refinement of the same key). Per-user in-partition sorts only;
+    * skew bounds at the hottest user. `tieCol` makes duplicate
+    * timestamps deterministic (the round-6 session-window incident,
+    * BASELINE.md).
+    */
+  def sessionize(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      tieCol: String,
+      gapSeconds: Long
+  ): DataFrame = {
+    require(gapSeconds > 0, "gapSeconds must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val prev = lag(unix_micros(col(tsCol)), 1).over(w)
+    val newSess = when(
+      prev.isNull || unix_micros(col(tsCol)) - prev > gapSeconds * 1000000L,
+      1).otherwise(0)
+    events
+      .withColumn("__new", newSess)
+      .withColumn(
+        "session_idx",
+        sum(col("__new"))
+          .over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+          .cast("int"))
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"))
+  }
+
   /** Weekly cohort retention: users grouped by the week of their first
     * event; for each (cohort_week, week_offset), how many cohort
     * members were active that week and the retained fraction. The

@@ -147,6 +147,45 @@ object Sketches {
   def cmsProbe(sketch: CountMinSketch, items: Seq[Any]): Seq[(Any, Long)] =
     items.map(i => i -> sketch.estimateCount(i))
 
+  /** Trailing-window distinct counts from daily sketches (DAU→WAU→MAU):
+    * one corpus pass builds per-day HLL sketches of `idCol`; every
+    * trailing `windowDays` estimate is then sketch algebra — each day's
+    * sketch is REPLICATED to the `windowDays` windows it serves via a
+    * broadcast offsets join (days × window rows, KBs), and a second
+    * tiny aggregate unions per target day. The exact equivalent
+    * (rolling COUNT DISTINCT) re-scans `windowDays` days of raw events
+    * per day — unbounded state at 100 TB; this is O(days) sketch rows
+    * forever, and the daily sketch table is the SAME one a DAU report
+    * or an [[graft.streaming.IncrementalSketches]] loop maintains.
+    *
+    * Trailing windows are only emitted for days present in the data
+    * (phantom target days past the last observed day are dropped).
+    */
+  def rollingDistinct(
+      df: DataFrame,
+      tsCol: String,
+      idCol: String,
+      windowDays: Int,
+      lgK: Int = DefaultLgK
+  ): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    val spark = df.sparkSession
+    val daily = df
+      .select(date_trunc("day", col(tsCol)).cast("date").as("day"), col(idCol))
+      .groupBy(col("day"))
+      .agg(hll_sketch_agg(col(idCol), lgK).as("sk"))
+    val offsets = spark
+      .range(0, windowDays)
+      .select(col("id").cast("int").as("__off"))
+    daily
+      .crossJoin(broadcast(offsets))
+      .select(date_add(col("day"), col("__off")).as("day"), col("sk"))
+      .join(daily.select(col("day")), Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), false))
+        .as("active_est"))
+  }
+
   /** Tokenize helper shared by the sketch queries: whitespace tokens of
     * `textCol`, exploded — the same token definition as
     * TextAnalysis.vocabulary so sketch estimates are comparable to the

@@ -1188,6 +1188,17 @@ object PipelineQueries extends QueryPack {
         .hllMergeEstimate(shardSketches, Seq("source"))
         .orderBy(col("source"))
     },
+    // trailing 7-day active users from the persisted daily sketch
+    // table: one corpus pass + days-sized sketch algebra — rolling
+    // COUNT DISTINCT without rolling rescans (Sketches.rollingDistinct
+    // scaladoc). Bench-only; ±5% accuracy + phantom-day absence are
+    // spec-pinned (SketchesSpec)
+    "q_wau_sketch" -> { (s, dir) =>
+      Sketches
+        .rollingDistinct(
+          Tables.load(s, dir, "events"), "ts", "user_id", windowDays = 7)
+        .orderBy(col("day"))
+    },
     // decontamination sizing without the join: theta-sketch overlap
     // between the train split and the held-out split's token sets —
     // |∩|, |∪|, Jaccard, containment from two one-pass scans and a

@@ -363,6 +363,18 @@ object RelationalQueries extends QueryPack {
         .orderBy(col("user_id"))
     },
 
+    // gap-based batch sessionization (4 h): one user-keyed exchange
+    // feeds lag + running-sum windows AND the (user, session) agg —
+    // the batch face of q_window_session (Funnel.sessionize scaladoc)
+    "q_sessionize" -> { (s, dir) =>
+      graft.operators.Funnel
+        .sessionize(
+          graft.sources.Tables.load(s, dir, "events"),
+          userCol = "user_id", tsCol = "ts", tieCol = "event_id",
+          gapSeconds = 4 * 3600L)
+        .orderBy(col("user_id"), col("session_idx"))
+    },
+
     // weekly cohort retention triangle: two hash aggs + user-keyed
     // join + broadcast cohort sizes — exact-count ratios only
     "q_retention" -> { (s, dir) =>
@@ -585,6 +597,23 @@ object RelationalQueries extends QueryPack {
         |              + CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END AS INT) AS stage_reached
         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
         |ORDER BY user_id""".stripMargin,
+    // mirrors q_sessionize: event_id tie-breaks duplicate timestamps in
+    // BOTH windows (round-6 session-window incident)
+    "q_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN ts - LAG(ts) OVER w > INTERVAL 4 HOUR OR LAG(ts) OVER w IS NULL
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, event_id, ts,
+        |         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM o)
+        |SELECT user_id, CAST(session_idx AS INT) AS session_idx,
+        |       COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
     // mirrors q_retention: both engines truncate weeks to Monday;
     // offsets are exact day diffs of week-aligned dates
     "q_retention" ->

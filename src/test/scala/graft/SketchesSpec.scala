@@ -119,6 +119,31 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("rolling distinct tracks the exact trailing-window count within 5%") {
+    // 30 days, each day i active users = ids in [i*7, i*7 + 300): heavy
+    // overlap day-to-day, so WAU << 7×DAU — the case a naive sum gets wrong
+    val events = (0 until 30)
+      .flatMap { d =>
+        (0 until 300).map(u =>
+          (java.sql.Timestamp.valueOf(f"2024-03-${d + 1}%02d 12:00:00"),
+            (d * 7 + u).toLong))
+      }
+      .toDF("ts", "user_id")
+    val est = Sketches
+      .rollingDistinct(events, "ts", "user_id", windowDays = 7)
+      .collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString -> r.getLong(1))
+      .toMap
+    assert(est.size == 30, s"one row per observed day, no phantom days: ${est.size}")
+    for (d <- 0 until 30) {
+      val lo = math.max(0, d - 6) * 7
+      val exact = (d * 7 + 300) - lo // ids form one contiguous range
+      val day = f"2024-03-${d + 1}%02d"
+      assert(math.abs(est(day) - exact).toDouble / exact < 0.05,
+        s"day=$day est=${est(day)} exact=$exact")
+    }
+  }
+
   test("sketch estimates are deterministic across runs") {
     val toks = Sketches.explodedTokens(docs, "text")
     def hllOnce(): Long =
