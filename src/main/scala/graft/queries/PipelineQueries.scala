@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Curation, Dedup, HashFamily, History, IntervalJoin, Multimodal, Retrieval, Similarity, Sketches, TextAnalysis, Tokenizer}
+import graft.operators.{Curation, Dedup, HashFamily, History, IntervalJoin, Multimodal, Quality, Retrieval, Similarity, Sketches, TextAnalysis, Tokenizer}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -849,6 +849,20 @@ object PipelineQueries extends QueryPack {
           keyCols = Seq("user_id"), tsCol = "ts",
           attrCols = Seq("event_type"), tieBreak = Seq("event_id"))
         .orderBy(col("user_id"), col("version"))
+    },
+    // single-pass data-quality report: five constraints, ONE aggregate
+    // (operators/Quality scaladoc) — range/set rows chosen to FAIL so
+    // the gate pins real fractions, not just 1.0
+    "q_data_quality" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      Quality
+        .check(d, Seq(
+          Quality.Complete("text"),
+          Quality.Unique("doc_id"),
+          Quality.InRange("n_chars", 1, 300),
+          Quality.InSet("lang", Seq("en", "de", "fr", "es")),
+          Quality.MatchesRegex("source", "^src[0-9]+$")))
+        .orderBy(col("check_name"))
     },
     // lossless BPE round-trip: train → boundary-marked encode → decode
     // must reproduce the raw text EXACTLY, cross-checked against the
@@ -2075,6 +2089,24 @@ object PipelineQueries extends QueryPack {
         |       ROUND(AVG(-LN(CAST(c2.c2 AS DOUBLE) / c1.c1)), 6) AS avg_neg_logprob2
         |FROM pairs p JOIN c2 USING (prev, term) JOIN c1 USING (prev)
         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+    // mirrors q_data_quality: ratios of exact longs; passed at
+    // threshold 1.0 is integer equality
+    "q_data_quality" ->
+      """WITH m AS (
+        |  SELECT COUNT(*) AS n,
+        |         COUNT(text) AS c_text,
+        |         COUNT(DISTINCT doc_id) AS u_id,
+        |         SUM(CASE WHEN n_chars BETWEEN 1 AND 300 THEN 1 ELSE 0 END) AS r_chars,
+        |         SUM(CASE WHEN lang IN ('en','de','fr','es') THEN 1 ELSE 0 END) AS s_lang,
+        |         SUM(CASE WHEN REGEXP_MATCHES(source, '^src[0-9]+$') THEN 1 ELSE 0 END) AS re_src
+        |  FROM documents)
+        |SELECT * FROM (
+        |  SELECT 'complete_text' AS check_name, ROUND(c_text / CAST(n AS DOUBLE), 6) AS metric, c_text = n AS passed FROM m
+        |  UNION ALL SELECT 'unique_doc_id', ROUND(u_id / CAST(n AS DOUBLE), 6), u_id = n FROM m
+        |  UNION ALL SELECT 'range_n_chars', ROUND(r_chars / CAST(n AS DOUBLE), 6), r_chars = n FROM m
+        |  UNION ALL SELECT 'set_lang', ROUND(s_lang / CAST(n AS DOUBLE), 6), s_lang = n FROM m
+        |  UNION ALL SELECT 'regex_source', ROUND(re_src / CAST(n AS DOUBLE), 6), re_src = n FROM m
+        |) ORDER BY check_name""".stripMargin,
     // mirrors q_bpe_roundtrip: decode(encodeMarked(text)) must equal
     // the raw text byte-for-byte — the oracle is the ground truth
     "q_bpe_roundtrip" ->
