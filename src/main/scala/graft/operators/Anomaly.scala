@@ -115,6 +115,53 @@ object Anomaly {
       .na.fill(0L, Seq("cnt"))
   }
 
+  /** Embedding-space drift between two snapshots: per-key cosine of the
+    * mean vectors — PSI watches the SCALAR distributions, this watches
+    * the semantic space itself (an embedding-model swap or a topic
+    * shift moves centroids long before any scalar histogram does).
+    *
+    * cos(mean_r, mean_u) = cos(sum_r, sum_u) — the 1/n factors cancel —
+    * so everything accumulates in DECIMAL (exact, partitioning-
+    * independent: components sum in (18,9), the sum-vector narrows to
+    * (13,9) so products and their 64-dim sums stay inside Spark's
+    * 38-digit cap) and the only doubles are one division and two
+    * correctly-rounded sqrts at the very end. A float/double
+    * accumulation would drift with summation order (QueryPack rules).
+    *
+    * Scale shape: posexplode → ONE (key, pos)-keyed hash agg per side
+    * (map-side combinable), then key×dim-sized joins and aggregates —
+    * the corpora are read once. The exchange carries (key, pos, 16 B)
+    * per row; for very wide vectors a typed vector-sum aggregate would
+    * shrink it dim-fold, but the declarative form keeps the whole plan
+    * inside codegen'd hash aggregates.
+    */
+  def centroidDrift(
+      ref: DataFrame,
+      cur: DataFrame,
+      keyCol: String,
+      vecCol: String
+  ): DataFrame = {
+    def sumVec(df: DataFrame, name: String): DataFrame =
+      df.select(col(keyCol), posexplode(col(vecCol)).as(Seq("pos", "__x")))
+        .select(col(keyCol), col("pos"),
+          col("__x").cast(DecimalType(18, 9)).as("__xd"))
+        .groupBy(col(keyCol), col("pos"))
+        .agg(sum(col("__xd")).cast(DecimalType(13, 9)).as(name))
+    sumVec(ref, "__sr")
+      .join(sumVec(cur, "__su"), Seq(keyCol, "pos"))
+      .groupBy(col(keyCol))
+      .agg(
+        sum(col("__sr") * col("__su")).cast("double").as("__dot"),
+        sum(col("__sr") * col("__sr")).cast("double").as("__nr"),
+        sum(col("__su") * col("__su")).cast("double").as("__nu"),
+        count(lit(1)).cast("int").as("dim"))
+      .select(
+        col(keyCol),
+        round(col("__dot") / (sqrt(col("__nr")) * sqrt(col("__nu"))), 6)
+          .as("centroid_cos"),
+        col("dim"))
+  }
+
   /** PSI math over two (dense, same-binning) count tables from
     * [[binCounts]] — bins-sized frames only, no snapshot access.
     */

@@ -850,6 +850,18 @@ object PipelineQueries extends QueryPack {
           attrCols = Seq("event_type"), tieBreak = Seq("event_id"))
         .orderBy(col("user_id"), col("version"))
     },
+    // embedding-space drift: per-label centroid cosine between snapshot
+    // halves — exact decimal sum-vectors, doubles only at the final
+    // division/sqrt (operators/Anomaly.centroidDrift scaladoc)
+    "q_centroid_drift" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      graft.operators.Anomaly
+        .centroidDrift(
+          e.filter(col("vec_id") % 2 === 0),
+          e.filter(col("vec_id") % 2 === 1),
+          "label", "embedding")
+        .orderBy(col("label"))
+    },
     // single-pass data-quality report: five constraints, ONE aggregate
     // (operators/Quality scaladoc) — range/set rows chosen to FAIL so
     // the gate pins real fractions, not just 1.0
@@ -2089,6 +2101,25 @@ object PipelineQueries extends QueryPack {
         |       ROUND(AVG(-LN(CAST(c2.c2 AS DOUBLE) / c1.c1)), 6) AS avg_neg_logprob2
         |FROM pairs p JOIN c2 USING (prev, term) JOIN c1 USING (prev)
         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+    // mirrors q_centroid_drift: decimal sum-vectors are exact, so the
+    // doubles entering the final cosine are bit-identical cross-engine
+    "q_centroid_drift" ->
+      """WITH dims AS (
+        |  SELECT label, vec_id % 2 AS side, i - 1 AS pos,
+        |         CAST(embedding[i] AS DECIMAL(18,9)) AS xd
+        |  FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS t(i)),
+        |cent AS (
+        |  SELECT label, side, pos, CAST(SUM(xd) AS DECIMAL(13,9)) AS sv
+        |  FROM dims GROUP BY label, side, pos),
+        |j AS (
+        |  SELECT r.label, r.pos, r.sv AS sr, u.sv AS su
+        |  FROM (SELECT * FROM cent WHERE side = 0) r
+        |  JOIN (SELECT * FROM cent WHERE side = 1) u USING (label, pos))
+        |SELECT label,
+        |       ROUND(CAST(SUM(sr*su) AS DOUBLE) /
+        |             (SQRT(CAST(SUM(sr*sr) AS DOUBLE)) * SQRT(CAST(SUM(su*su) AS DOUBLE))), 6) AS centroid_cos,
+        |       CAST(COUNT(*) AS INT) AS dim
+        |FROM j GROUP BY label ORDER BY label""".stripMargin,
     // mirrors q_data_quality: ratios of exact longs; passed at
     // threshold 1.0 is integer equality
     "q_data_quality" ->
