@@ -1370,4 +1370,65 @@ object Dedup {
       case HashFamily.XxHash64 => transform(wins, s => xxhash64(s))
     }
   }
+
+  /** Edit-distance near-dup over SHORT key strings (titles, names,
+    * canonical URLs — the entity-resolution member of the near-dup
+    * family; the text-body members are [[minhashCandidates]]/
+    * [[ngramJaccard]]): pairs within `maxEdits` Levenshtein edits,
+    * found inside exact-prefix blocks.
+    *
+    * Blocking is the standard ER recipe: an exact join on the first
+    * `blockPrefixLen` characters plus the necessary length filter
+    * (|len a − len b| ≤ k). Like every blocking scheme it is a recall
+    * dial, not a proof — pairs whose edits fall inside the prefix
+    * escape the block (push `blockPrefixLen` down for recall, up for
+    * cost); WITHIN a block the Levenshtein verify is exact. Hot blocks
+    * cap with `maxBlockSize` (dropped blocks are droppable via the same
+    * count query, the [[minhashDroppedBuckets]] philosophy).
+    *
+    * Scale shape: one block-keyed equi-join (never all-pairs), the
+    * length filter prunes before the O(len²) verify, and the verify
+    * runs only on block-co-resident pairs. The join is the same banded
+    * shape as [[hammingNearDup]] — skew bounds at the largest block,
+    * which `maxBlockSize` bounds explicitly.
+    */
+  def editDistanceNearDup(
+      df: DataFrame,
+      idCol: String,
+      strCol: String,
+      maxEdits: Int,
+      blockPrefixLen: Int = 4,
+      maxBlockSize: Option[Int] = None
+  ): DataFrame = {
+    require(maxEdits >= 1, "maxEdits must be >= 1")
+    require(blockPrefixLen >= 1, "blockPrefixLen must be >= 1")
+    val keyed0 = df
+      .filter(col(strCol).isNotNull)
+      .select(
+        col(idCol),
+        col(strCol).as("__key"),
+        substring(col(strCol), 1, blockPrefixLen).as("__blk"),
+        length(col(strCol)).as("__len"))
+    val keyed = maxBlockSize.fold(keyed0) { cap =>
+      val sizes = keyed0
+        .groupBy(col("__blk"))
+        .agg(count(lit(1)).as("__bsize"))
+        .filter(col("__bsize") <= cap)
+        .drop("__bsize")
+      keyed0.join(sizes, Seq("__blk"), "left_semi")
+    }
+    val part = keyed.repartition(col("__blk"))
+    part
+      .alias("a")
+      .join(
+        part.alias("b"),
+        col("a.__blk") === col("b.__blk") &&
+          abs(col("a.__len") - col("b.__len")) <= maxEdits &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(
+        col(s"a.$idCol").as("id1"),
+        col(s"b.$idCol").as("id2"),
+        levenshtein(col("a.__key"), col("b.__key")).cast("int").as("edits"))
+      .filter(col("edits") <= maxEdits)
+  }
 }

@@ -115,6 +115,18 @@ object PipelineQueries extends QueryPack {
         .embeddingNearDup(Tables.load(s, dir, "embeddings"), "vec_id", "embedding", "label")
         .orderBy(col("id1"), col("id2"))
     },
+    // entity-resolution edit-distance near-dup: exact-prefix blocks +
+    // length filter + Levenshtein verify over 24-char title keys
+    // (Dedup.editDistanceNearDup scaladoc for the recall dial)
+    "q_editdist_neardup" -> { (s, dir) =>
+      val titled = Tables
+        .load(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 24).as("title"))
+      Dedup
+        .editDistanceNearDup(titled, "doc_id", "title",
+          maxEdits = 6, blockPrefixLen = 4)
+        .orderBy(col("id1"), col("id2"))
+    },
     // incremental semantic dedup: odd vec_ids are the arriving batch,
     // even the corpus; IVF-cell blocking (the q_ann_ivf centroid
     // convention), new docs within cosine 0.3 of any same-cell corpus
@@ -1528,6 +1540,20 @@ object PipelineQueries extends QueryPack {
         |WHERE CAST(LEN(LIST_FILTER(a.toks, x -> LIST_CONTAINS(b.toks, x))) AS DOUBLE) /
         |      (LEN(a.toks) + LEN(b.toks) - LEN(LIST_FILTER(a.toks, x -> LIST_CONTAINS(b.toks, x)))) >= 0.2
         |ORDER BY doc1, doc2""".stripMargin,
+    // mirrors q_editdist_neardup: DuckDB's levenshtein is the same
+    // classic DP; counts/lengths are exact ints
+    "q_editdist_neardup" ->
+      """WITH k AS (
+        |  SELECT doc_id, SUBSTRING(text, 1, 24) AS key,
+        |         SUBSTRING(text, 1, 4) AS blk,
+        |         LEN(SUBSTRING(text, 1, 24)) AS l
+        |  FROM documents)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |       CAST(LEVENSHTEIN(a.key, b.key) AS INT) AS edits
+        |FROM k a JOIN k b
+        |  ON a.blk = b.blk AND ABS(a.l - b.l) <= 6 AND a.doc_id < b.doc_id
+        |WHERE LEVENSHTEIN(a.key, b.key) <= 6
+        |ORDER BY id1, id2""".stripMargin,
     // recursive transitive closure mirrors the min-label fixpoint: every
     // node labeled with the smallest id it can reach
     "q_dedup_clusters" ->

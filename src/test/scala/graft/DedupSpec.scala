@@ -380,6 +380,30 @@ class DedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("editDistanceNearDup: exact verify inside blocks, prefix recall dial, cap") {
+    val keys = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamna"),  // 1 edit from doc 1, same prefix block
+      (3L, "alpha XXXX YYYY"),   // same block, far (> 3 edits)
+      (4L, "XlphX beta gamma"),  // 2 edits from doc 1 but DIFFERENT prefix → blocked away
+      (5L, "omega tail"),
+      (6L, "omega tails")        // 1 edit from doc 5
+    ).toDF("id", "key")
+    val pairs = Dedup
+      .editDistanceNearDup(keys, "id", "key", maxEdits = 3, blockPrefixLen = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    assert(pairs == Set((1L, 2L, 1), (5L, 6L, 1)), s"got $pairs")
+
+    // hot-block cap: everything shares one block → pairs vanish at cap 2
+    val hot = Seq((1L, "aaaa x"), (2L, "aaaa y"), (3L, "aaaa z")).toDF("id", "key")
+    assert(Dedup.editDistanceNearDup(hot, "id", "key", maxEdits = 3,
+      blockPrefixLen = 4, maxBlockSize = Some(2)).count() == 0)
+    assert(Dedup.editDistanceNearDup(hot, "id", "key", maxEdits = 3,
+      blockPrefixLen = 4).count() == 3)
+  }
+
   test("native SimHashText is bit-identical to the composed explode+agg form") {
     import org.apache.spark.sql.functions.not
     val tricky = docs.union(Seq(
