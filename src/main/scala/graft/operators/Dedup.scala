@@ -1389,8 +1389,14 @@ object Dedup {
     * Scale shape: one block-keyed equi-join (never all-pairs), the
     * length filter prunes before the O(len²) verify, and the verify
     * runs only on block-co-resident pairs. The join is the same banded
-    * shape as [[hammingNearDup]] — skew bounds at the largest block,
-    * which `maxBlockSize` bounds explicitly.
+    * shape as [[hammingNearDup]] — skew bounds at the largest block.
+    * Block sizes are DATA-bounded, not n-bounded: on a key space whose
+    * diversity does not grow with the corpus, Σ|block|² is quadratic
+    * (measured: ~10×/decade on the synthetic titles). Two explicit
+    * dials bound it: `maxBlockSize` (drop hot blocks outright, the LSH
+    * hot-bucket contract) and `window` (pair only ids within a band,
+    * the [[ngramJaccard]] convention — Σ pairs ≤ n·window, LINEAR by
+    * construction; the gated query pins this form).
     */
   def editDistanceNearDup(
       df: DataFrame,
@@ -1398,10 +1404,12 @@ object Dedup {
       strCol: String,
       maxEdits: Int,
       blockPrefixLen: Int = 4,
-      maxBlockSize: Option[Int] = None
+      maxBlockSize: Option[Int] = None,
+      window: Option[Long] = None
   ): DataFrame = {
     require(maxEdits >= 1, "maxEdits must be >= 1")
     require(blockPrefixLen >= 1, "blockPrefixLen must be >= 1")
+    require(window.forall(_ >= 1), "window must be >= 1")
     val keyed0 = df
       .filter(col(strCol).isNotNull)
       .select(
@@ -1417,14 +1425,36 @@ object Dedup {
         .drop("__bsize")
       keyed0.join(sizes, Seq("__blk"), "left_semi")
     }
-    val part = keyed.repartition(col("__blk"))
-    part
-      .alias("a")
-      .join(
-        part.alias("b"),
-        col("a.__blk") === col("b.__blk") &&
-          abs(col("a.__len") - col("b.__len")) <= maxEdits &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
+    val verified = window match {
+      case None =>
+        // whole-block pairing: exact within blocks, Σ|block|² cost
+        val part = keyed.repartition(col("__blk"))
+        part
+          .alias("a")
+          .join(
+            part.alias("b"),
+            col("a.__blk") === col("b.__blk") &&
+              abs(col("a.__len") - col("b.__len")) <= maxEdits &&
+              col(s"a.$idCol") < col(s"b.$idCol"))
+      case Some(w) =>
+        // id-band rides IN the equi-key (the ngramJaccard fanout): a
+        // hot block pairs within w-wide bands, bounding compared pairs
+        // at n·w instead of Σ|block|² — the band filter as a mere join
+        // PREDICATE would still materialize the block cross-product
+        val banded = keyed.withColumn("__band", expr(s"`$idCol` DIV ${w}L"))
+        val fanout = banded
+          .withColumn("__band", explode(array(col("__band"), col("__band") + 1)))
+        fanout
+          .alias("a")
+          .join(
+            banded.alias("b"),
+            col("a.__blk") === col("b.__blk") &&
+              col("a.__band") === col("b.__band") &&
+              abs(col("a.__len") - col("b.__len")) <= maxEdits &&
+              col(s"a.$idCol") < col(s"b.$idCol") &&
+              col(s"b.$idCol") <= col(s"a.$idCol") + w)
+    }
+    verified
       .select(
         col(s"a.$idCol").as("id1"),
         col(s"b.$idCol").as("id2"),

@@ -116,15 +116,17 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("id1"), col("id2"))
     },
     // entity-resolution edit-distance near-dup: exact-prefix blocks +
-    // length filter + Levenshtein verify over 24-char title keys
-    // (Dedup.editDistanceNearDup scaladoc for the recall dial)
+    // length filter + id-band window + Levenshtein verify over 24-char
+    // title keys. The window bounds pairs at n·50 — the synthetic
+    // titles' prefix diversity is vocab-bounded, so unwindowed blocking
+    // is Σ|block|² ∝ n² (Dedup.editDistanceNearDup scaladoc)
     "q_editdist_neardup" -> { (s, dir) =>
       val titled = Tables
         .load(s, dir, "documents")
         .select(col("doc_id"), substring(col("text"), 1, 24).as("title"))
       Dedup
         .editDistanceNearDup(titled, "doc_id", "title",
-          maxEdits = 6, blockPrefixLen = 4)
+          maxEdits = 6, blockPrefixLen = 4, window = Some(50L))
         .orderBy(col("id1"), col("id2"))
     },
     // incremental semantic dedup: odd vec_ids are the arriving batch,
@@ -1552,6 +1554,7 @@ object PipelineQueries extends QueryPack {
         |       CAST(LEVENSHTEIN(a.key, b.key) AS INT) AS edits
         |FROM k a JOIN k b
         |  ON a.blk = b.blk AND ABS(a.l - b.l) <= 6 AND a.doc_id < b.doc_id
+        |     AND b.doc_id <= a.doc_id + 50
         |WHERE LEVENSHTEIN(a.key, b.key) <= 6
         |ORDER BY id1, id2""".stripMargin,
     // recursive transitive closure mirrors the min-label fixpoint: every
