@@ -1,0 +1,106 @@
+package graft.streaming
+
+import graft.operators.TextAnalysis
+import graft.operators.TextAnalysis.Bm25Index
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Incrementally-maintained BM25 index: each arriving micro-batch
+  * appends its documents' term-frequency rows to ONE persisted store;
+  * document frequencies and corpus stats are DERIVED from that store at
+  * load time, so there is no second table to keep transactionally in
+  * step — the maintainer inherits exactly-once from a single
+  * batch-stamped append (the [[IncrementalSketches]] shape, applied to
+  * retrieval).
+  *
+  * Contract (spec-pinned): `bm25Serve(load(store))` returns the SAME
+  * ranking as a from-scratch [[TextAnalysis.bm25Index]] over the
+  * accumulated corpus — tf/df/N are exact counts either way, and the
+  * df/stats derivation is one O(|tf|) aggregate over the store, never a
+  * corpus re-tokenization. Per-batch cost: tokenize THE BATCH, one hash
+  * agg, one append. Append-only (deletions rebuild, like the dedup
+  * corpus stores).
+  */
+object IncrementalBm25 {
+
+  private[graft] val BatchCol = "ingest_batch"
+
+  private def tfOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .withColumn("dl", size(col("__toks")).cast("double"))
+      .select(col(idCol), col("dl"), explode(col("__toks")).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+
+  /** Write the initial tf store (`ingest_batch = -1`). */
+  def seed(
+      corpus: DataFrame,
+      storeDir: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): Unit =
+    tfOf(corpus, idCol, textCol)
+      .withColumn(BatchCol, lit(-1L))
+      .write.mode("overwrite").parquet(storeDir)
+
+  /** Append one micro-batch's tf rows; replay-idempotent with
+    * `batchId` set.
+    */
+  def ingestBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      storeDir: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      batchId: Option[Long] = None
+  ): Unit = {
+    batchId match {
+      case Some(b) if spark.read.parquet(storeDir)
+        .filter(col(BatchCol) === b).limit(1).count() > 0 => return
+      case _ => ()
+    }
+    tfOf(batch, idCol, textCol)
+      .withColumn(BatchCol, lit(batchId.getOrElse(-1L)))
+      .write.mode("append").parquet(storeDir)
+  }
+
+  /** Load the store as a servable [[Bm25Index]]: df and corpus stats
+    * derive from the tf rows (df = terms' doc counts; N/avgdl from the
+    * per-doc lengths, one row per doc via the (id, dl) projection).
+    */
+  def load(
+      spark: SparkSession,
+      storeDir: String,
+      idCol: String = "doc_id"
+  ): Bm25Index = {
+    val tf = spark.read.parquet(storeDir).drop(BatchCol)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val docs = tf.select(col(idCol), col("dl")).groupBy(col(idCol))
+      .agg(max(col("dl")).as("dl"))
+    val stats = docs.agg(
+      avg(col("dl")).as("avgdl"),
+      count(lit(1)).cast("double").as("n"))
+    Bm25Index(tf, dfreq, stats, idCol)
+  }
+
+  /** Attach the index maintenance loop to a document stream. */
+  def attach(
+      arriving: DataFrame,
+      storeDir: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      checkpointLocation: Option[String] = None
+  ): StreamingQuery = {
+    val spark = arriving.sparkSession
+    val writer = arriving.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        ingestBatch(spark, batch, storeDir, idCol, textCol, batchId = Some(bid))
+      }
+    checkpointLocation
+      .fold(writer)(c => writer.option("checkpointLocation", c))
+      .start()
+  }
+}
