@@ -162,6 +162,58 @@ object Anomaly {
         col("dim"))
   }
 
+  /** Pearson chi-square independence test between two categorical
+    * columns (are `source` and `lang` independent? — the mix-shift
+    * diagnostic behind sampling-bias checks). One row per observed
+    * cell: observed, expected = row·col/n, and the χ² contribution;
+    * Σ chi2_term is the statistic. All inputs to the doubles are exact
+    * longs (one count aggregate + two rollups of it), so results are
+    * engine-exact up to the 6-dp round.
+    *
+    * Scale shape: ONE corpus count aggregate; everything after is
+    * cells-sized (|A|·|B| frames, joins on the tiny count table).
+    */
+  def chiSquareIndependence(
+      df: DataFrame,
+      colA: String,
+      colB: String
+  ): DataFrame = {
+    val o = df.groupBy(col(colA), col(colB)).agg(count(lit(1)).as("obs"))
+    val rt = o.groupBy(col(colA)).agg(sum(col("obs")).as("__r"))
+    val ct = o.groupBy(col(colB)).agg(sum(col("obs")).as("__c"))
+    val n = o.agg(sum(col("obs")).cast("double").as("__n"))
+    val e = col("__r") * col("__c") / col("__n")
+    o.join(rt, colA)
+      .join(ct, colB)
+      .crossJoin(broadcast(n))
+      .select(
+        col(colA), col(colB), col("obs"),
+        round(e, 6).as("expected"),
+        round(pow(col("obs") - e, 2) / e, 6).as("chi2_term"))
+  }
+
+  /** Shannon entropy of `valCol`'s distribution within each `keyCol`
+    * group (nats) — the collapse detector: a source whose language/
+    * topic entropy drops is feeding duplicates or a stuck upstream.
+    * Counts are exact; ln is libm, absorbed by the 6-dp round.
+    *
+    * Scale shape: one corpus count aggregate, then group-sized math.
+    */
+  def valueEntropy(
+      df: DataFrame,
+      keyCol: String,
+      valCol: String
+  ): DataFrame = {
+    val c = df.groupBy(col(keyCol), col(valCol)).agg(count(lit(1)).as("__cnt"))
+    val t = c.groupBy(col(keyCol)).agg(sum(col("__cnt")).as("__tot"))
+    val p = col("__cnt") / col("__tot").cast("double")
+    c.join(t, keyCol)
+      .groupBy(col(keyCol))
+      .agg(
+        round(-sum(p * log(p)), 6).as("entropy"),
+        count(lit(1)).cast("int").as("n_values"))
+  }
+
   /** PSI math over two (dense, same-binning) count tables from
     * [[binCounts]] — bins-sized frames only, no snapshot access.
     */

@@ -864,6 +864,29 @@ object PipelineQueries extends QueryPack {
           attrCols = Seq("event_type"), tieBreak = Seq("event_id"))
         .orderBy(col("user_id"), col("version"))
     },
+    // source×lang chi-square independence cells: ONE corpus count agg,
+    // everything after is cells-sized (Anomaly.chiSquareIndependence)
+    "q_chi_square" -> { (s, dir) =>
+      graft.operators.Anomaly
+        .chiSquareIndependence(Tables.load(s, dir, "documents"), "source", "lang")
+        .orderBy(col("source"), col("lang"))
+    },
+    // per-source language entropy (collapse detector): one count agg +
+    // group-sized math (Anomaly.valueEntropy)
+    "q_entropy" -> { (s, dir) =>
+      graft.operators.Anomaly
+        .valueEntropy(Tables.load(s, dir, "documents"), "source", "lang")
+        .orderBy(col("source"))
+    },
+    // CUBE: all four grouping sets of (source, lang) in one pass —
+    // q_rollup_stats' full-lattice sibling
+    "q_cube_stats" -> { (s, dir) =>
+      Tables
+        .load(s, dir, "documents")
+        .cube(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first)
+    },
     // embedding-space drift: per-label centroid cosine between snapshot
     // halves — exact decimal sum-vectors, doubles only at the final
     // division/sqrt (operators/Anomaly.centroidDrift scaladoc)
@@ -2130,6 +2153,31 @@ object PipelineQueries extends QueryPack {
         |       ROUND(AVG(-LN(CAST(c2.c2 AS DOUBLE) / c1.c1)), 6) AS avg_neg_logprob2
         |FROM pairs p JOIN c2 USING (prev, term) JOIN c1 USING (prev)
         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+    // mirrors q_chi_square: expected/contributions are functions of
+    // exact counts only
+    "q_chi_square" ->
+      """WITH o AS (SELECT source, lang, COUNT(*) AS obs FROM documents GROUP BY source, lang),
+        |rt AS (SELECT source, SUM(obs) AS r FROM o GROUP BY source),
+        |ct AS (SELECT lang, SUM(obs) AS c FROM o GROUP BY lang),
+        |n AS (SELECT SUM(obs) AS n FROM o)
+        |SELECT o.source, o.lang, o.obs,
+        |       ROUND(rt.r * ct.c / CAST(n.n AS DOUBLE), 6) AS expected,
+        |       ROUND(POWER(o.obs - rt.r * ct.c / CAST(n.n AS DOUBLE), 2) / (rt.r * ct.c / CAST(n.n AS DOUBLE)), 6) AS chi2_term
+        |FROM o JOIN rt USING (source) JOIN ct USING (lang) CROSS JOIN n
+        |ORDER BY source, lang""".stripMargin,
+    "q_entropy" ->
+      """WITH c AS (SELECT source, lang, COUNT(*) AS cnt FROM documents GROUP BY source, lang),
+        |t AS (SELECT source, SUM(cnt) AS tot FROM c GROUP BY source)
+        |SELECT c.source,
+        |       ROUND(-SUM((cnt / CAST(tot AS DOUBLE)) * LN(cnt / CAST(tot AS DOUBLE))), 6) AS entropy,
+        |       CAST(COUNT(*) AS INT) AS n_values
+        |FROM c JOIN t USING (source) GROUP BY c.source
+        |ORDER BY c.source""".stripMargin,
+    "q_cube_stats" ->
+      """SELECT source, lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY CUBE (source, lang)
+        |ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin,
     // mirrors q_centroid_drift: decimal sum-vectors are exact, so the
     // doubles entering the final cosine are bit-identical cross-engine
     "q_centroid_drift" ->
