@@ -46,6 +46,17 @@ object Anomaly {
         sum(vd).cast("double").as("__s1"),
         sum(vd * vd).cast("double").as("__s2"),
         count(lit(1)).as("__n"))
+      // degenerate groups (n = 1, or zero variance) have no defined z.
+      // Exclude them EXPLICITLY rather than riding on divide-by-zero
+      // semantics: Spark yields NULL (row silently filtered), DuckDB
+      // yields NaN — and NaN sorts ABOVE the threshold there, so the
+      // two engines would diverge the first time a singleton or
+      // constant-valued key appears. The moments are exact decimals
+      // cast to double, so the variance-numerator comparison is
+      // bit-identical across engines.
+      .filter(
+        col("__n") > 1 &&
+          (col("__s2") - col("__s1") * col("__s1") / col("__n")) > 0)
     val mean = col("__s1") / col("__n")
     val variance =
       (col("__s2") - col("__s1") * col("__s1") / col("__n")) / (col("__n") - 1)

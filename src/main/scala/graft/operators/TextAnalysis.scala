@@ -542,18 +542,25 @@ object TextAnalysis {
     * log-prob) … bucket N = tail. CCNet keeps head+middle for LM
     * training and uses the split as a mixing dial.
     *
-    * Two forms, the [[distributionStats]] exact/approx convention:
-    *   - `exact = true`: rank-based `ntile` over (score, id) — integer
-    *     row-partition math, mirrorable in any engine; the global
-    *     window is a single-partition sort, fine at gate scale, wrong
-    *     at 100 TB.
-    *   - `exact = false` (the scale path, and the DEFAULT — library
-    *     callers should not inherit a single-partition global sort):
-    *     `approx_percentile` cutoffs from ONE map-side-combinable
-    *     aggregate, broadcast back, and a scan-local fold assigns
-    *     buckets — no global sort; boundary placement differs from
-    *     ntile only within sketch error. Only the gated oracle query
-    *     opts into `exact = true` (ntile is engine-mirrorable).
+    * Both forms share ONE shape — percentile cutoffs from a single
+    * map-side-combinable aggregate, broadcast back, and a scan-local
+    * fold assigns `bucket = 1 + Σ(score > cutoff)` (ties at a cutoff
+    * land in the LOWER tier, deterministically) — so NEITHER form has
+    * a global sort or a partition-less window anywhere in the plan
+    * (PlanGuardSpec sweeps with an empty allowlist):
+    *   - `exact = true` (oracle pin): exact `percentile` cutoffs.
+    *     Type-7 linear interpolation on the 6-dp-rounded score
+    *     multiset, which DuckDB's `quantile_cont` mirrors bit-for-bit;
+    *     a cutoff is either an order statistic or strictly between two
+    *     consecutive ones, so no data point sits on the comparison
+    *     boundary and last-ulp interpolation drift cannot flip a
+    *     bucket. The exact percentile is a typed-imperative aggregate
+    *     (ObjectHashAggregate, mergeable partials) — fine while the
+    *     cutoff count is small, heavier than a sketch per-row.
+    *   - `exact = false` (the scale path, and the DEFAULT):
+    *     `approx_percentile` cutoffs — boundary placement differs from
+    *     the exact form only within sketch error (agreement
+    *     spec-pinned in CurationSpec).
     */
   def perplexityBuckets(
       df: DataFrame,
@@ -564,24 +571,23 @@ object TextAnalysis {
   ): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     val scored = unigramLogProb(df, idCol, textCol)
-    if (exact) {
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("avg_neg_logprob"), col(idCol))
-      scored.withColumn("bucket", ntile(buckets).over(w))
-    } else {
-      val fracs = (1 until buckets).map(i => lit(i.toDouble / buckets))
-      val cuts = scored.agg(
-        percentile_approx(col("avg_neg_logprob"), array(fracs: _*), lit(10000)).as("__cuts"))
-      scored
-        .crossJoin(broadcast(cuts))
-        .withColumn(
-          "bucket",
-          aggregate(
-            col("__cuts"),
-            lit(1),
-            (acc, c) => acc + when(col("avg_neg_logprob") > c, 1).otherwise(0)))
-        .drop("__cuts")
-    }
+    val fracs = (1 until buckets).map(i => lit(i.toDouble / buckets))
+    val cuts =
+      if (exact)
+        scored.agg(
+          percentile(col("avg_neg_logprob"), array(fracs: _*)).as("__cuts"))
+      else
+        scored.agg(
+          percentile_approx(col("avg_neg_logprob"), array(fracs: _*), lit(10000)).as("__cuts"))
+    scored
+      .crossJoin(broadcast(cuts))
+      .withColumn(
+        "bucket",
+        aggregate(
+          col("__cuts"),
+          lit(1),
+          (acc, c) => acc + when(col("avg_neg_logprob") > c, 1).otherwise(0)))
+      .drop("__cuts")
   }
 
   /** Winnowing-style document fingerprint: lexicographic min of the

@@ -143,11 +143,28 @@ object Tokenizer {
     * first carries [[BoundaryMarker]] on its first token, making
     * [[decode]] the EXACT inverse — the lossless round-trip a pipeline
     * needs when the tokenized form replaces the raw text in storage.
+    *
+    * The marker must not occur in the input (decode maps every
+    * occurrence back to a space). That precondition is ENFORCED, not
+    * just documented: a row containing U+0120 raises a clear error at
+    * encode time instead of silently corrupting tokenized storage and
+    * only surfacing on a later decode. The guard is a scan-local
+    * `contains` + `raise_error`, codegen'd with the rest of the
+    * projection.
     */
-  def encodeMarked(model: BpeModel)(textCol: Column): Column =
-    ColumnBridge.column(
+  def encodeMarked(model: BpeModel)(textCol: Column): Column = {
+    val encoded = ColumnBridge.column(
       graft.functions.BpeEncode(
         ColumnBridge.expression(textCol), model.merges, Some(BoundaryMarker)))
+    when(
+      textCol.contains(BoundaryMarker),
+      raise_error(concat(
+        lit("encodeMarked: input contains the U+0120 boundary marker; " +
+          "round-trip would corrupt it. Strip or remap the marker " +
+          "before tokenizing: "),
+        substring(textCol, 0, 40))).cast("array<string>"))
+      .otherwise(encoded)
+  }
 
   /** Exact inverse of [[encodeMarked]]: concat + marker → space. Pure
     * built-in column ops — codegen'd, scan-local.

@@ -403,9 +403,10 @@ object PipelineQueries extends QueryPack {
         .orderBy(col("doc_id"))
     },
     // CCNet head/middle/tail quality tiers from the corpus unigram LM.
-    // exact=true is the ORACLE pin (ntile is engine-mirrorable; global
-    // window fine at gate scale) — the library default is the
-    // approx-cutoff scale path, benched as q_perplexity_buckets_approx
+    // exact=true is the ORACLE pin (exact percentile cutoffs — DuckDB
+    // quantile_cont mirrors them); SAME broadcast-cutoff plan shape as
+    // the approx default (benched as q_perplexity_buckets_approx) — no
+    // partition-less window in either form
     "q_perplexity_buckets" -> { (s, dir) =>
       TextAnalysis
         .perplexityBuckets(Tables.load(s, dir, "documents"), "doc_id", "text",
@@ -1219,6 +1220,47 @@ object PipelineQueries extends QueryPack {
         .bm25TopK(
           d.filter(col("doc_id") % 97 =!= 0), queries,
           "doc_id", "text", "query_id", "qtext", topK = 10)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    // the hybrid-retrieval PRODUCTION shape (Retrieval scaladoc):
+    // rrfFuse over (a) the q_bm25_serve_fixed lexical ranking and (b)
+    // an ivfTopK dense ranking — BOTH with the ≤50-query pinned batch,
+    // both emitting O(queries × K) rows; the gated q_hybrid_rrf scales
+    // queries ∝ corpus AND runs the dense side brute-force, which is
+    // 21.8×/decade BY CONSTRUCTION. This twin is what a serving
+    // pipeline runs: corpus-sized work is one tf pass (sparse) + one
+    // cell-blocked equi-join (dense), fusion shuffles only the bounded
+    // lists. Bench-only: same fusion math as the gated row.
+    "q_hybrid_rrf_serve_fixed" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val e = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val joined = d.join(e, col("doc_id") === col("vec_id"))
+      val corpus = joined.filter(col("doc_id") % 97 =!= 0)
+      val fixedBatch = joined.filter(col("doc_id") % 97 === 0 && col("doc_id") < 4850)
+      val sparse = TextAnalysis
+        .bm25TopK(
+          corpus.select(col("doc_id"), col("text")),
+          fixedBatch.select(
+            col("doc_id").as("query_id"),
+            array_join(slice(split(col("text"), " "), 1, 5), " ").as("qtext")),
+          "doc_id", "text", "query_id", "qtext",
+          topK = 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      // q_ann_ivf centroid convention; approx assignment keeps the
+      // corpus pass scan-local (planes, not an n×nlist fold)
+      val centroids = e
+        .filter(col("vec_id") < 8)
+        .select(
+          col("vec_id").cast("int").as("centroid_id"),
+          col("embedding").as("centroid_vec"))
+      val dense = Similarity
+        .ivfTopK(
+          fixedBatch.select(col("doc_id").as("vec_id"), col("embedding")),
+          corpus.select(col("doc_id").as("vec_id"), col("embedding")),
+          centroids, "vec_id", "embedding", k = 20, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      Retrieval
+        .rrfFuse(Seq(sparse, dense), k = 60, topK = 10)
         .orderBy(col("query_id"), col("rank"))
     },
     // trainable BPE: corpus → ONE word-count hash agg → bounded
@@ -2123,8 +2165,14 @@ object PipelineQueries extends QueryPack {
          |SELECT doc1 AS doc_id, COUNT(DISTINCT doc2) AS n_eval_matches, MAX(jaccard) AS max_jaccard
          |FROM vj GROUP BY doc1 ORDER BY doc_id""".stripMargin
     },
-    // CCNet tiers: the q_unigram_logprob scores + rank-based NTILE
-    // (integer row-partition math; unique tie-break per CLAUDE.md)
+    // CCNet tiers: the q_unigram_logprob scores + exact percentile
+    // cutoffs (type-7 quantile_cont mirrors Spark's `percentile`
+    // bit-for-bit on the 6-dp-rounded score multiset) folded
+    // scan-locally — NO window anywhere, matching the operator's
+    // broadcast-cutoff shape (ties at a cutoff land in the lower tier
+    // in both engines; a cutoff is an order statistic or strictly
+    // between two consecutive ones, so no data point can sit on the
+    // comparison boundary)
     "q_perplexity_buckets" ->
       """WITH tok AS (
         |  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents),
@@ -2135,10 +2183,12 @@ object PipelineQueries extends QueryPack {
         |         CAST(COUNT(*) AS INT) AS n_words,
         |         ROUND(AVG(-LN(CAST(freq.c AS DOUBLE) / tot.t)), 6) AS avg_neg_logprob
         |  FROM tok JOIN freq ON tok.term = freq.term CROSS JOIN tot
-        |  GROUP BY tok.doc_id)
+        |  GROUP BY tok.doc_id),
+        |cuts AS (SELECT quantile_cont(avg_neg_logprob, [1.0/3, 2.0/3]) AS c FROM scored)
         |SELECT doc_id, n_words, avg_neg_logprob,
-        |       CAST(NTILE(3) OVER (ORDER BY avg_neg_logprob, doc_id) AS INT) AS bucket
-        |FROM scored ORDER BY doc_id""".stripMargin,
+        |       CAST(1 + CASE WHEN avg_neg_logprob > c[1] THEN 1 ELSE 0 END
+        |              + CASE WHEN avg_neg_logprob > c[2] THEN 1 ELSE 0 END AS INT) AS bucket
+        |FROM scored CROSS JOIN cuts ORDER BY doc_id""".stripMargin,
     // bigram LM: same corpus-estimated counts in DuckDB list math
     "q_bigram_logprob" ->
       """WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),

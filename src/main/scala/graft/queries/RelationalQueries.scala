@@ -662,14 +662,19 @@ object RelationalQueries extends QueryPack {
         |FROM j CROSS JOIN t ORDER BY bin""".stripMargin,
     // mirrors q_anomaly_zscore: DECIMAL moments are exact, so s1/s2/n —
     // and therefore every downstream IEEE double op — are bit-identical
-    // across engines; ROUND(6) only absorbs the final formatting
+    // across engines; ROUND(6) only absorbs the final formatting.
+    // Degenerate groups (n = 1 / zero variance) are excluded in the
+    // same exact-moment terms as the operator — without the guard,
+    // Spark's NULL-on-÷0 silently drops the row while DuckDB's NaN
+    // compares greater than the threshold and EMITS it
     "q_anomaly_zscore" ->
-      """WITH s AS (
+      """WITH s0 AS (
         |  SELECT event_type,
         |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
         |         CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s2,
         |         COUNT(*) AS n
-        |  FROM events GROUP BY event_type)
+        |  FROM events GROUP BY event_type),
+        |s AS (SELECT * FROM s0 WHERE n > 1 AND (s2 - s1*s1/n) > 0)
         |SELECT e.event_id, e.event_type, e.value,
         |       ROUND((e.value - s.s1/s.n) / SQRT((s.s2 - s.s1*s.s1/s.n) / (s.n-1)), 6) AS z
         |FROM events e JOIN s USING (event_type)

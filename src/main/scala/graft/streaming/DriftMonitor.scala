@@ -46,9 +46,7 @@ object DriftMonitor {
       batchId: Option[Long] = None
   ): Unit = {
     batchId match {
-      case Some(b) if new java.io.File(monitorDir).exists() &&
-        spark.read.parquet(monitorDir).filter(col(BatchCol) === b)
-          .limit(1).count() > 0 => return
+      case Some(b) if StoreGuard.hasBatch(spark, monitorDir, BatchCol, b) => return
       case _ => ()
     }
     Anomaly

@@ -56,9 +56,11 @@ object IncrementalBm25 {
       textCol: String = "text",
       batchId: Option[Long] = None
   ): Unit = {
+    // StoreGuard tolerates a missing/partial store, so `attach` without
+    // a prior `seed` bootstraps it on the first micro-batch instead of
+    // dying on AnalysisException inside foreachBatch
     batchId match {
-      case Some(b) if spark.read.parquet(storeDir)
-        .filter(col(BatchCol) === b).limit(1).count() > 0 => return
+      case Some(b) if StoreGuard.hasBatch(spark, storeDir, BatchCol, b) => return
       case _ => ()
     }
     tfOf(batch, idCol, textCol)

@@ -29,8 +29,6 @@ object IncrementalSketches {
 
   private[graft] val BatchCol = "ingest_batch"
 
-  private def hasBatch(df: DataFrame, b: Long): Boolean =
-    df.filter(col(BatchCol) === b).limit(1).count() > 0
 
   /** Write the initial sketch store from an existing corpus
     * (`ingest_batch = -1`), establishing the stamped schema.
@@ -60,7 +58,9 @@ object IncrementalSketches {
       lgK: Int = Sketches.DefaultLgK
   ): Unit = {
     batchId match {
-      case Some(b) if hasBatch(spark.read.parquet(storeDir), b) => return
+      // StoreGuard tolerates a missing/partial store: attach-without-seed
+      // bootstraps on the first micro-batch (see StoreGuard scaladoc)
+      case Some(b) if StoreGuard.hasBatch(spark, storeDir, BatchCol, b) => return
       case _ => ()
     }
     Sketches

@@ -33,10 +33,7 @@ object StreamingCuration {
   private val BatchCol = IncrementalDedup.BatchCol
 
   private def hasBatch(spark: SparkSession, dir: String, b: Long): Boolean =
-    try {
-      val df = spark.read.parquet(dir)
-      df.columns.contains(BatchCol) && !df.filter(col(BatchCol) === lit(b)).isEmpty
-    } catch { case _: Throwable => false } // first batch: store not created yet
+    StoreGuard.hasBatch(spark, dir, BatchCol, b)
 
   // ---- fuzzy decontamination ---------------------------------------
 

@@ -72,7 +72,7 @@ class CurationSpec extends SparkSpec {
     assert(flagged(3L)._2 == 1.0) // verbatim → exact-Jaccard 1
   }
 
-  test("perplexityBuckets: exact ntile tiers and the approx scale path agree on extremes") {
+  test("perplexityBuckets: exact percentile tiers and the approx scale path agree on extremes") {
     // 6 docs over a shared vocabulary; doc 1 uses only the most common
     // words (head), doc 6 only the rarest (tail)
     val docs = Seq(
@@ -88,7 +88,9 @@ class CurationSpec extends SparkSpec {
       .collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("bucket"))
       .toMap
-    // ntile(3) over 6 rows → two per tier, ordered by typicality
+    // exact 1/3, 2/3 cutoffs fall strictly between the 2nd/3rd and
+    // 4th/5th of six distinct scores → two per tier, ordered by
+    // typicality (same split ntile(3) would give)
     assert(exact.values.toSeq.sorted == Seq(1, 1, 2, 2, 3, 3))
     assert(exact(1L) == 1 && exact(6L) == 3)
     val approx = TextAnalysis

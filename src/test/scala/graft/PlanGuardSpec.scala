@@ -55,12 +55,12 @@ class PlanGuardSpec extends SparkSpec {
   test("no gated or benched plan contains a partition-less window") {
     // A Window with no PARTITION BY collapses the whole input onto ONE
     // task's sort — the single worst scale shape an operator can hide.
-    // Allowlist: q_perplexity_buckets deliberately pins the exact ntile
-    // oracle form (engine-mirrorable, gate-scale only); the library
-    // default and q_perplexity_buckets_approx take the broadcast-cutoff
-    // path this sweep proves windowless.
+    // Empty allowlist: every gated AND benched plan must be windowless
+    // or partitioned. (q_perplexity_buckets was the last exemption —
+    // its oracle is now pinned on the broadcast-cutoff form, so even
+    // the gated row is windowless.)
     import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
-    val allowed = Set("q_perplexity_buckets")
+    val allowed = Set.empty[String]
     SparkEntry.benchQueries.keys.toSeq.sorted.filterNot(allowed).foreach { name =>
       val bad = sparkPlan(name).collect {
         case w: WindowExec if w.partitionSpec.isEmpty           => w.nodeName

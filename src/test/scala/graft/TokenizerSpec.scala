@@ -83,6 +83,20 @@ class TokenizerSpec extends SparkSpec {
     out.foreach(r => assert(r.getString(1) == r.getString(0), s"row=$r"))
   }
 
+  test("marked encode REJECTS input containing the boundary marker") {
+    // silent corruption would be worse than an error: decode maps every
+    // U+0120 back to a space, so a raw marker in the input cannot
+    // round-trip — the guard turns that into a clear raise_error
+    val model = Tokenizer.train(Seq("hello hello world bpe").toDF("text"), "text", numMerges = 2)
+    val bad = Seq("evil Ġ marker").toDF("text")
+    val ex = intercept[Exception] {
+      bad.select(Tokenizer.encodeMarked(model)(col("text"))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("boundary marker")), ex.toString)
+  }
+
   test("null text yields null tokens (nullSafeEval contract)") {
     val m = Tokenizer.BpeModel(Seq(("a", "b")))
     val df = Seq(Some("ab"), None).toDF("text")
