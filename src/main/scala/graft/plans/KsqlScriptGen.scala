@@ -44,6 +44,29 @@ final case class KsqlScript(statements: Seq[String]) {
   * inverts `graft.functions.KFunctions`' Spark registrations back to
   * their KSQL names (UCASE/LEN/LATEST_BY_OFFSET/…).
   */
+/** Key-column rendering style for [[KsqlScriptGen.buildStatement]] — the
+  * reference's `KeyPathStyle` (`src/Query/Builders/Statements/
+  * KsqlCreateStatementBuilder.cs:502-510`): `Flat` renders key columns
+  * bare (the reference's `None`), `Dot` as `key.COL`, `Arrow` as
+  * `KEY->COL` (ksqlDB struct-key access; the reference auto-selects
+  * Arrow for tables and reserves Dot for explicit overrides).
+  */
+sealed abstract class KeyPathStyle
+object KeyPathStyle {
+  case object Flat extends KeyPathStyle
+  case object Dot extends KeyPathStyle
+  case object Arrow extends KeyPathStyle
+}
+
+/** Options for [[KsqlScriptGen.buildStatement]] — the reference's
+  * `RenderOptions` + the `partitionBy` Build parameter
+  * (`KsqlCreateStatementBuilder.cs:141-156`).
+  */
+final case class RenderOptions(
+    keyPathStyle: KeyPathStyle = KeyPathStyle.Flat,
+    partitionBy: Option[String] = None
+)
+
 object KsqlScriptGen {
 
   def build(ctx: GraftContext): KsqlScript = {
@@ -152,6 +175,119 @@ object KsqlScriptGen {
     sb ++= "\nEMIT CHANGES;"
     sb.toString
   }
+
+  // ---- statement-level builder (key-path styles, PARTITION BY) -----------
+
+  /** Single-statement CSAS/CTAS builder — the Spark analog of the
+    * reference's `KsqlCreateStatementBuilder.Build(streamName, model,
+    * options, partitionBy)` (`KsqlCreateStatementBuilder.cs:141-299`),
+    * the surface behind the `keypath_*.sql` / `partition_by_variants.sql`
+    * goldens. Mirrored semantics:
+    *
+    *   - Key-path style: key columns of the source render as `KEY->COL`
+    *     (Arrow) / `key.COL` (Dot) / bare (Flat) in the SELECT and
+    *     GROUP BY clauses — applied as token replacement on the rendered
+    *     clause, skipping the token after `AS` so projection aliases
+    *     stay bare (`ApplyKeyStyle`/`ShouldReplace`, cs:521-583).
+    *   - PARTITION BY: the clause survives only on a single-source
+    *     STREAM with no GROUP BY / window / EMIT FINAL whose columns do
+    *     not exactly re-state the source key (cs:156-181; graft encodes
+    *     EMIT FINAL via tumbling, so the window check subsumes it);
+    *     qualifiers are stripped (single-source dealias), duplicates
+    *     collapse with the reference's ordering — sort by normalized
+    *     name, first occurrence wins (`DeduplicatePartitionColumns`,
+    *     cs:641-687) — and the result merges into GROUP BY
+    *     (`MergeGroupByAndPartition`, cs:690-711), which re-keys the
+    *     output and therefore forces CTAS (TABLE).
+    *   - Minimal WITH surface (topic + key/value formats), matching the
+    *     golden statements, which carry no registry/partition extras.
+    */
+  def buildStatement(
+      streamName: String,
+      qm: QueryModel,
+      options: RenderOptions = RenderOptions()
+  ): String = {
+    val hasGroupBy = qm.groupBy.nonEmpty
+    val hasWindow = qm.tumbling.nonEmpty || qm.hopping.nonEmpty
+    val sourceIsStream = qm.source.tableType != StreamTableType.Table
+    val sourceKeys = qm.source.keys.map(_.toUpperCase)
+
+    // PARTITION BY keep/drop (cs:156-181)
+    val partitionRaw = options.partitionBy.toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val partitionUnqualified = partitionRaw.map(c => c.split('.').last.trim)
+    val partitionNorm = partitionUnqualified.map(_.toUpperCase)
+    val partitionMatchesKey = sourceKeys.nonEmpty &&
+      partitionNorm.distinct.size == sourceKeys.size &&
+      partitionNorm.forall(sourceKeys.contains)
+    val keptPartition: Seq[String] =
+      if (partitionRaw.nonEmpty && sourceIsStream && !hasGroupBy &&
+        !hasWindow && !partitionMatchesKey)
+        // dedup: sort by normalized name, first occurrence wins
+        partitionUnqualified.zipWithIndex
+          .groupBy(_._1.toUpperCase)
+          .map { case (norm, occ) => (norm, occ.minBy(_._2)._1) }
+          .toSeq
+          .sortBy(_._1)
+          .map { case (_, original) => ident(original) }
+      else Nil
+
+    // GROUP BY ∪ partition columns, group-by order first (cs:690-711)
+    val groupRendered = qm.groupBy.map(renderColumn)
+    val groupNorm = groupRendered.map(_.toUpperCase).toSet
+    val mergedGroupBy =
+      groupRendered ++ keptPartition.filterNot(c => groupNorm.contains(c.toUpperCase))
+    val partitionMerged = keptPartition.nonEmpty
+    val isTable = qm.isAggregateQuery || partitionMerged
+    val kind = if (isTable) "TABLE" else "STREAM"
+
+    val style = options.keyPathStyle
+    val selectList =
+      if (qm.select.isEmpty) "*"
+      else qm.select.map(c => applyKeyStyle(renderColumn(c), sourceKeys, style))
+        .mkString(", ")
+    val sb = new StringBuilder
+    sb ++= s"CREATE $kind IF NOT EXISTS ${ident(streamName)} "
+    val keyFormat = if (qm.source.isCompositeKey) "AVRO" else "KAFKA"
+    sb ++= s"WITH (KAFKA_TOPIC='${streamName.toLowerCase}', "
+    sb ++= s"KEY_FORMAT='$keyFormat', VALUE_FORMAT='AVRO') AS\n"
+    sb ++= s"SELECT $selectList\n"
+    sb ++= s"FROM ${ident(qm.source.name)}"
+    if (qm.wheres.nonEmpty)
+      sb ++= s"\nWHERE ${qm.wheres.map(c => applyKeyStyle(renderColumn(c), sourceKeys, style)).mkString(" AND ")}"
+    if (mergedGroupBy.nonEmpty)
+      sb ++= s"\nGROUP BY ${mergedGroupBy.map(applyKeyStyle(_, sourceKeys, style)).mkString(", ")}"
+    sb ++= "\nEMIT CHANGES;"
+    sb.toString
+  }
+
+  /** Token replacement implementing the key-path styles on a rendered
+    * clause (`ApplyKeyStyle`, cs:521-583): each source-key identifier
+    * becomes `KEY->COL` / `key.COL`, skipping tokens already prefixed,
+    * quoted tokens, and — via the reference's `ShouldReplace` lookback —
+    * the token immediately after `AS` (a projection alias names the
+    * OUTPUT column, which has no key path).
+    */
+  private[graft] def applyKeyStyle(
+      clause: String,
+      keys: Seq[String],
+      style: KeyPathStyle
+  ): String =
+    if (style == KeyPathStyle.Flat || keys.isEmpty) clause
+    else keys.foldLeft(clause) { (acc, key) =>
+      val prefixed = style match {
+        case KeyPathStyle.Dot => s"key.$key"
+        case _                => s"KEY->$key"
+      }
+      val re = ("(?i)(?<!KEY->)(?<!key\\.)(?<![`'\"])\\b" +
+        java.util.regex.Pattern.quote(key) + "\\b(?![`'\"])").r
+      re.replaceAllIn(acc, m => {
+        val before = acc.substring(0, m.start).reverse.dropWhile(_.isWhitespace)
+        val prevToken = before.takeWhile(_.isLetter).reverse
+        if (prevToken.equalsIgnoreCase("AS")) m.matched
+        else java.util.regex.Matcher.quoteReplacement(prefixed)
+      })
+    }
 
   private def windowTumbling(p: Period): String = p match {
     case Period.Seconds(n)  => s"WINDOW TUMBLING (SIZE $n SECONDS)"

@@ -116,4 +116,90 @@ class KsqlScriptGenSpec extends SparkSpec {
     assert(KsqlScriptGen.build(ordersCtx).toSql ==
       KsqlScriptGen.build(ordersCtx).toSql)
   }
+
+  // ---- reference goldens: key-path styles + PARTITION BY variants --------
+  // (tests/Query/Golden/keypath_{none,dot,arrow}.sql,
+  //  partition_by_variants.sql — compared through a port of the
+  //  reference's SqlAssert.Normalize, tests/Utils/SqlAssert.cs:23-37)
+
+  private def normalize(s: String): String = {
+    var n = s.replace("\r\n", "\n").replace("\r", "\n")
+    n = n.replaceAll("\\s+", " ")
+    n = n.replaceAll("\\s*\\(\\s*", "(")
+    n = n.replaceAll("\\s*\\)\\s*", ")")
+    n = n.replaceAll("\\s*,\\s*", ", ")
+    n = n.replaceAll("\\s*;\\s*", ";")
+    n.trim.toLowerCase
+  }
+
+  private def golden(file: String): String =
+    normalize(new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"/root/reference/tests/Query/Golden/$file")),
+      java.nio.charset.StandardCharsets.UTF_8))
+
+  private def keyPathModel = {
+    val te = EntityModel[KeyPathTableEntity]("tableentity").key("broker", "symbol")
+    Ksql.from(te)
+      .groupBy("broker" -> col("broker"), "symbol" -> col("symbol"))
+      .select(
+        col("broker").as("broker"),
+        col("symbol").as("symbol"),
+        sum(col("qty")).as("total"))
+      .build()
+  }
+
+  test("keypath goldens: none / dot / arrow render byte-identical (normalized)") {
+    import graft.plans.{KeyPathStyle, RenderOptions}
+    assert(normalize(KsqlScriptGen.buildStatement(
+      "KEYPATH_NONE", keyPathModel,
+      RenderOptions(KeyPathStyle.Flat))) == golden("keypath_none.sql"))
+    assert(normalize(KsqlScriptGen.buildStatement(
+      "KEYPATH_DOT", keyPathModel,
+      RenderOptions(KeyPathStyle.Dot))) == golden("keypath_dot.sql"))
+    assert(normalize(KsqlScriptGen.buildStatement(
+      "KEYPATH_ARROW", keyPathModel,
+      RenderOptions(KeyPathStyle.Arrow))) == golden("keypath_arrow.sql"))
+  }
+
+  test("partition_by_variants golden: dedup + name-sort + GROUP BY merge forces CTAS") {
+    import graft.plans.RenderOptions
+    val ko = EntityModel[KeyPathKeyedOrder]("keyedorder").key("id")
+    val qm = Ksql.from(ko)
+      .select(col("id").as("id"), col("customerid").as("customerid"))
+      .build()
+    val sql = KsqlScriptGen.buildStatement(
+      "PARTITION_VARIANT", qm,
+      RenderOptions(partitionBy = Some("o.CustomerId, o.Id, o.CustomerId")))
+    assert(normalize(sql) == golden("partition_by_variants.sql"))
+  }
+
+  test("PARTITION BY re-stating the source key is dropped: plain CSAS survives") {
+    import graft.plans.RenderOptions
+    // cs:167-179 — partitionMatchesKey on a single-source stream keeps
+    // the original keying, so no merge, no GROUP BY, still a STREAM
+    val ko = EntityModel[KeyPathKeyedOrder]("keyedorder").key("id")
+    val qm = Ksql.from(ko)
+      .select(col("id").as("id"), col("customerid").as("customerid"))
+      .build()
+    val sql = KsqlScriptGen.buildStatement(
+      "KEEP_KEY", qm, RenderOptions(partitionBy = Some("o.Id")))
+    assert(normalize(sql).startsWith("create stream if not exists keep_key"))
+    assert(!normalize(sql).contains("group by"))
+  }
+
+  test("PARTITION BY on a grouped query is ignored (GROUP BY owns the key)") {
+    import graft.plans.RenderOptions
+    val sql = KsqlScriptGen.buildStatement(
+      "GROUPED", keyPathModel, RenderOptions(partitionBy = Some("o.Qty")))
+    assert(normalize(sql).contains("group by broker, symbol"))
+    assert(!normalize(sql).contains("qty emit") && !normalize(sql).contains("group by broker, symbol, qty"))
+  }
 }
+
+// Product types for the golden-pinned models (top level: EntityModel
+// needs a TypeTag-able Product, mirrors of the reference's TableEntity /
+// KeyedOrder test classes in GoldenKeyPathStyleSqlTests.cs /
+// GoldenPartitionBySqlTests.cs)
+case class KeyPathTableEntity(broker: String, symbol: String, qty: Int)
+case class KeyPathKeyedOrder(id: Int, customerid: Int)
