@@ -1,0 +1,265 @@
+package graft.sources
+
+import java.io.{DataInputStream, DataOutputStream, EOFException, FileInputStream, FileOutputStream}
+import java.nio.file.{Files, Paths}
+
+/** An embedded, file-backed mini-broker implementing the slice of the
+  * Kafka storage contract graft's binding depends on — so the full
+  * produce → consume loop can RUN in this no-network, no-kafka-jar
+  * sandbox instead of stopping at codec golden fixtures. The pieces a
+  * real broker would own, re-implemented from the public Kafka
+  * protocol/storage semantics:
+  *
+  *   - topics split into numbered partitions, each an APPEND-ONLY log
+  *     with dense monotonic offsets;
+  *   - the default partitioner: murmur2 over the serialized key bytes,
+  *     `(hash & 0x7fffffff) % numPartitions` (null keys round-robin) —
+  *     so records land on the SAME partition a real producer would
+  *     send them to, which is what makes per-key ordering hold;
+  *   - record shape (timestamp, key bytes, value bytes, headers) —
+  *     the frames are carried verbatim, so the bytes a consumer fetches
+  *     are byte-identical to what [[KafkaAvroCodec]] encoded (the
+  *     golden-fixture contract, KafkaBindingSpec);
+  *   - tombstones (null value) and log COMPACTION: retain the newest
+  *     record per key; a compacted tombstone is itself retained only
+  *     while `retainTombstones` (Kafka's `delete.retention.ms` gate);
+  *   - offset-based fetch (`fetch(topic, partition, fromOffset)`) —
+  *     the consumer resume loop.
+  *
+  * Scope: a DEV/TEST transport, deliberately driver-side and
+  * single-JVM — production deployments bind through
+  * `spark.readStream.format("kafka")` with [[KafkaBinding]]'s options,
+  * and swapping this harness for a real broker changes CONFIG, not
+  * code: the same frames, subjects and wire bytes flow either way
+  * (KafkaLoopSpec pins that property end-to-end). Logs persist across
+  * broker instances pointed at the same dir (restart survival is part
+  * of the contract under test).
+  *
+  * ref: src/Messaging/Producers/KafkaProducerManager.cs,
+  * src/Messaging/Consumers/KafkaConsumerManager.cs (the reference's
+  * broker-facing managers whose loop this makes runnable here).
+  */
+final class EmbeddedBroker(rootDir: String) {
+
+  import EmbeddedBroker._
+
+  private val topics = scala.collection.mutable.Map.empty[String, Int]
+  private val roundRobin = scala.collection.mutable.Map.empty[String, Int]
+  Files.createDirectories(Paths.get(rootDir))
+
+  def createTopic(name: String, partitions: Int): Unit = synchronized {
+    require(partitions > 0, "partitions must be positive")
+    require(!topics.contains(name) || topics(name) == partitions,
+      s"topic $name already exists with ${topics(name)} partitions")
+    topics(name) = partitions
+    (0 until partitions).foreach { p =>
+      Files.createDirectories(Paths.get(partDir(name, p)))
+    }
+  }
+
+  /** Partition count, recovering from disk for a broker restarted onto
+    * an existing root.
+    */
+  def partitionsOf(topic: String): Int = synchronized {
+    topics.getOrElse(topic, {
+      val dirs = Option(new java.io.File(s"$rootDir/$topic").listFiles())
+        .getOrElse(Array.empty).count(_.isDirectory)
+      require(dirs > 0, s"unknown topic $topic")
+      topics(topic) = dirs
+      dirs
+    })
+  }
+
+  /** Append records; returns (partition, offset) per record in input
+    * order. Partitioning is the producer's job in Kafka — done here so
+    * callers hand over plain frames.
+    */
+  def produce(topic: String, records: Seq[ProducerRecord]): Seq[(Int, Long)] = synchronized {
+    val n = partitionsOf(topic)
+    records.map { r =>
+      val p = r.key match {
+        case null =>
+          val next = roundRobin.getOrElse(topic, 0)
+          roundRobin(topic) = next + 1
+          next % n
+        case k => (murmur2(k) & 0x7fffffff) % n
+      }
+      val off = appendOne(topic, p, r)
+      (p, off)
+    }
+  }
+
+  /** All records of a partition with offset >= fromOffset, in offset
+    * order — the consumer fetch loop's unit.
+    */
+  def fetch(topic: String, partition: Int, fromOffset: Long = 0L): Seq[ConsumerRecord] =
+    synchronized {
+      readLog(topic, partition).filter(_.offset >= fromOffset)
+    }
+
+  /** Next offset to be assigned (== current log end). */
+  def endOffset(topic: String, partition: Int): Long = synchronized {
+    readLog(topic, partition).lastOption.map(_.offset + 1).getOrElse(0L)
+  }
+
+  /** Log compaction: newest record per key wins; null-key records are
+    * never compacted away (Kafka keeps them — no key to collapse on);
+    * tombstones survive only while `retainTombstones` (the
+    * delete.retention.ms gate). Offsets of surviving records are
+    * PRESERVED — compaction removes records, it does not renumber.
+    */
+  def compact(topic: String, retainTombstones: Boolean = false): Unit = synchronized {
+    (0 until partitionsOf(topic)).foreach { p =>
+      val log = readLog(topic, p)
+      val newestPerKey = log.filter(_.key != null)
+        .groupBy(r => ByteKey(r.key)).map { case (_, rs) => rs.maxBy(_.offset).offset }
+        .toSet
+      val kept = log.filter { r =>
+        if (r.key == null) true
+        else if (!newestPerKey.contains(r.offset)) false
+        else r.value != null || retainTombstones
+      }
+      val f = logFile(topic, p)
+      val tmp = new java.io.File(f.getPath + ".tmp")
+      writeAll(tmp, kept)
+      require(f.delete() || !f.exists(), s"compact: cannot remove ${f.getPath}")
+      require(tmp.renameTo(f), s"compact: cannot swap ${tmp.getPath}")
+    }
+  }
+
+  // ---- log file I/O -------------------------------------------------------
+
+  private def partDir(topic: String, p: Int) = s"$rootDir/$topic/$p"
+  private def logFile(topic: String, p: Int) = new java.io.File(s"${partDir(topic, p)}/00000.log")
+
+  private def appendOne(topic: String, p: Int, r: ProducerRecord): Long = {
+    val off = endOffset(topic, p)
+    val out = new DataOutputStream(new FileOutputStream(logFile(topic, p), true))
+    try writeRecord(out, ConsumerRecord(topic, p, off, r.timestamp, r.key, r.value, r.headers))
+    finally out.close()
+    off
+  }
+
+  private def writeAll(f: java.io.File, rs: Seq[ConsumerRecord]): Unit = {
+    val out = new DataOutputStream(new FileOutputStream(f, false))
+    try rs.foreach(writeRecord(out, _))
+    finally out.close()
+  }
+
+  private def writeRecord(out: DataOutputStream, r: ConsumerRecord): Unit = {
+    out.writeLong(r.offset)
+    out.writeLong(r.timestamp)
+    writeBytes(out, r.key)
+    writeBytes(out, r.value)
+    out.writeInt(r.headers.size)
+    r.headers.foreach { case (k, v) =>
+      writeBytes(out, k.getBytes("UTF-8"))
+      writeBytes(out, v)
+    }
+  }
+
+  private def writeBytes(out: DataOutputStream, b: Array[Byte]): Unit =
+    if (b == null) out.writeInt(-1)
+    else { out.writeInt(b.length); out.write(b) }
+
+  private def readLog(topic: String, p: Int): Seq[ConsumerRecord] = {
+    val f = logFile(topic, p)
+    if (!f.exists()) return Nil
+    val in = new DataInputStream(new FileInputStream(f))
+    val buf = Seq.newBuilder[ConsumerRecord]
+    try {
+      while (true) {
+        val off =
+          try in.readLong()
+          catch { case _: EOFException => return buf.result() }
+        val ts = in.readLong()
+        val key = readBytes(in)
+        val value = readBytes(in)
+        val nh = in.readInt()
+        val headers = (0 until nh).map { _ =>
+          val name = new String(readBytes(in), "UTF-8")
+          name -> readBytes(in)
+        }
+        buf += ConsumerRecord(topic, p, off, ts, key, value, headers)
+      }
+      buf.result()
+    } finally in.close()
+  }
+
+  private def readBytes(in: DataInputStream): Array[Byte] = {
+    val n = in.readInt()
+    if (n < 0) null
+    else {
+      val b = new Array[Byte](n)
+      in.readFully(b)
+      b
+    }
+  }
+}
+
+object EmbeddedBroker {
+
+  /** What a producer hands the broker (partition decided broker-side
+    * here, producer-side in real Kafka — same function either way).
+    */
+  final case class ProducerRecord(
+      key: Array[Byte],
+      value: Array[Byte],
+      timestamp: Long,
+      headers: Seq[(String, Array[Byte])] = Nil
+  )
+
+  /** What a consumer fetch returns — the Kafka source's column set
+    * (topic/partition/offset/timestamp/key/value/headers).
+    */
+  final case class ConsumerRecord(
+      topic: String,
+      partition: Int,
+      offset: Long,
+      timestamp: Long,
+      key: Array[Byte],
+      value: Array[Byte],
+      headers: Seq[(String, Array[Byte])]
+  )
+
+  private final case class ByteKey(bytes: Array[Byte]) {
+    override val hashCode: Int = java.util.Arrays.hashCode(bytes)
+    override def equals(o: Any): Boolean = o match {
+      case ByteKey(b) => java.util.Arrays.equals(bytes, b)
+      case _          => false
+    }
+  }
+
+  /** Kafka's murmur2 (org.apache.kafka.common.utils.Utils#murmur2 —
+    * public Apache code, re-implemented): the DefaultPartitioner hash,
+    * so keyed records land exactly where a real producer puts them.
+    */
+  private[graft] def murmur2(data: Array[Byte]): Int = {
+    val seed = 0x9747b28c
+    val m = 0x5bd1e995
+    val r = 24
+    val length = data.length
+    var h = seed ^ length
+    val length4 = length / 4
+    var i = 0
+    while (i < length4) {
+      val i4 = i * 4
+      var k = (data(i4 + 0) & 0xff) + ((data(i4 + 1) & 0xff) << 8) +
+        ((data(i4 + 2) & 0xff) << 16) + ((data(i4 + 3) & 0xff) << 24)
+      k *= m
+      k ^= k >>> r
+      k *= m
+      h *= m
+      h ^= k
+      i += 1
+    }
+    val tail = length & ~3
+    if ((length % 4) >= 3) h ^= (data(tail + 2) & 0xff) << 16
+    if ((length % 4) >= 2) h ^= (data(tail + 1) & 0xff) << 8
+    if ((length % 4) >= 1) { h ^= data(tail) & 0xff; h *= m }
+    h ^= h >>> 13
+    h *= m
+    h ^= h >>> 15
+    h
+  }
+}

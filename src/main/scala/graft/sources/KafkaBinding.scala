@@ -18,11 +18,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * The reference's value format is schema-registry Avro (subjects
   * `{topic}-key`/`{topic}-value`, `src/Context/KsqlContext.Schema.cs:
   * 273-281` — see [[subjects]] and [[AvroSchemaGen]]); this container
-  * ships no kafka/avro Spark jars, so the wire value here is JSON and
-  * `load()`/`start()` are exercised only in environments that have
-  * `spark-sql-kafka-0-10` on the classpath. Everything up to that point
-  * — option assembly, encode, decode, metadata columns — is real and
-  * spec-covered (KafkaBindingSpec).
+  * ships no kafka Spark jars, so `load()`/`start()` are exercised only
+  * in environments that have `spark-sql-kafka-0-10` on the classpath.
+  * Everything up to that point — option assembly, encode, decode,
+  * metadata columns, the registry-framed Avro wire bytes
+  * ([[KafkaAvroCodec]]) — is real and spec-covered (KafkaBindingSpec),
+  * and the full produce → consume LOOP runs against [[EmbeddedBroker]]
+  * (KafkaLoopSpec): murmur2 partitioning, offsets, tombstones,
+  * compaction, headers, restart — so a real broker swap is config-only.
   */
 object KafkaBinding {
 

@@ -21,10 +21,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Per micro-batch plan shape:
   *   1. collapse the batch's events per key ([[History.collapsedChanges]]
   *      — batch-bounded window);
-  *   2. fetch each affected key's OPEN attributes from the store: a
-  *      broadcast left-semi prune to the batch's keys, then a
-  *      hash-aggregable latest-per-key ([[graft.functions.MinByObject]]
-  *      — built-in max_by on a struct carry falls to SortAggregate);
+  *   2. fetch each affected key's OPEN attributes from the compacted
+  *      HEAD store ([[openDir]] — latest row per key, Kafka
+  *      compacted-topic semantics), NOT the version log: a broadcast
+  *      left-semi prune to the batch's keys, then a hash-aggregable
+  *      latest-per-key ([[graft.functions.MinByObject]] — built-in
+  *      max_by on a struct carry falls to SortAggregate). Reading the
+  *      head makes the per-batch cost O(|batch| + #keys), independent
+  *      of how many versions the history holds (Scd2IngestionScale
+  *      measures this flat);
   *   3. drop the batch's LEADING rows whose attributes null-safely
   *      equal the open version (the cross-batch collapse — without it
   *      every batch boundary would fabricate a version);
@@ -47,6 +52,19 @@ object IncrementalScd2 {
 
   private[graft] val BatchCol = "ingest_batch"
 
+  /** The open-version HEAD store: the log-compacted head of the change
+    * log (exactly Kafka compacted-topic semantics — latest row per
+    * key), kept as a sibling directory so the main store stays a plain
+    * parquet dir. Step 2's open-version fetch reads THIS, not the full
+    * version log: the head is O(#keys) rows (plus the current batch's
+    * un-folded tail), so the per-batch read cost is independent of how
+    * many VERSIONS the history has accreted — the property
+    * Scd2IngestionScale measures. The version log itself is only ever
+    * APPENDED to; nothing per-batch scans it.
+    */
+  private[graft] def openDir(storeDir: String): String =
+    storeDir.stripSuffix("/") + "_open"
+
   /** Initialize the store from a (possibly empty) changelog batch. */
   def seed(
       events: DataFrame,
@@ -55,13 +73,16 @@ object IncrementalScd2 {
       tsCol: String,
       attrCols: Seq[String],
       tieBreak: Seq[String]
-  ): Unit =
-    History
+  ): Unit = {
+    val collapsed = History
       .collapsedChanges(
         events.select((keyCols ++ attrCols ++ (tsCol +: tieBreak)).map(col): _*),
         keyCols, tsCol, attrCols, tieBreak)
       .withColumn(BatchCol, lit(-1L))
-      .write.mode("overwrite").parquet(storeDir)
+    collapsed.write.mode("overwrite").parquet(storeDir)
+    collapsed.write.mode("overwrite").parquet(openDir(storeDir))
+    foldOpen(events.sparkSession, storeDir, keyCols, tsCol, attrCols, tieBreak)
+  }
 
   /** Fold one micro-batch of changelog rows into the store. */
   def ingestBatch(
@@ -77,13 +98,19 @@ object IncrementalScd2 {
     val store = spark.read.parquet(storeDir)
     if (batchId.exists(b => !store.filter(col(BatchCol) === b).isEmpty))
       return // replayed batch: append already committed, recompute is a no-op
-    val prior = batchId.fold(store)(b => store.filter(col(BatchCol) =!= b))
+    // open-version source: the compacted HEAD store, not the version
+    // log — O(#keys) rows regardless of history length. Excluding the
+    // batch's own stamp makes a replay recompute against exactly the
+    // pre-batch state (crash-leftover rows from a half-committed run
+    // carry this batch's stamp and drop out here).
+    val openStore = spark.read.parquet(openDir(storeDir))
+    val prior = batchId.fold(openStore)(b => openStore.filter(col(BatchCol) =!= b))
 
     val cols = (keyCols ++ attrCols ++ (tsCol +: tieBreak)).map(col)
     val withinBatch =
       History.collapsedChanges(batch.select(cols: _*), keyCols, tsCol, attrCols, tieBreak)
 
-    // open version per affected key: semi-prune the store to the
+    // open version per affected key: semi-prune the head to the
     // batch's keys, latest change row wins (ts, tie ordering)
     val batchKeys = batch.select(keyCols.map(col): _*).distinct()
     val attrs = struct(attrCols.map(col): _*)
@@ -107,9 +134,57 @@ object IncrementalScd2 {
       .filter(!(attrs <=> col("__prev")))
       .select(cols: _*)
 
-    changes
-      .withColumn(BatchCol, lit(batchId.getOrElse(-1L)))
-      .write.mode("append").parquet(storeDir)
+    val stamped = changes.withColumn(BatchCol, lit(batchId.getOrElse(-1L)))
+    // ordering is load-bearing: head append first, version-log append
+    // second (the COMMIT point the replay check reads), head fold LAST.
+    // A crash between the appends leaves stamped head rows that the
+    // next run (a replay of this batch) excludes and re-appends —
+    // duplicates carry identical payloads, so the fold's latest-per-key
+    // collapse is unaffected. The fold never destroys pre-batch state
+    // until the batch is committed in the version log.
+    stamped.write.mode("append").parquet(openDir(storeDir))
+    stamped.write.mode("append").parquet(storeDir)
+    foldOpen(spark, storeDir, keyCols, tsCol, attrCols, tieBreak)
+  }
+
+  /** Fold the head store back to one row per key (latest by ts, tie) —
+    * the log-compaction step. O(#keys) read + write, swapped in with
+    * the [[graft.sources.Lake.compact]] two-rename idiom (local-FS
+    * rename here; an object-store deployment swaps via its atomic
+    * rename/commit primitive).
+    */
+  private def foldOpen(
+      spark: SparkSession,
+      storeDir: String,
+      keyCols: Seq[String],
+      tsCol: String,
+      attrCols: Seq[String],
+      tieBreak: Seq[String]
+  ): Unit = {
+    val path = openDir(storeDir)
+    val df = spark.read.parquet(path)
+    val payloadCols = attrCols ++ (tsCol +: tieBreak) :+ BatchCol
+    val folded = df
+      .groupBy(keyCols.map(col): _*)
+      .agg(graft.functions.MinByObject
+        .maxBy(struct(payloadCols.map(col): _*),
+          struct((tsCol +: tieBreak).map(col): _*))
+        .as("__p"))
+      .select(keyCols.map(col) ++
+        payloadCols.map(c => col(s"__p.$c").as(c)): _*)
+    val tmp = s"$path.__fold_tmp"
+    val old = s"$path.__fold_old"
+    folded.write.mode("overwrite").parquet(tmp)
+    val p = new java.io.File(path)
+    val t = new java.io.File(tmp)
+    val o = new java.io.File(old)
+    require(p.renameTo(o), s"foldOpen: could not set aside $path")
+    require(t.renameTo(p), s"foldOpen: could not swap in $tmp")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(o)
   }
 
   /** The full SCD2 view over the store: validity intervals, versions

@@ -66,6 +66,14 @@ class IncrementalScd2Spec extends SparkSpec {
     val current = got.filter($"is_current").select($"k", $"attr").as[(String, String)]
       .collect().toMap
     assert(current == Map("A" -> "x", "B" -> "z", "C" -> "v"))
+
+    // the compacted HEAD store holds exactly one row per key — the
+    // open version — so the next batch's open-fetch is O(#keys) no
+    // matter how long the version log grows
+    val head = spark.read.parquet(dir + "_open")
+    assert(head.count() == 3, s"head not folded: ${head.collect().mkString(",")}")
+    val headMap = head.select($"k", $"attr").as[(String, String)].collect().toMap
+    assert(headMap == Map("A" -> "x", "B" -> "z", "C" -> "v"))
   }
 
   test("periodic compaction bounds the store's file count without losing state") {
