@@ -670,6 +670,25 @@ object Similarity {
       case Some(p) => assignCellsApprox(corpusSlim, centroids, vecCol, p)
       case None    => assignCells(corpusSlim, centroids, vecCol)
     }
+    topKAgainstCells(queries, corpusCells, centroids, idCol, vecCol, k, nprobe)
+  }
+
+  /** The IVF probe against an ALREADY-ASSIGNED corpus — the serve half
+    * of [[ivfTopK]], split out so a persisted assignment store
+    * ([[graft.streaming.IncrementalAnn]]) can skip the corpus-side
+    * assignment entirely: at serve time the corpus contributes only the
+    * (cell, id, vec) equi-join probe, which is the whole point of
+    * paying the assignment once at ingest.
+    */
+  private[graft] def topKAgainstCells(
+      queries: DataFrame,
+      corpusCells: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int
+  ): DataFrame = {
 
     // Query-side nprobe ranking keeps the window — the query set is small
     // and needs the n-best cells, not just the argmax.
