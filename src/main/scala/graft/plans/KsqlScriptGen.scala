@@ -64,7 +64,16 @@ object KeyPathStyle {
   */
 final case class RenderOptions(
     keyPathStyle: KeyPathStyle = KeyPathStyle.Flat,
-    partitionBy: Option[String] = None
+    partitionBy: Option[String] = None,
+    // sink topic sizing — emitted into WITH only when set (the
+    // reference reads them from model extras; the live-bars goldens
+    // carry PARTITIONS=1, REPLICAS=1, the keypath goldens none)
+    partitions: Option[Int] = None,
+    replicas: Option[Int] = None,
+    // the WhenEmpty live variant emits `CREATE TABLE` without
+    // IF NOT EXISTS, and aliases its single source (`bar_1s_rows o`)
+    ifNotExists: Boolean = true,
+    sourceAlias: Option[String] = None
 )
 
 object KsqlScriptGen {
@@ -102,6 +111,31 @@ object KsqlScriptGen {
     val kind =
       if (m.tableType == StreamTableType.Table) "TABLE" else "STREAM"
     s"CREATE $kind ${ident(m.name)} ${withClause(m, windowed = false)};"
+  }
+
+  /** Base DDL with an INLINE column list (`name TYPE [KEY]`) — the form
+    * the reference's `DerivedTumblingPipeline` emits for the 1s rows
+    * stream (golden `rows_1s_stream.sql`). The schema is carried in the
+    * statement, so — unlike [[createBase]] — there is no registry
+    * `VALUE_AVRO_SCHEMA_FULL_NAME` entry; RETENTION_MS applies because
+    * the rows stream is retention-bounded (`windowed = true`).
+    */
+  def createBaseWithColumns(m: EntityModel[_], windowed: Boolean = false): String = {
+    val kind = if (m.tableType == StreamTableType.Table) "TABLE" else "STREAM"
+    val cols = m.schema.fields.filterNot(f => m.ignored.contains(f.name)).map { f =>
+      s"${ident(f.name)} ${ksqlType(f.dataType)}${if (m.keys.contains(f.name)) " KEY" else ""}"
+    }.mkString("(", ", ", ")")
+    val parts = Seq.newBuilder[String]
+    parts += s"KAFKA_TOPIC='${m.topic.getOrElse(m.name)}'"
+    if (m.hasKeys)
+      parts += s"KEY_FORMAT='${if (m.isCompositeKey) "AVRO" else "KAFKA"}'"
+    parts += "VALUE_FORMAT='AVRO'"
+    m.timeKey.foreach(t => parts += s"TIMESTAMP='${t.toUpperCase}'")
+    if (m.partitions > 0) parts += s"PARTITIONS=${m.partitions}"
+    if (m.replicationFactor > 0) parts += s"REPLICAS=${m.replicationFactor}"
+    m.retentionMs.filter(_ > 0 && windowed).foreach(r => parts += s"RETENTION_MS=$r")
+    s"CREATE $kind IF NOT EXISTS ${ident(m.name)} $cols " +
+      parts.result().mkString("WITH (", ", ", ")") + ";"
   }
 
   private def withClause(m: EntityModel[_], windowed: Boolean): String = {
@@ -247,12 +281,34 @@ object KsqlScriptGen {
       else qm.select.map(c => applyKeyStyle(renderColumn(c), sourceKeys, style))
         .mkString(", ")
     val sb = new StringBuilder
-    sb ++= s"CREATE $kind IF NOT EXISTS ${ident(streamName)} "
-    val keyFormat = if (qm.source.isCompositeKey) "AVRO" else "KAFKA"
-    sb ++= s"WITH (KAFKA_TOPIC='${streamName.toLowerCase}', "
-    sb ++= s"KEY_FORMAT='$keyFormat', VALUE_FORMAT='AVRO') AS\n"
+    val ifne = if (options.ifNotExists) " IF NOT EXISTS" else ""
+    sb ++= s"CREATE $kind$ifne ${ident(streamName)} "
+    val withParts = Seq(s"KAFKA_TOPIC='${streamName.toLowerCase}'") ++
+      (if (qm.source.hasKeys)
+        Seq(s"KEY_FORMAT='${if (qm.source.isCompositeKey) "AVRO" else "KAFKA"}'")
+      else Nil) ++
+      Seq("VALUE_FORMAT='AVRO'") ++
+      options.partitions.map(p => s"PARTITIONS=$p") ++
+      options.replicas.map(r => s"REPLICAS=$r")
+    sb ++= withParts.mkString("WITH (", ", ", ") AS\n")
     sb ++= s"SELECT $selectList\n"
-    sb ++= s"FROM ${ident(qm.source.name)}"
+    qm.join match {
+      case None =>
+        sb ++= s"FROM ${ident(qm.source.name)}"
+        options.sourceAlias.foreach(a => sb ++= s" $a")
+      case Some(j) =>
+        // two-source join: fixed o/i aliases (BuildKeyAliasMap,
+        // cs:487-500) and the 300 s WITHIN default when none is given
+        // (cs:362-376)
+        val kw = if (j.joinType == "left_outer") "LEFT JOIN" else "JOIN"
+        val within = j.withinSeconds.getOrElse(300L)
+        sb ++= s"FROM ${ident(qm.source.name)} o\n"
+        sb ++= s"$kw ${ident(j.right.name)} i WITHIN $within SECONDS "
+        sb ++= s"ON ${renderColumn(j.condition)}"
+    }
+    qm.tumbling.foreach(t => sb ++= s"\n${windowTumbling(t.timeframes.head)}")
+    qm.hopping.foreach(h => sb ++=
+      s"\nWINDOW HOPPING (SIZE ${h.size.toSeconds} SECONDS, ADVANCE BY ${h.advanceBy.toSeconds} SECONDS)")
     if (qm.wheres.nonEmpty)
       sb ++= s"\nWHERE ${qm.wheres.map(c => applyKeyStyle(renderColumn(c), sourceKeys, style)).mkString(" AND ")}"
     if (mergedGroupBy.nonEmpty)
@@ -327,7 +383,10 @@ object KsqlScriptGen {
 
   private[graft] def render(e: Expression): String = e match {
     case Alias(child, name) => s"${render(child)} AS ${ident(name)}"
-    case a: UnresolvedAttribute => ident(a.nameParts.last)
+    // qualified attrs keep their qualifier (`o.CUSTOMERID` — the
+    // two-source alias convention, fixed o/i like the reference's
+    // BuildKeyAliasMap); bare attrs render bare
+    case a: UnresolvedAttribute => ident(a.nameParts.mkString("."))
     case Literal(null, _) => "NULL"
     case Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType) =>
       s"'${v.toString.replace("'", "''")}'"

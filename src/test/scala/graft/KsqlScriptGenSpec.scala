@@ -188,6 +188,85 @@ class KsqlScriptGenSpec extends SparkSpec {
     assert(!normalize(sql).contains("group by"))
   }
 
+  test("join_within goldens: default AND explicit 300s render byte-identical (normalized)") {
+    // GoldenJoinWithinSqlTests.cs — keyless two-source stream join with
+    // the o/i alias convention; no Within call → the 300 s default
+    val order = EntityModel[KeyPathOrder]("order")
+    val customer = EntityModel[KeyPathCustomer]("customer")
+    def model(explicit: Boolean) = {
+      val st = Ksql.from(order)
+        .join(customer, col("o.customerid") === col("i.id"))
+      (if (explicit) st.within(300) else st)
+        .select(col("o.id").as("id"), col("i.name").as("name"))
+        .build()
+    }
+    assert(normalize(KsqlScriptGen.buildStatement("JOIN_DEFAULT", model(explicit = false)))
+      == golden("join_within_default.sql"))
+    assert(normalize(KsqlScriptGen.buildStatement("JOIN_EXPLICIT", model(explicit = true)))
+      == golden("join_within_explicit_300s.sql"))
+  }
+
+  test("rows_1s_stream golden: inline-column DDL with KEY markers and retention") {
+    // GoldenRowsStreamSqlTests.cs — the DerivedTumblingPipeline's 1s
+    // rows stream: schema inline (no registry full-name), 7-day
+    // retention on the windowed rows
+    val bar = EntityModel[KeyPathBarRow]("bar_1s_rows")
+      .key("broker", "symbol").timestamp("timestamp")
+      .toTopic("bar_1s_rows", 1, 1).retention(604800000L)
+    assert(normalize(KsqlScriptGen.createBaseWithColumns(bar, windowed = true))
+      == golden("rows_1s_stream.sql"))
+  }
+
+  test("live-bars goldens: 5m/15m/60m windowed CTAS render byte-identical (normalized)") {
+    // GoldenBarsLiveSqlTests/GoldenBarsLiveSqlMoreTests — the
+    // KsqlCreateWindowedStatementBuilder surface over the 1s rows
+    // stream (PARTITIONS=1, REPLICAS=1 from the sink extras)
+    import graft.plans.RenderOptions
+    val bar = EntityModel[KeyPathBarRow]("bar_1s_rows")
+      .key("broker", "symbol").timestamp("timestamp")
+    def model(minutes: Int) = Ksql.from(bar)
+      .tumbling(Seq(Period.Minutes(minutes)))
+      .groupBy("broker" -> col("broker"), "symbol" -> col("symbol"))
+      .select(
+        col("broker").as("broker"),
+        col("symbol").as("symbol"),
+        min_by(col("open"), col("timestamp")).as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        max_by(col("ksqltimeframeclose"), col("timestamp")).as("ksqltimeframeclose"))
+      .build()
+    Seq(5 -> "bars_5m_live.sql", 15 -> "bars_15m_live.sql", 60 -> "bars_60m_live.sql")
+      .foreach { case (m, g) =>
+        assert(normalize(KsqlScriptGen.buildStatement(
+          s"bar_${m}m_live", model(m),
+          RenderOptions(partitions = Some(1), replicas = Some(1)))) == golden(g),
+          s"mismatch for $g")
+      }
+  }
+
+  test("whenempty live-bars golden: no IF NOT EXISTS, aliased source, windowstart projection") {
+    import graft.plans.RenderOptions
+    val bar = EntityModel[KeyPathBarRow]("bar_1s_rows")
+      .key("broker", "symbol").timestamp("timestamp")
+    val qm = Ksql.from(bar)
+      .tumbling(Seq(Period.Minutes(1)))
+      .groupBy("broker" -> col("broker"), "symbol" -> col("symbol"))
+      .select(
+        col("windowstart").as("windowstartraw"),
+        col("broker").as("broker"),
+        col("symbol").as("symbol"),
+        col("windowstart").as("bucketstart"),
+        min_by(col("o.open"), col("timestamp")).as("open"),
+        max(col("o.high")).as("high"),
+        min(col("o.low")).as("low"),
+        max_by(col("o.ksqltimeframeclose"), col("timestamp")).as("ksqltimeframeclose"))
+      .build()
+    assert(normalize(KsqlScriptGen.buildStatement(
+      "bar_1m_live", qm,
+      RenderOptions(ifNotExists = false, sourceAlias = Some("o"))))
+      == golden("bars_1m_live_whenempty.sql"))
+  }
+
   test("PARTITION BY on a grouped query is ignored (GROUP BY owns the key)") {
     import graft.plans.RenderOptions
     val sql = KsqlScriptGen.buildStatement(
@@ -203,3 +282,7 @@ class KsqlScriptGenSpec extends SparkSpec {
 // GoldenPartitionBySqlTests.cs)
 case class KeyPathTableEntity(broker: String, symbol: String, qty: Int)
 case class KeyPathKeyedOrder(id: Int, customerid: Int)
+case class KeyPathOrder(id: Int, customerid: Int)
+case class KeyPathCustomer(id: Int, isactive: Boolean, name: String)
+case class KeyPathBarRow(broker: String, symbol: String, timestamp: java.sql.Timestamp,
+    bucketstart: Long, open: Double, high: Double, low: Double, close: Double)
