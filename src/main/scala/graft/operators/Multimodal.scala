@@ -1244,21 +1244,23 @@ object Multimodal {
     aviMjpegLayout(bytes).map { chunks =>
       chunks.flatMap { case (off, len) =>
         val jpeg = java.util.Arrays.copyOfRange(bytes, off, off + len)
-        decodeImage(jpeg).map { case (w, h, _, _) =>
-          // decodeImage returns MEAN luminance as a double; the frame
-          // contract wants the integer channel sum — recompute from the
-          // raster for exactness
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+        // ONE decode per frame: the integer channel sum comes from the
+        // same bulk-grabbed raster as the dimensions (a decodeImage +
+        // re-read pair would JPEG-decode every frame twice — measured
+        // as the suite's costliest row before round 12)
+        javax.imageio.ImageIO.setUseCache(false)
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+          catch { case scala.util.control.NonFatal(_) => null }
+        Option(img).map { i =>
+          val (w, h) = (i.getWidth, i.getHeight)
+          val px = i.getRGB(0, 0, w, h, null, 0, w)
           var sum = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-              x += 1
-            }
-            y += 1
+          var p = 0
+          while (p < px.length) {
+            val rgb = px(p)
+            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            p += 1
           }
           (w, h, sum)
         }
