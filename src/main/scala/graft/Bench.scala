@@ -30,6 +30,11 @@ object Bench {
       .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // graft's typed aggregates all carry bounded buffers; the 128-group
+      // default would silently degrade them to sort-based passes (see
+      // the Verify.scala note)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "16777216")
       .config("spark.sql.adaptive.enabled", "true")
       // static conf, default 100: an 84-query suite generates far more
       // codegen'd classes than that, so the LRU thrashes and queries

@@ -71,27 +71,35 @@ object Scd2IngestionScale {
 
     (1 to batches).foreach { b =>
       val batch = slice(b)
-      val headBefore = spark.read.parquet(storeDir + "_open")
-      val logBefore = spark.read.parquet(storeDir)
-      val batchKeys = batch.select(col("user_id")).distinct()
+      // key list materialized driver-side (1.5k keys) so the isolated
+      // fetch below reads ONLY the store — with the events slice in the
+      // plan, its scan dominates both arms and hides the contrast
+      val keyRows = batch.select(col("user_id")).distinct().collect().map(_.getLong(0))
+      val batchKeys = spark.createDataFrame(
+        spark.sparkContext.parallelize(keyRows.map(org.apache.spark.sql.Row(_)), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("user_id",
+            org.apache.spark.sql.types.LongType))))
 
-      val t0 = System.nanoTime()
-      IncrementalScd2.ingestBatch(spark, batch, storeDir, K, "ts", A, T,
-        batchId = Some(b.toLong))
-      val sec = (System.nanoTime() - t0) / 1e9
-
-      // open-version fetch, isolated, on the pre-append snapshots:
-      // the HEAD shape ingestBatch now runs vs the pre-round-12 shape
-      // that semi-pruned the full version log
-      def fetch(src: org.apache.spark.sql.DataFrame): Unit = src
+      // open-version fetch, isolated, MEASURED BEFORE the ingest (the
+      // per-batch fold rename-swaps the head dir, so a pre-captured
+      // DataFrame over it would dangle): the HEAD shape ingestBatch now
+      // runs vs the pre-round-12 shape that semi-pruned the full
+      // version log — same pre-batch store state either way
+      def fetch(path: String): Unit = spark.read.parquet(path)
         .join(broadcast(batchKeys), K, "left_semi")
         .groupBy(col("user_id"))
         .agg(graft.functions.MinByObject
           .maxBy(struct(col("event_type")), struct(col("ts"), col("event_id")))
           .as("__open"))
         .agg(count(lit(1))).collect()
-      val headMb = measureMb(fetch(headBefore))
-      val logMb = measureMb(fetch(logBefore))
+      val headMb = measureMb(fetch(storeDir + "_open"))
+      val logMb = measureMb(fetch(storeDir))
+
+      val t0 = System.nanoTime()
+      IncrementalScd2.ingestBatch(spark, batch, storeDir, K, "ts", A, T,
+        batchId = Some(b.toLong))
+      val sec = (System.nanoTime() - t0) / 1e9
       val logNow = spark.read.parquet(storeDir).count()
       val headNow = spark.read.parquet(storeDir + "_open").count()
       println(f"[scale] batch $b: $sec%.2f s; open-fetch head $headMb%.2f MB " +

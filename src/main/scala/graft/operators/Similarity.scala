@@ -918,7 +918,31 @@ object Similarity {
         col("query_id"), col("query_label"),
         col("neighbor_id"), col("neighbor_label"),
         round(cosine(col("__qvec"), col("__evec")), 6).as("cos"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    // rank = bounded-heap hash aggregate, NOT a row_number window: at
+    // the nlist-pinned oracle sizing the candidate set is n²/nlist
+    // rows, and a per-query rank window must SORT all of them — at
+    // sf10 that is a 5-billion-row, ~300 GB spill that exhausted this
+    // machine's disk. TopKByObject keeps ≤ k (key, row) pairs per
+    // query per map task, shuffles only those, sorts nothing. The key
+    // struct (-cos, neighbor_id) ascending reproduces the window's
+    // (cos DESC, neighbor_id ASC) order exactly (cos is 6-dp rounded,
+    // so negation is exact), and array position IS the rank.
+    scored
+      .groupBy(col("query_id"), col("query_label"))
+      .agg(graft.functions.TopKByObject
+        .topKBy(
+          struct(col("neighbor_id"), col("neighbor_label"), col("cos")),
+          struct(negate(col("cos")), col("neighbor_id")),
+          k)
+        .as("__top"))
+      .select(
+        col("query_id"), col("query_label"),
+        posexplode(col("__top")).as(Seq("__i", "__n")))
+      .select(
+        col("query_id"), col("query_label"),
+        col("__n.neighbor_id").as("neighbor_id"),
+        col("__n.neighbor_label").as("neighbor_label"),
+        col("__n.cos").as("cos"),
+        (col("__i") + 1).cast("int").as("rank"))
   }
 }
