@@ -59,6 +59,27 @@ class IncrementalBm25Spec extends SparkSpec {
       assert(math.abs(s - scratch(k)) <= 1e-6, s"$k: streamed=$s scratch=${scratch(k)}")
   }
 
+  test("attach without a prior seed bootstraps the store on the first batch") {
+    // the round-11 guard read the store unconditionally, so the first
+    // micro-batch of an unseeded attach died on AnalysisException
+    // inside foreachBatch; StoreGuard treats missing-store as
+    // batch-not-seen, which both bootstraps AND stays replay-correct
+    val root = java.nio.file.Files.createTempDirectory("graft_bm25_boot").toString
+    val store = s"$root/tf" // never seeded
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, String)]
+    val q = IncrementalBm25.attach(mem.toDF().toDF("doc_id", "text"), store)
+    try {
+      mem.addData(docs(0 until 60): _*)
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, q.exception.map(_.toString).getOrElse(""))
+    } finally q.stop()
+    val served = TextAnalysis
+      .bm25Serve(IncrementalBm25.load(spark, store), queries, "query_id", "qtext", topK = 3)
+    assert(served.count() > 0)
+  }
+
   test("a replayed batch id is a no-op") {
     val root = java.nio.file.Files.createTempDirectory("graft_bm25_replay").toString
     val store = s"$root/tf"
