@@ -4,9 +4,7 @@ import graft.functions.{BoundedTopK, HistogramAgg, KFunctions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.aggregate.{Count, MaxBy, MinBy}
-import org.apache.spark.sql.catalyst.expressions.{
-  Cast, Expression, ExpressionInfo, Length, LengthOfJsonArray, Lower, Upper
-}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.StringType
@@ -75,9 +73,11 @@ object GraftExtensions {
 
   val dialect: Seq[FunctionDescription] = Seq(
     // ---- string (KsqlFunctionRegistry.cs:17-44) ----
-    desc("UCASE")(exprs => Upper(exprs.head)),
-    desc("LCASE")(exprs => Lower(exprs.head)),
-    desc("LEN")(exprs => Length(exprs.head)),
+    // UCASE / LCASE / LEN are deliberately ABSENT: Spark 4's builtins
+    // of those exact names ARE Upper/Lower/Length — re-registering the
+    // same expression classes only bought a "replaced a previously
+    // registered function" warning per session build (ExtensionsSpec
+    // pins the names still resolve with the registry :17-44 semantics).
     // DATEADD (registry :63-77) is deliberately ABSENT: Spark's parser
     // owns the name (the TIMESTAMPADD grammar rule), so registry
     // entries for it are unreachable — and the native form already has
@@ -88,9 +88,11 @@ object GraftExtensions {
       val path = constStr(exprs(1), "JSON_EXTRACT_STRING", "path")
       fromColumns(cs => get_json_object(cs(0), path))(exprs.take(1))
     },
-    // direct catalyst node — the builtin shares this lowercased name,
-    // so a Column-composed builder would resolve back to itself forever
-    desc("JSON_ARRAY_LENGTH")(exprs => LengthOfJsonArray(exprs.head)),
+    // JSON_ARRAY_LENGTH is deliberately ABSENT: Spark 4's builtin
+    // json_array_length IS LengthOfJsonArray — re-registering the same
+    // expression class only buys a "replaced a previously registered
+    // function" warning on every session build (ExtensionsSpec pins the
+    // name still resolves natively with registry :108-113 semantics).
     desc("JSON_KEYS")(fromColumns(cs => json_object_keys(cs(0)))),
     desc("JSON_ARRAY_CONTAINS")(
       fromColumns(cs => KFunctions.jsonArrayContains(cs(0), cs(1)))),

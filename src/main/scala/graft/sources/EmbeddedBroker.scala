@@ -45,6 +45,13 @@ final class EmbeddedBroker(rootDir: String) {
 
   private val topics = scala.collection.mutable.Map.empty[String, Int]
   private val roundRobin = scala.collection.mutable.Map.empty[String, Int]
+  // next offset per (topic, partition): initialized lazily from ONE log
+  // read, then incremented on append — produce is O(1) per record, not
+  // O(log length) (re-deserializing the partition on every append made
+  // produce O(n²)). Authoritative once warm: compaction may remove the
+  // highest-offset record (an expired tombstone), and a disk re-read
+  // would then REGRESS the end offset and re-issue a taken offset.
+  private val endOffsets = scala.collection.mutable.Map.empty[(String, Int), Long]
   Files.createDirectories(Paths.get(rootDir))
 
   def createTopic(name: String, partitions: Int): Unit = synchronized {
@@ -99,7 +106,9 @@ final class EmbeddedBroker(rootDir: String) {
 
   /** Next offset to be assigned (== current log end). */
   def endOffset(topic: String, partition: Int): Long = synchronized {
-    readLog(topic, partition).lastOption.map(_.offset + 1).getOrElse(0L)
+    endOffsets.getOrElseUpdate(
+      (topic, partition),
+      readLog(topic, partition).lastOption.map(_.offset + 1).getOrElse(0L))
   }
 
   /** Log compaction: newest record per key wins; null-key records are
@@ -137,6 +146,7 @@ final class EmbeddedBroker(rootDir: String) {
     val out = new DataOutputStream(new FileOutputStream(logFile(topic, p), true))
     try writeRecord(out, ConsumerRecord(topic, p, off, r.timestamp, r.key, r.value, r.headers))
     finally out.close()
+    endOffsets((topic, p)) = off + 1
     off
   }
 

@@ -95,20 +95,39 @@ object IncrementalScd2 {
       tieBreak: Seq[String],
       batchId: Option[Long]
   ): Unit = {
-    val store = spark.read.parquet(storeDir)
-    if (batchId.exists(b => !store.filter(col(BatchCol) === b).isEmpty))
+    // attach-without-seed bootstrap (the BM25/sketches/ANN StoreGuard
+    // contract): a missing store is an EMPTY store, so the first
+    // micro-batch creates it instead of dying inside foreachBatch.
+    val storeOpt = StoreGuard.readStore(spark, storeDir)
+    if (batchId.exists(b => storeOpt.exists(s => !s.filter(col(BatchCol) === b).isEmpty)))
       return // replayed batch: append already committed, recompute is a no-op
-    // open-version source: the compacted HEAD store, not the version
-    // log — O(#keys) rows regardless of history length. Excluding the
-    // batch's own stamp makes a replay recompute against exactly the
-    // pre-batch state (crash-leftover rows from a half-committed run
-    // carry this batch's stamp and drop out here).
-    val openStore = spark.read.parquet(openDir(storeDir))
-    val prior = batchId.fold(openStore)(b => openStore.filter(col(BatchCol) =!= b))
 
     val cols = (keyCols ++ attrCols ++ (tsCol +: tieBreak)).map(col)
     val withinBatch =
       History.collapsedChanges(batch.select(cols: _*), keyCols, tsCol, attrCols, tieBreak)
+
+    // open-version source: the compacted HEAD store, not the version
+    // log — O(#keys) rows regardless of history length. Excluding the
+    // batch's own stamp makes a replay recompute against exactly the
+    // pre-batch state (crash-leftover rows from a half-committed run
+    // carry this batch's stamp and drop out here). Recovery paths: a
+    // head lost in foldOpen's rename window is REBUILT from the version
+    // log here, BEFORE this batch's append (appending first would make
+    // the end-of-batch fold see only this batch's keys and drop every
+    // other key's open version); no store at all reads as empty — the
+    // attach-without-seed bootstrap.
+    val openStore = StoreGuard.readStore(spark, openDir(storeDir)).getOrElse {
+      storeOpt match {
+        case Some(log) =>
+          // one O(log) copy on the rare crash-recovery path; the
+          // end-of-batch fold collapses it back to one row per key
+          log.write.mode("overwrite").parquet(openDir(storeDir))
+          spark.read.parquet(openDir(storeDir))
+        case None =>
+          withinBatch.limit(0).withColumn(BatchCol, lit(-1L))
+      }
+    }
+    val prior = batchId.fold(openStore)(b => openStore.filter(col(BatchCol) =!= b))
 
     // open version per affected key: semi-prune the head to the
     // batch's keys, latest change row wins (ts, tie ordering)
@@ -162,7 +181,20 @@ object IncrementalScd2 {
       tieBreak: Seq[String]
   ): Unit = {
     val path = openDir(storeDir)
-    val df = spark.read.parquet(path)
+    val tmp = s"$path.__fold_tmp"
+    val old = s"$path.__fold_old"
+    // crash hygiene, in dependence order: stale swap dirs from a fold
+    // that died mid-sequence would make the renames below fail forever
+    // — clear them first. Deleting a set-aside __fold_old is safe
+    // because the version log is a strict superset of any head; and if
+    // the crash landed between the two renames (head dir GONE), rebuild
+    // the head from the version log — latest-per-key over the full log
+    // IS the head, so the docstring's crash-safety claim actually holds.
+    rmDir(new java.io.File(tmp))
+    rmDir(new java.io.File(old))
+    val df = StoreGuard
+      .readStore(spark, path)
+      .getOrElse(spark.read.parquet(storeDir))
     val payloadCols = attrCols ++ (tsCol +: tieBreak) :+ BatchCol
     val folded = df
       .groupBy(keyCols.map(col): _*)
@@ -172,19 +204,19 @@ object IncrementalScd2 {
         .as("__p"))
       .select(keyCols.map(col) ++
         payloadCols.map(c => col(s"__p.$c").as(c)): _*)
-    val tmp = s"$path.__fold_tmp"
-    val old = s"$path.__fold_old"
     folded.write.mode("overwrite").parquet(tmp)
     val p = new java.io.File(path)
     val t = new java.io.File(tmp)
     val o = new java.io.File(old)
-    require(p.renameTo(o), s"foldOpen: could not set aside $path")
+    if (p.exists()) // absent after a mid-swap crash: nothing to set aside
+      require(p.renameTo(o), s"foldOpen: could not set aside $path")
     require(t.renameTo(p), s"foldOpen: could not swap in $tmp")
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete()
-    }
-    rm(o)
+    rmDir(o)
+  }
+
+  private def rmDir(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(rmDir)
+    f.delete()
   }
 
   /** The full SCD2 view over the store: validity intervals, versions

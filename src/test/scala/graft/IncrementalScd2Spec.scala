@@ -102,6 +102,75 @@ class IncrementalScd2Spec extends SparkSpec {
     assert(v.filter($"is_current").select($"attr").as[String].collect().toSeq == Seq("v6"))
   }
 
+  test("attach without seed bootstraps the store on the first micro-batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_scd2b").toString + "/store"
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(String, Timestamp, Long, String)]
+    val q = IncrementalScd2.attach(
+      mem.toDF().toDF("k", "ts", "id", "attr"), dir, K, "ts", A, T)
+    try {
+      mem.addData(("A", t(1), 1L, "x"), ("B", t(1), 2L, "z"))
+      q.processAllAvailable()
+      mem.addData(("A", t(2), 3L, "x"), ("A", t(3), 4L, "y")) // cross-batch no-op + flip
+      q.processAllAvailable()
+    } finally q.stop()
+    val allEvents = Seq(
+      ("A", t(1), 1L, "x"), ("B", t(1), 2L, "z"),
+      ("A", t(2), 3L, "x"), ("A", t(3), 4L, "y")
+    ).toDF("k", "ts", "id", "attr")
+    val expected = History.scd2(allEvents, K, "ts", A, T)
+    val got = IncrementalScd2.view(spark, dir, K, "ts", A, T)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    assert(spark.read.parquet(dir).count() == 3) // A×2 versions + B×1
+    assert(spark.read.parquet(dir + "_open").count() == 2)
+  }
+
+  test("fold crash leftovers are recovered: stale swap dirs cleared, missing head rebuilt from the log") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_scd2x").toString + "/store"
+    IncrementalScd2.seed(
+      Seq(("A", t(1), 1L, "x"), ("B", t(1), 2L, "z")).toDF("k", "ts", "id", "attr"),
+      dir, K, "ts", A, T)
+
+    def rmAll(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmAll)
+      f.delete()
+    }
+    val head = new java.io.File(dir + "_open")
+
+    // crash state 1: a fold died after writing __fold_tmp and after
+    // setting the head aside as __fold_old — head dir GONE, junk dirs
+    // present. The next batch must clear the leftovers and rebuild the
+    // head from the (intact) version log.
+    val tmpDir = new java.io.File(dir + "_open.__fold_tmp")
+    val oldDir = new java.io.File(dir + "_open.__fold_old")
+    assert(head.renameTo(oldDir)) // simulate the mid-swap crash
+    tmpDir.mkdirs()
+    new java.io.FileOutputStream(new java.io.File(tmpDir, "junk")).close()
+
+    IncrementalScd2.ingestBatch(spark,
+      Seq(("A", t(2), 3L, "y")).toDF("k", "ts", "id", "attr"),
+      dir, K, "ts", A, T, batchId = Some(1L))
+
+    assert(!tmpDir.exists() && !oldDir.exists(), "stale swap dirs not cleared")
+    val headMap = spark.read.parquet(dir + "_open")
+      .select($"k", $"attr").as[(String, String)].collect().toMap
+    assert(headMap == Map("A" -> "y", "B" -> "z"), s"head not rebuilt: $headMap")
+    val v = IncrementalScd2.view(spark, dir, K, "ts", A, T)
+    assert(v.count() == 3 &&
+      v.filter($"is_current" && $"k" === "A").select($"attr").as[String].head() == "y")
+
+    // crash state 2: leftovers exist but the head survived — they must
+    // be cleared without disturbing it.
+    tmpDir.mkdirs(); oldDir.mkdirs()
+    IncrementalScd2.ingestBatch(spark,
+      Seq(("B", t(3), 4L, "w")).toDF("k", "ts", "id", "attr"),
+      dir, K, "ts", A, T, batchId = Some(2L))
+    assert(!tmpDir.exists() && !oldDir.exists())
+    val v2 = IncrementalScd2.view(spark, dir, K, "ts", A, T)
+    assert(v2.filter($"is_current" && $"k" === "B").select($"attr").as[String].head() == "w")
+  }
+
   test("replayed batch is a no-op (batchId-keyed append)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_scd2r").toString + "/store"
     IncrementalScd2.seed(
