@@ -890,6 +890,13 @@ object Similarity {
     *   exact fold — REQUIRED for the nlist ∝ n cadence, where exact
     *   assignment is O(nlist·dim) per row and dominates (see the
     *   assignCellsApprox scaladoc); pick p ≈ log2(nlist / cellTarget).
+    * @param queryFilter Some(pred): mine negatives only for the rows
+    *   matching `pred` (a bounded QUERY BATCH — the training-loop serve
+    *   shape: this epoch's anchor set against the whole corpus as the
+    *   negative pool). The batch side broadcasts, so the corpus never
+    *   shuffles and the candidate volume is |batch| · |cell| instead of
+    *   n · |cell| — the difference between a bounded pass and the
+    *   corpus-quadratic self-mining sweep at a pinned nlist.
     */
   def hardNegatives(
       df: DataFrame,
@@ -898,16 +905,22 @@ object Similarity {
       labelCol: String,
       centroids: DataFrame,
       k: Int,
-      assignPlanes: Option[Int] = None
+      assignPlanes: Option[Int] = None,
+      queryFilter: Option[Column] = None
   ): DataFrame = {
     val slim = df.select(col(idCol), col(vecCol), col(labelCol))
     val cells = assignPlanes match {
       case Some(p) => assignCellsApprox(slim, centroids, vecCol, p)
       case None    => assignCells(slim, centroids, vecCol)
     }
-    val q = cells.select(
+    // filter BEFORE the rename so the caller's predicate binds against
+    // the input column names; broadcast the (small) batch side so the
+    // corpus never shuffles for a bounded mining pass
+    val qSide = queryFilter.fold(cells)(p => cells.filter(p))
+    val qRenamed = qSide.select(
       col(idCol).as("query_id"), col(vecCol).as("__qvec"),
       col(labelCol).as("query_label"), col("cell"))
+    val q = if (queryFilter.isDefined) broadcast(qRenamed) else qRenamed
     val e = cells.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("__evec"),
       col(labelCol).as("neighbor_label"), col("cell"))

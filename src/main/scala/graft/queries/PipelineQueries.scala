@@ -174,9 +174,15 @@ object PipelineQueries extends QueryPack {
         )
         .orderBy(col("id1"), col("id2"))
     },
-    // hard-negative mining (ANCE-style offline pass): for every vector
+    // hard-negative mining (ANCE-style offline pass): for a BOUNDED
+    // query batch (vec_id < 100 — the training-loop serve shape, this
+    // epoch's anchors against the whole corpus as the negative pool)
     // the 3 most similar DIFFERENT-label vectors, IVF-cell bounded —
-    // q_ann_ivf centroid convention
+    // q_ann_ivf centroid convention. The batch bound keeps the oracle
+    // runnable at EVERY evidence scale: the DuckDB mirror's rank window
+    // partitions 100 queries, not n (the unbounded self-mining form
+    // needed a ~200 GB rank sort at sf10 — that shape lives on as the
+    // q_hard_negatives_all bench twin).
     "q_hard_negatives" -> { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
       val centroids = emb
@@ -185,7 +191,8 @@ object PipelineQueries extends QueryPack {
           col("vec_id").cast("int").as("centroid_id"),
           col("embedding").as("centroid_vec"))
       Similarity
-        .hardNegatives(emb, "vec_id", "embedding", "label", centroids, k = 3)
+        .hardNegatives(emb, "vec_id", "embedding", "label", centroids, k = 3,
+          queryFilter = Some(col("vec_id") < 100))
         .select(
           col("query_id"), col("query_label"),
           col("neighbor_id"), col("neighbor_label"), col("cos"), col("rank"))
@@ -1148,6 +1155,26 @@ object PipelineQueries extends QueryPack {
           buckets = 3, exact = false)
         .orderBy(col("doc_id"))
     },
+    // the pre-round-13 GATED shape: full self-mining (every vector is a
+    // query) at the pinned nlist=8 oracle convention — candidate volume
+    // n²/8, so its DuckDB mirror's rank sort is infeasible at sf10
+    // (~200 GB); the gate re-pinned on a bounded query batch and this
+    // shape stays as the bench twin (TopKByObject keeps the Spark side
+    // itself heap-bounded — the ~15 min sf10 run, BASELINE.md round 12)
+    "q_hard_negatives_all" -> { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val centroids = emb
+        .filter(col("vec_id") < 8)
+        .select(
+          col("vec_id").cast("int").as("centroid_id"),
+          col("embedding").as("centroid_vec"))
+      Similarity
+        .hardNegatives(emb, "vec_id", "embedding", "label", centroids, k = 3)
+        .select(
+          col("query_id"), col("query_label"),
+          col("neighbor_id"), col("neighbor_label"), col("cos"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
     // hard-negative mining with nlist SCALED to the corpus (the
     // production sizing the hardNegatives scaladoc contracts; the gated
     // q_hard_negatives pins nlist=8 for the oracle convention and is
@@ -1855,7 +1882,8 @@ object PipelineQueries extends QueryPack {
          |           ORDER BY $cosEC DESC, c.centroid_id) AS rn
          |  FROM embeddings e CROSS JOIN centroids c),
          |cells AS (SELECT vec_id, embedding, label, centroid_id AS cell FROM assign WHERE rn = 1),
-         |q AS (SELECT vec_id AS query_id, embedding AS qvec, label AS query_label, cell FROM cells),
+         |q AS (SELECT vec_id AS query_id, embedding AS qvec, label AS query_label, cell
+         |      FROM cells WHERE vec_id < 100),
          |e AS (SELECT vec_id AS neighbor_id, embedding AS evec, label AS neighbor_label, cell FROM cells),
          |scored AS (
          |  SELECT q.query_id, q.query_label, e.neighbor_id, e.neighbor_label,
