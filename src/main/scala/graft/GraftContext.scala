@@ -141,8 +141,43 @@ final class EventSet[T](ctx: GraftContext, val model: EntityModel[T]) {
 
   def toDS: Dataset[T] = ctx.set(model.name).as[T](model.encoder)
 
-  /** `ToListAsync()` — local materialization of the table snapshot. */
-  def toList(): Seq[T] = toDS.collect().toSeq
+  /** Driver-materialization budget for pull reads (session conf
+    * `graft.pull.maxRows`, default 1,000,000). The reference's
+    * ToListAsync scans a CLIENT-SIDE RocksDB cache
+    * (`src/Cache/Core/TableCache.cs:44-53`) whose size the client
+    * already paid for; a Spark pull targets a DISTRIBUTED table, where
+    * an unbounded `collect()` of a fat snapshot OOMs the driver at
+    * 100×. Pulls stream back one partition at a time
+    * (`toLocalIterator`) and fail fast with the bounded alternatives —
+    * [[latest]] (newest-N), [[toList(pkFilter*]] (key-prefix pull,
+    * pushed to the scan), [[forEach]] (record-at-a-time) — once the
+    * budget is crossed, instead of silently ballooning the driver heap.
+    */
+  private def pullCap: Long =
+    ctx.spark.conf.getOption("graft.pull.maxRows").map(_.toLong).getOrElse(1000000L)
+
+  private def boundedPull(ds: Dataset[T], what: String): Seq[T] = {
+    val cap = pullCap
+    val it = ds.toLocalIterator() // one partition on the driver at a time
+    val buf = Seq.newBuilder[T]
+    var n = 0L
+    while (it.hasNext) {
+      if (n >= cap)
+        throw new IllegalStateException(
+          s"$what exceeds the graft.pull.maxRows driver budget ($cap rows). " +
+            "Pull bounded: latest(n) for newest-N, toList(pkFilter) for a " +
+            "key-prefix scan, or forEach(...) to stream record-by-record; " +
+            "or raise graft.pull.maxRows deliberately.")
+      buf += it.next()
+      n += 1
+    }
+    buf.result()
+  }
+
+  /** `ToListAsync()` — local materialization of the table snapshot,
+    * bounded by [[pullCap]].
+    */
+  def toList(): Seq[T] = boundedPull(toDS, s"toList() on '${model.name}'")
 
   /** `ToListAsync(pkFilter)` — key-prefix pull: the filter parts are the
     * LEADING primary-key components, exactly the reference's NUL-joined
@@ -169,7 +204,7 @@ final class EventSet[T](ctx: GraftContext, val model: EntityModel[T]) {
       .zip(pkFilter)
       .map { case (k, v) => col(k) === lit(v).try_cast(model.schema(k).dataType) }
       .reduce(_ && _)
-    toDS.filter(cond).collect().toSeq
+    boundedPull(toDS.filter(cond), s"toList(pkFilter) on '${model.name}'")
   }
 
   /** `ForEachAsync(action)` — push-style consumption. Batch form

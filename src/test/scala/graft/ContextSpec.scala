@@ -64,6 +64,21 @@ class ContextSpec extends SparkSpec {
     assert(seen.toSeq == expected)
   }
 
+  test("pull reads respect the graft.pull.maxRows driver budget") {
+    val c = ctx
+    val set = c.eventSet(TestEntities.region)
+    spark.conf.set("graft.pull.maxRows", "3")
+    try {
+      // an over-budget snapshot pull fails fast with the bounded alternatives
+      val e = intercept[IllegalStateException](set.toList())
+      assert(e.getMessage.contains("graft.pull.maxRows") &&
+        e.getMessage.contains("latest(") && e.getMessage.contains("forEach"))
+      // bounded paths stay available under the same budget
+      assert(set.toList(Seq("2")).size == 1) // prefix pull: 1 row < cap
+    } finally spark.conf.unset("graft.pull.maxRows")
+    assert(set.toList().size == 5) // default budget restored
+  }
+
   test("key-prefix pull restricts to the leading key components") {
     val c = ctx
     val set = c.eventSet(TestEntities.region)

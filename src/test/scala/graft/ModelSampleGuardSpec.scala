@@ -70,6 +70,51 @@ class ModelSampleGuardSpec extends SparkSpec {
     assert(rows >= cap, s"residual sample must still see all $cap training rows, got $rows")
   }
 
+  test("no unbounded driver materialization in src/main: every .collect() site is allowlisted") {
+    // The companion rule to the scan-boundedness pins above: a
+    // `.collect()` in an operator path means the operator isn't
+    // distributed (or OOMs the driver) at 100×. Every call site must be
+    // bounded — by a limit/cap, a one-row aggregate, a dimension table,
+    // or a sampleCap'd model extraction — and registered here WITH its
+    // bound. A new .collect() anywhere else fails this sweep: either
+    // bound it (toLocalIterator / limit / cap) or consciously extend
+    // the allowlist with the reason.
+    val allowed = Map(
+      // latest(n): orderBy.limit(n) — bounded by the caller's n
+      "GraftContext.scala" -> 1,
+      // idPushdownCap-bounded candidate-id pulls (cap + 1 probes the overflow)
+      "streaming/StreamingCuration.scala" -> 1,
+      "streaming/IncrementalDedup.scala" -> 1,
+      // market-calendar dimension table (days × markets, not data volume)
+      "streaming/MarketSchedule.scala" -> 1,
+      // vocabCap-bounded BPE merge-table extraction
+      "operators/Tokenizer.scala" -> 1,
+      // sampleCap'd Lloyd's-training model extractions (the tests above)
+      "operators/Similarity.scala" -> 3,
+      // measurement mirrors: one-row aggregates (count/sum) and
+      // per-batch key sets bounded by the batch, all feeding printed
+      // evidence tables, not operator plans
+      "examples/AnnIngestionScale.scala" -> 2,
+      "examples/Scd2IngestionScale.scala" -> 3,
+      "examples/RuntimeEvents.scala" -> 1,
+      "examples/HoppingPull.scala" -> 1,
+      "examples/IncrementalIngestion.scala" -> 1,
+      "examples/IngestionScale.scala" -> 4
+    )
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    val offenders = scala.collection.mutable.ListBuffer.empty[String]
+    java.nio.file.Files.walk(root).forEach { p =>
+      if (p.toString.endsWith(".scala")) {
+        val rel = root.relativize(p).toString
+        val n = "\\.collect\\(\\)|collectAsList".r
+          .findAllIn(java.nio.file.Files.readString(p)).size
+        if (n > allowed.getOrElse(rel, 0))
+          offenders += s"$rel has $n .collect() sites (allowlisted: ${allowed.getOrElse(rel, 0)})"
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("the counter-example: an orderBy+limit sample DOES read the corpus") {
     // documents the hazard the helpers exist to avoid — if this ever
     // starts passing the ≤-cap bound, the guard above lost its teeth
