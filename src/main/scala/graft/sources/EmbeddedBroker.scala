@@ -136,6 +136,54 @@ final class EmbeddedBroker(rootDir: String) {
     }
   }
 
+  // ---- consumer groups ----------------------------------------------------
+
+  private val groups = scala.collection.mutable.Map.empty[(String, String), ConsumerGroup]
+
+  /** The group coordinator handle for (groupId, topic). Membership is
+    * RUNTIME state (ephemeral, like a real group's session-bound
+    * membership); committed offsets are DURABLE (__consumer_offsets
+    * files under the broker root) and survive broker restarts.
+    */
+  def group(groupId: String, topic: String): ConsumerGroup = synchronized {
+    groups.getOrElseUpdate((groupId, topic), new ConsumerGroup(this, groupId, topic))
+  }
+
+  /** Durably commit the NEXT offset to consume for (group, topic,
+    * partition) — Kafka's offset-commit contract (a committed offset of
+    * n means records < n are done). MONOTONIC: a commit at or below the
+    * stored offset is skipped and returns false — the
+    * ManualCommitManager duplicate-commit guard (ref
+    * src/Messaging/Consumers/ManualCommitManager.cs:84-96, offsets
+    * already committed are logged and dropped, never re-sent).
+    * Atomic write (tmp + rename) so a torn commit can't corrupt the
+    * resume point.
+    */
+  def commitOffset(groupId: String, topic: String, partition: Int, next: Long): Boolean =
+    synchronized {
+      val cur = committedOffset(groupId, topic, partition).getOrElse(-1L)
+      if (next <= cur) false
+      else {
+        val f = offsetFile(groupId, topic, partition)
+        Files.createDirectories(f.toPath.getParent)
+        val tmp = new java.io.File(f.getPath + ".tmp")
+        Files.writeString(tmp.toPath, next.toString)
+        require(tmp.renameTo(f) || (f.delete() && tmp.renameTo(f)),
+          s"commitOffset: cannot swap ${tmp.getPath}")
+        true
+      }
+    }
+
+  /** The committed NEXT offset for (group, topic, partition), if any. */
+  def committedOffset(groupId: String, topic: String, partition: Int): Option[Long] =
+    synchronized {
+      val f = offsetFile(groupId, topic, partition)
+      if (f.exists()) Some(Files.readString(f.toPath).trim.toLong) else None
+    }
+
+  private def offsetFile(groupId: String, topic: String, p: Int) =
+    new java.io.File(s"$rootDir/__consumer_offsets/$groupId/$topic/$p")
+
   // ---- log file I/O -------------------------------------------------------
 
   private def partDir(topic: String, p: Int) = s"$rootDir/$topic/$p"
@@ -143,7 +191,16 @@ final class EmbeddedBroker(rootDir: String) {
 
   private def appendOne(topic: String, p: Int, r: ProducerRecord): Long = {
     val off = endOffset(topic, p)
-    val out = new DataOutputStream(new FileOutputStream(logFile(topic, p), true))
+    // fail FAST with the unreachable resource named (the Connectivity
+    // service-down contract: produce while the broker storage is gone
+    // throws an indicative error immediately, it does not hang)
+    val out =
+      try new DataOutputStream(new FileOutputStream(logFile(topic, p), true))
+      catch {
+        case e: java.io.FileNotFoundException =>
+          throw new java.io.IOException(
+            s"broker unavailable: cannot append to $topic/$p under $rootDir", e)
+      }
     try writeRecord(out, ConsumerRecord(topic, p, off, r.timestamp, r.key, r.value, r.headers))
     finally out.close()
     endOffsets((topic, p)) = off + 1
@@ -208,6 +265,123 @@ final class EmbeddedBroker(rootDir: String) {
 }
 
 object EmbeddedBroker {
+
+  /** Consumer-group coordinator for one (group, topic): membership,
+    * the RangeAssignor, generation fencing, and committed-offset
+    * resume — the slice of the Kafka group protocol the reference's
+    * consume loop depends on (ref
+    * src/Messaging/Consumers/KafkaConsumerManager.cs subscription +
+    * ManualCommitManager.cs commits).
+    *
+    *   - join/leave REBALANCE the group: the generation bumps and every
+    *     member's fetch position resets to the group's COMMITTED offset
+    *     for its (possibly different) new partitions — uncommitted
+    *     progress is replayed, the at-least-once contract;
+    *   - assignment is Kafka's range strategy over member ids in sorted
+    *     order: n/m partitions each, the first n mod m members take one
+    *     extra — deterministic, so a restarted member set maps back to
+    *     identical ownership;
+    *   - commitSync is fenced: committing a partition the member does
+    *     not own at the current generation throws (Kafka's
+    *     CommitFailedException after a rebalance), so a zombie consumer
+    *     can never move another member's resume point.
+    */
+  final class ConsumerGroup private[sources] (
+      broker: EmbeddedBroker, val id: String, val topic: String) {
+
+    private val members = scala.collection.mutable.SortedSet.empty[String]
+    private var gen = 0
+    // (member, partition) -> next fetch position; cleared on rebalance
+    private val positions = scala.collection.mutable.Map.empty[(String, Int), Long]
+
+    def generation: Int = synchronized(gen)
+
+    def join(member: String): Int = synchronized {
+      members += member; gen += 1; positions.clear(); gen
+    }
+
+    def leave(member: String): Int = synchronized {
+      members -= member; gen += 1; positions.clear(); gen
+    }
+
+    /** RangeAssignor partitions for `member` at the current generation. */
+    def assignment(member: String): Seq[Int] = synchronized {
+      require(members.contains(member), s"member $member is not in group $id")
+      val ms = members.toSeq // SortedSet: already by member id
+      val n = broker.partitionsOf(topic)
+      val idx = ms.indexOf(member)
+      val per = n / ms.size
+      val extra = n % ms.size
+      val start = idx * per + math.min(idx, extra)
+      start until (start + per + (if (idx < extra) 1 else 0))
+    }
+
+    /** Fetch the next records from the member's assigned partitions.
+      * First fetch after join/rebalance resumes from the group's
+      * committed offsets (or the log start); subsequent polls continue
+      * from the last returned position.
+      */
+    def poll(member: String, maxPerPartition: Int = Int.MaxValue): Seq[ConsumerRecord] =
+      synchronized {
+        assignment(member).flatMap { p =>
+          val pos = positions.getOrElseUpdate(
+            (member, p), broker.committedOffset(id, topic, p).getOrElse(0L))
+          val recs = broker.fetch(topic, p, pos).take(maxPerPartition)
+          recs.lastOption.foreach(r => positions((member, p)) = r.offset + 1)
+          recs
+        }
+      }
+
+    /** Commit `next` as the group's resume point for `partition` —
+      * fenced to the member's current assignment. Returns false when
+      * the monotonic guard skipped an already-committed offset.
+      */
+    def commitSync(member: String, partition: Int, next: Long): Boolean = synchronized {
+      require(assignment(member).contains(partition),
+        s"CommitFailed: partition $partition not assigned to $member " +
+          s"in group $id at generation $gen (rebalanced?)")
+      broker.commitOffset(id, topic, partition, next)
+    }
+  }
+
+  /** Per-entity manual commit tracking — the reference's
+    * ManualCommitManager re-expressed (ref
+    * src/Messaging/Consumers/ManualCommitManager.cs): `track` records
+    * the (topic, partition, offset) coordinate of a consumed entity by
+    * REFERENCE identity; `commit(entity)` sends offset+1 to the group
+    * store, skipping monotonically (an entity at or below the last
+    * committed offset is dropped, :84-96) and cleaning every tracked
+    * entry the commit covered (:163-186) so acknowledged entities
+    * don't accumulate.
+    */
+  final class ManualCommitManager(group: ConsumerGroup, member: String) {
+    private final case class Coord(partition: Int, offset: Long)
+    private val meta = new java.util.IdentityHashMap[AnyRef, Coord]()
+
+    def track(entity: AnyRef, partition: Int, offset: Long): Unit = synchronized {
+      meta.put(entity, Coord(partition, offset))
+    }
+
+    /** Commit through the entity's coordinate; false = untracked or
+      * already covered by a prior commit.
+      */
+    def commit(entity: AnyRef): Boolean = synchronized {
+      Option(meta.remove(entity)).exists { c =>
+        val sent = group.commitSync(member, c.partition, c.offset + 1)
+        if (sent) { // drop every tracked entity the new watermark covers
+          val it = meta.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            if (e.getValue.partition == c.partition && e.getValue.offset <= c.offset)
+              it.remove()
+          }
+        }
+        sent
+      }
+    }
+
+    def trackedCount: Int = synchronized(meta.size())
+  }
 
   /** What a producer hands the broker (partition decided broker-side
     * here, producer-side in real Kafka — same function either way).
