@@ -73,11 +73,29 @@ object StreamAsOf {
 
     /** Match + emit every pending left sealed by watermark `wmMs`;
       * evict rights that can no longer win. Returns the emissions.
+      * `fresh` carries the current batch's new lefts so they never
+      * round-trip through state unless they stay open past the
+      * watermark.
+      *
+      * State-write discipline (the StreamingScale round-13 finding):
+      * every ListState.appendValue is a RocksDB MERGE, and the
+      * provider's per-merge metrics hook re-reads the key's whole
+      * accumulated merge-operand chain — appending per ROW makes a
+      * key's batch cost quadratic in its row count. Measured: 5 keys ×
+      * 50k rows/batch ran at 227 rows/s (220 s/batch) with per-row
+      * appends; one put()/appendList() per key per batch restores
+      * O(|rows|).
       */
-    private def drain(key: String, wmMs: Long): Iterator[Out] = {
-      val all = pending.get().toArray
+    private def drain(
+        key: String, wmMs: Long,
+        fresh: Array[PendingLeft] = Array.empty): Iterator[Out] = {
+      val stored = pending.get().toArray
+      val all = if (fresh.isEmpty) stored else stored ++ fresh
       val (ripe, open) = all.partition(_.tsMs <= wmMs)
-      if (ripe.isEmpty) return Iterator.empty
+      if (ripe.isEmpty) {
+        if (fresh.nonEmpty) pending.appendList(fresh)
+        return Iterator.empty
+      }
       val rightArr = rights.iterator().map(p => (p._1, p._2)).toArray.sortBy(_._1)
       val out = ripe.sortBy(l => (l.tsMs, l.seq)).iterator.map { l =>
         // latest right at-or-before the left ts (binary search over the
@@ -96,8 +114,10 @@ object StreamAsOf {
         else Out(key, new Timestamp(l.tsMs), l.seq, l.value, null, null)
       }.toArray
       pending.clear()
-      open.foreach(pending.appendValue)
-      if (open.nonEmpty) rearm(math.max(open.map(_.tsMs).min, wmMs + 1))
+      if (open.nonEmpty) {
+        pending.put(open) // one write, not |open| merge operands
+        rearm(math.max(open.map(_.tsMs).min, wmMs + 1))
+      }
       out.iterator
     }
 
@@ -126,12 +146,13 @@ object StreamAsOf {
         rows: Iterator[In],
         tv: TimerValues
     ): Iterator[Out] = {
+      val fresh = scala.collection.mutable.ArrayBuffer.empty[PendingLeft]
       rows.foreach { r =>
         if (r.side == 0) rights.updateValue(r.ts.getTime, r.value)
-        else pending.appendValue(PendingLeft(r.ts.getTime, r.seq, r.value))
+        else fresh += PendingLeft(r.ts.getTime, r.seq, r.value)
       }
       val wm = tv.getCurrentWatermarkInMs()
-      val out = drain(key, wm)
+      val out = drain(key, wm, fresh.toArray)
       pruneRights(wm)
       // always keep one timer ahead of the earliest pending left so a
       // batch with no rows for this key still finalizes it

@@ -62,12 +62,27 @@ object StreamingFunnel {
     }
 
     /** Replay sealed events in (ts, seq) order through the greedy
-      * chain; returns stage-advance emissions.
+      * chain; returns stage-advance emissions. `fresh` carries the
+      * current batch's events so they never round-trip through state
+      * unless they stay open past the watermark.
+      *
+      * State-write discipline (the StreamingScale round-13 finding):
+      * every ListState.appendValue is a RocksDB MERGE, and the
+      * provider's per-merge metrics hook re-reads the key's whole
+      * accumulated merge-operand chain — per-ROW appends make a key's
+      * batch cost quadratic in its row count (StreamAsOf measured 227
+      * rows/s over 5 keys before the same fix). Every state write here
+      * is one put()/appendList() per key per batch: chain length stays
+      * O(1), cost O(|rows|).
       */
-    private def drain(user: Long, wmMs: Long): Iterator[Out] = {
-      val all = pending.get().toArray
+    private def drain(
+        user: Long, wmMs: Long,
+        fresh: Array[PendingEv] = Array.empty): Iterator[Out] = {
+      val stored = pending.get().toArray
+      val all = if (fresh.isEmpty) stored else stored ++ fresh
       val (ripe, open) = all.partition(_.tsMs <= wmMs)
       if (ripe.isEmpty) {
+        if (fresh.nonEmpty) pending.appendList(fresh)
         if (open.nonEmpty) rearm(math.max(open.map(_.tsMs).min, wmMs + 1))
         return Iterator.empty
       }
@@ -89,9 +104,11 @@ object StreamingFunnel {
       }
       pending.clear()
       // a completed funnel needs no buffered future events
-      if (reached.size < numSteps) open.foreach(pending.appendValue)
-      val still = pending.get()
-      if (still.nonEmpty) rearm(math.max(still.map(_.tsMs).min, wmMs + 1))
+      val keepOpen = reached.size < numSteps && open.nonEmpty
+      if (keepOpen) {
+        pending.put(open) // one write, not |open| merge operands
+        rearm(math.max(open.map(_.tsMs).min, wmMs + 1))
+      }
       out.iterator
     }
 
@@ -101,9 +118,10 @@ object StreamingFunnel {
         tv: TimerValues
     ): Iterator[Out] = {
       val complete = stages.iterator().size >= numSteps
-      if (!complete)
-        rows.foreach(r => pending.appendValue(PendingEv(r.ts.getTime, r.step, r.seq)))
-      drain(user, tv.getCurrentWatermarkInMs())
+      val fresh =
+        if (complete) Array.empty[PendingEv]
+        else rows.map(r => PendingEv(r.ts.getTime, r.step, r.seq)).toArray
+      drain(user, tv.getCurrentWatermarkInMs(), fresh)
     }
 
     override def handleExpiredTimer(
