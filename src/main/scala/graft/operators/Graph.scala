@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Link-graph centrality for corpus curation.
+  *
+  * Large-scale pretraining pipelines rank pages/hosts by link
+  * centrality and use the rank as a document-quality prior (Common
+  * Crawl publishes host-level harmonic centrality / PageRank for
+  * exactly this; CCNet/RefinedWeb-style curation filters on it). The
+  * reference has no graph operators — this extends the LLM-data
+  * surface the same way Dedup/Curation do, and reuses the iterative
+  * conventions proven by [[Dedup.clusters]] (per-round checkpoint
+  * truncation, reliable-vs-local durability choice).
+  *
+  * Scale shape (SCALE.md): nodes and edges are DataFrames, never
+  * driver-resident. Each PageRank iteration is two shuffles — an
+  * equi-join of the (constant, checkpointed) weighted edge list with
+  * the rank frame on `src`, then a map-side-combinable sum on `dst` —
+  * plus a nodes-sized left join; the dangling-mass term is a 1-row
+  * aggregate broadcast back, never a collect. Rank frames are
+  * node-sized (id, pr) pairs, not the corpus: at 100 TB the edges
+  * dominate and they are scanned once per iteration from checkpoint
+  * storage, so the whole loop is O(iterations × |E|) with flat plans.
+  */
+object Graph {
+
+  /** In/out degree per node: two map-side-combinable counts merged onto
+    * the node frame with left joins (zero-degree nodes keep 0, they are
+    * exactly the rows a plain edges-side groupBy would drop).
+    *
+    * @param nodes single-column frame `id` (one row per node)
+    * @param edges two-column frame `src`, `dst`
+    */
+  def degrees(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val out = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("out_deg"))
+    val in  = edges.groupBy(col("dst").as("id")).agg(count(lit(1)).as("in_deg"))
+    nodes
+      .join(out, Seq("id"), "left")
+      .join(in, Seq("id"), "left")
+      .select(
+        col("id"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg")
+      )
+  }
+
+  /** PageRank over an explicit edge list, fixed iteration count.
+    *
+    * Per-node rank after `iterations` rounds of
+    * `pr' = (1-d)/n + d * (Σ_in pr/outdeg + danglingMass/n)` from a
+    * uniform `1/n` start. Oracle-determinism: the only
+    * summation-order-sensitive step — the per-destination contribution
+    * sum and the dangling-mass sum — goes through DECIMAL(27,18)
+    * (exact, order-independent) and back to DOUBLE, the QueryPack
+    * convention; everything else is scalar double math that is
+    * bit-identical across engines.
+    *
+    * Iteration state is checkpointed per round exactly like
+    * [[Dedup.clusters]]: `localCheckpoint` by default (fast,
+    * executor-pinned — fine on local[n]); pass `checkpointDir` on a
+    * real cluster so the weighted edge list and every rank frame
+    * survive executor loss. Superseded local blocks are unpersisted
+    * eagerly. The single driver-side value is `nodes.count()` (one
+    * long — the n in the teleport term), never a row collect.
+    *
+    * Dangling nodes (no out-edges) redistribute their mass uniformly:
+    * a 1-row decimal aggregate per iteration joined back via broadcast
+    * nested loop — the standard broadcast-cutoff shape, not a
+    * cartesian.
+    *
+    * @param nodes  single-column frame `id`
+    * @param edges  two-column frame `src`, `dst` (parallel edges allowed;
+    *               dedupe upstream if multiplicity should not weight)
+    * @return frame (`id`, `pr`) — one row per node, Σpr = 1
+    */
+  def pageRank(
+      nodes: DataFrame,
+      edges: DataFrame,
+      iterations: Int = 5,
+      damping: Double = 0.85,
+      checkpointDir: Option[String] = None
+  ): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    checkpointDir.foreach(nodes.sparkSession.sparkContext.setCheckpointDir)
+    def ckpt(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) {
+        df.persist()
+        try df.checkpoint()
+        finally df.unpersist()
+      } else df.localCheckpoint()
+    def unpersistLocal(df: DataFrame): Unit =
+      if (checkpointDir.isEmpty)
+        org.apache.spark.sql.graftbridge.ColumnBridge.unpersistLocalCheckpoint(df)
+
+    val n = nodes.count()
+    require(n > 0, "pageRank needs a non-empty node frame")
+    val dec = DecimalType(27, 18)
+
+    // constant across iterations: every edge tagged with its source's
+    // out-degree, so the per-iteration join is edges ⋈ ranks only
+    val weighted = ckpt(
+      edges
+        .join(
+          edges.groupBy("src").agg(count(lit(1)).cast("double").as("od")),
+          "src"
+        )
+        .select(col("src"), col("dst"), col("od")))
+    // out-edge-owning node ids, for the dangling anti-join
+    val outNodes = ckpt(weighted.select(col("src").as("id")).distinct())
+
+    var ranks = ckpt(nodes.select(col("id"), lit(1.0 / n).as("pr")))
+    for (_ <- 1 to iterations) {
+      val contrib = weighted
+        .join(ranks, weighted("src") === ranks("id"))
+        .groupBy(weighted("dst").as("cid"))
+        .agg(sum((col("pr") / col("od")).cast(dec)).cast("double").as("c"))
+      // dangling mass: 1-row frame; coalesce covers the no-dangling case
+      // (empty sum is NULL)
+      val dangling = ranks
+        .join(outNodes, Seq("id"), "left_anti")
+        .agg(coalesce(sum(col("pr").cast(dec)).cast("double"), lit(0.0)).as("dm"))
+      val next = ckpt(
+        nodes
+          .join(contrib, nodes("id") === col("cid"), "left")
+          .crossJoin(broadcast(dangling))
+          .select(
+            nodes("id"),
+            (lit((1.0 - damping) / n) +
+              lit(damping) * (coalesce(col("c"), lit(0.0)) + col("dm") / lit(n.toDouble)))
+              .as("pr")
+          ))
+      unpersistLocal(ranks)
+      ranks = next
+    }
+    unpersistLocal(weighted)
+    unpersistLocal(outNodes)
+    ranks
+  }
+
+  /** Host-level rank: page ranks summed per host (exact decimal sum) —
+    * the join-back shape a curation pipeline uses to turn page
+    * centrality into a per-document quality prior. `pages` maps page id
+    * to its host (`id`, `host`).
+    */
+  def hostRank(pageRanks: DataFrame, pages: DataFrame): DataFrame =
+    pageRanks
+      .join(pages, "id")
+      .groupBy(col("host"))
+      .agg(
+        sum(col("pr").cast(DecimalType(27, 18))).cast("double").as("host_rank"),
+        count(lit(1)).as("n_pages")
+      )
+}

@@ -1,0 +1,133 @@
+package graft.queries
+
+import graft.operators.Graph
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Link-graph centrality queries (operators/Graph.scala) over a
+  * deterministic synthetic link graph derived from `documents` — the
+  * same convention as q_url_canonical's synthesized URLs: both engines
+  * derive identical edges from `doc_id`, so the oracle is exact.
+  *
+  * The graph: every page links to ~4 targets — three integer-division
+  * funnels `(doc_id div k + 101k) % n` for k ∈ {2,3,5} (hubby,
+  * non-uniform in-degree) plus a hard hub edge `doc_id % 10` (10 hub
+  * pages collect ~n/10 in-links each), self-loops dropped, exact
+  * duplicate edges collapsed. Every page keeps ≥2 out-edges, so the
+  * dangling term is structurally zero and the oracle can omit it
+  * (the Spark side still computes it — the path is spec-covered with
+  * real dangling nodes in GraphSpec).
+  */
+object GraphQueries extends QueryPack {
+
+  private val hubMod = 10
+  private val funnels = Seq(2 -> 202, 3 -> 303, 5 -> 505)
+  private val iterations = 5
+  private val damping = 0.85
+
+  /** Deterministic page link graph; mirrored text in [[edgesSql]]. */
+  private def linkEdges(docs: DataFrame, n: Long): DataFrame = {
+    val parts = funnels.map { case (k, off) =>
+      docs.select(
+        col("doc_id").as("src"),
+        expr(s"(doc_id div $k + $off) % $n").as("dst"))
+    } :+ docs.select(col("doc_id").as("src"), (col("doc_id") % hubMod).as("dst"))
+    parts.reduce(_ unionAll _).filter(col("src") =!= col("dst")).distinct()
+  }
+
+  private val edgesSql: String = {
+    val n = "(SELECT count(*) FROM documents)"
+    val funnelSelects = funnels.map { case (k, off) =>
+      s"SELECT doc_id AS src, (doc_id // $k + $off) % $n AS dst FROM documents"
+    }
+    val all = funnelSelects :+ s"SELECT doc_id AS src, doc_id % $hubMod AS dst FROM documents"
+    s"""SELECT src, dst FROM (
+       |  ${all.mkString("\n  UNION ALL\n  ")}
+       |) WHERE src <> dst
+       |GROUP BY src, dst""".stripMargin
+  }
+
+  /** Unrolled fixed-iteration PageRank CTE chain ending in r$iterations
+    * (id, pr). Contribution sums ride DECIMAL(27,18) on both sides —
+    * the QueryPack order-independence convention.
+    */
+  private val pageRankSql: String = {
+    val n = "(SELECT count(*) FROM documents)"
+    val iterBlocks = (1 to iterations).map { i =>
+      s""" c$i AS (SELECT e.dst AS id,
+         |          CAST(SUM(CAST(r.pr / o.od AS DECIMAL(27,18))) AS DOUBLE) AS c
+         |        FROM edges e JOIN r${i - 1} r ON r.id = e.src
+         |                     JOIN outdeg o ON o.src = e.src
+         |        GROUP BY e.dst),
+         | r$i AS (SELECT d.doc_id AS id,
+         |          ${1.0 - damping} / $n + $damping * COALESCE(c.c, 0.0) AS pr
+         |        FROM documents d LEFT JOIN c$i c ON c.id = d.doc_id)""".stripMargin
+    }
+    s"""WITH edges AS ($edgesSql),
+       | outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM edges GROUP BY src),
+       | r0 AS (SELECT doc_id AS id, 1.0 / $n AS pr FROM documents),
+       |${iterBlocks.mkString(",\n")}""".stripMargin
+  }
+
+  private def pages(s: SparkSession, dir: String): (DataFrame, DataFrame, Long) = {
+    val docs = Tables.load(s, dir, "documents")
+    val n = docs.count()
+    (docs, linkEdges(docs, n), n)
+  }
+
+  override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // page-level PageRank, 5 iterations, damping 0.85 — the centrality
+    // prior a curation pipeline scores documents with
+    "q_graph_pagerank" -> { (s, dir) =>
+      val (docs, edges, _) = pages(s, dir)
+      Graph
+        .pageRank(docs.select(col("doc_id").as("id")), edges, iterations, damping)
+        .select(col("id").as("doc_id"), col("pr"))
+        .orderBy("doc_id")
+    },
+    // host-level rank: page ranks folded to their host (source) — the
+    // join-back that turns link centrality into a per-host quality prior
+    "q_graph_host_rank" -> { (s, dir) =>
+      val (docs, edges, _) = pages(s, dir)
+      val pr = Graph.pageRank(docs.select(col("doc_id").as("id")), edges, iterations, damping)
+      Graph
+        .hostRank(pr, docs.select(col("doc_id").as("id"), col("source").as("host")))
+        .orderBy("host")
+    },
+    // exact in/out degree per page, zero-degree pages kept
+    "q_graph_degrees" -> { (s, dir) =>
+      val (docs, edges, _) = pages(s, dir)
+      Graph
+        .degrees(docs.select(col("doc_id").as("id")), edges)
+        .join(docs.select(col("doc_id"), col("source")), col("id") === col("doc_id"))
+        .select(col("doc_id"), col("source"), col("out_deg"), col("in_deg"))
+        .orderBy("doc_id")
+    }
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q_graph_pagerank" ->
+      s"""$pageRankSql
+         |SELECT id AS doc_id, pr FROM r$iterations ORDER BY doc_id""".stripMargin,
+    "q_graph_host_rank" ->
+      s"""$pageRankSql
+         |SELECT d.source AS host,
+         |       CAST(SUM(CAST(r.pr AS DECIMAL(27,18))) AS DOUBLE) AS host_rank,
+         |       COUNT(*) AS n_pages
+         |FROM r$iterations r JOIN documents d ON d.doc_id = r.id
+         |GROUP BY d.source
+         |ORDER BY host""".stripMargin,
+    "q_graph_degrees" ->
+      s"""WITH edges AS ($edgesSql),
+         | od AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
+         | idg AS (SELECT dst, count(*) AS in_deg FROM edges GROUP BY dst)
+         |SELECT d.doc_id, d.source,
+         |       COALESCE(o.out_deg, 0) AS out_deg,
+         |       COALESCE(i.in_deg, 0) AS in_deg
+         |FROM documents d
+         |LEFT JOIN od o ON o.src = d.doc_id
+         |LEFT JOIN idg i ON i.dst = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+  )
+}
