@@ -106,6 +106,20 @@ object GraphQueries extends QueryPack {
     }
   )
 
+  /** HyperBall harmonic centrality: DataSketches-HLL ball growth has no
+    * DuckDB mirror, so the row is bench-only; value behavior is pinned
+    * against exact BFS harmonic centrality in GraphSpec.
+    */
+  override def benchDefs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_harmonic" -> { (s, dir) =>
+      val (docs, edges, _) = pages(s, dir)
+      Graph
+        .harmonicCentrality(docs.select(col("doc_id").as("id")), edges, maxRadius = 8)
+        .select(col("id").as("doc_id"), col("ball"), col("harmonic"))
+        .orderBy("doc_id")
+    }
+  )
+
   override def oracles: Map[String, String] = Map(
     "q_graph_pagerank" ->
       s"""$pageRankSql

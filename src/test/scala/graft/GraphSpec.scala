@@ -76,6 +76,48 @@ class GraphSpec extends SparkSpec {
     assert(local == reliable) // bit-identical: same plan, same decimal sums
   }
 
+  test("HyperBall on a path graph: exact balls and harmonic in sparse mode") {
+    // 1→2→3: B(3)={1,2,3}, harmonic(3)=1/1+1/2; HLL is exact at these
+    // cardinalities (sparse mode), so the pins are tight
+    val hc = Graph
+      .harmonicCentrality(nodes(1L, 2L, 3L), edges(1L -> 2L, 2L -> 3L), maxRadius = 10)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(hc(1L) == ((1L, 0.0)))
+    assert(hc(2L)._1 == 2L && math.abs(hc(2L)._2 - 1.0) < 1e-9)
+    assert(hc(3L)._1 == 3L && math.abs(hc(3L)._2 - 1.5) < 1e-9)
+  }
+
+  test("HyperBall matches exact BFS harmonic centrality on a funnel+hub digraph") {
+    val n = 40
+    val es = (0 until n).flatMap { i =>
+      Seq((i.toLong, ((i / 3 + 7) % n).toLong), (i.toLong, (i % 5).toLong))
+    }.filter { case (s, d) => s != d }.distinct
+    // exact: BFS over out-edges from every source u gives d(u, v)
+    val adj = es.groupBy(_._1).map { case (s, ps) => s -> ps.map(_._2) }
+    val exact = Array.fill(n)(0.0)
+    for (u <- 0 until n) {
+      val dist = scala.collection.mutable.Map(u.toLong -> 0)
+      var frontier = List(u.toLong)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(x => adj.getOrElse(x, Nil).filter(!dist.contains(_)).map { y =>
+          dist(y) = dist(x) + 1; y
+        })
+      }
+      for ((v, d) <- dist if d > 0) exact(v.toInt) += 1.0 / d
+    }
+    val hc = Graph
+      .harmonicCentrality((0L until n.toLong).toDF("id"), es.toDF("src", "dst"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getDouble(2))
+      .toMap
+    for (v <- 0 until n)
+      assert(
+        math.abs(hc(v.toLong) - exact(v)) <= math.max(0.05 * exact(v), 0.05),
+        s"node $v: hyperball=${hc(v.toLong)} exact=${exact(v)}")
+  }
+
   test("hostRank folds page ranks to hosts with an exact decimal sum") {
     val pr = Seq((1L, 0.25), (2L, 0.25), (3L, 0.5)).toDF("id", "pr")
     val pages = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "host")
