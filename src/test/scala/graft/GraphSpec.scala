@@ -118,6 +118,39 @@ class GraphSpec extends SparkSpec {
         s"node $v: hyperball=${hc(v.toLong)} exact=${exact(v)}")
   }
 
+  test("pageRank agrees with an in-memory reference on seeded random graphs") {
+    // randomized-equivalence discipline (IntervalJoinSpec style):
+    // arbitrary digraphs incl. dangling nodes, isolated nodes, cycles
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 6) {
+      val n = 2 + rnd.nextInt(20)
+      val es = Seq.fill(rnd.nextInt(3 * n))((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (s, d) => s != d }.distinct
+      val iters = 1 + rnd.nextInt(4)
+      // reference: dense in-memory power iteration, same semantics
+      val adj = es.groupBy(_._1).map { case (s, ps) => s -> ps.map(_._2) }
+      var pr = Array.fill(n)(1.0 / n)
+      for (_ <- 1 to iters) {
+        val contrib = Array.fill(n)(0.0)
+        var dm = 0.0
+        for (u <- 0 until n) adj.get(u.toLong) match {
+          case Some(ds) => ds.foreach(d => contrib(d.toInt) += pr(u) / ds.size)
+          case None     => dm += pr(u)
+        }
+        pr = Array.tabulate(n)(v => 0.15 / n + 0.85 * (contrib(v) + dm / n))
+      }
+      val spark0 = Graph
+        .pageRank((0L until n.toLong).toDF("id"), es.toDF("src", "dst"), iters)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(spark0.size == n, s"trial $trial: missing nodes")
+      assert(math.abs(spark0.values.sum - 1.0) < 1e-9, s"trial $trial: mass not conserved")
+      for (v <- 0 until n)
+        assert(
+          math.abs(spark0(v.toLong) - pr(v)) < 1e-9,
+          s"trial $trial node $v (n=$n iters=$iters): spark=${spark0(v.toLong)} ref=${pr(v)}")
+    }
+  }
+
   test("hostRank folds page ranks to hosts with an exact decimal sum") {
     val pr = Seq((1L, 0.25), (2L, 0.25), (3L, 0.5)).toDF("id", "pr")
     val pages = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "host")
