@@ -100,16 +100,29 @@ object Graph {
     val dec = DecimalType(27, 18)
 
     // constant across iterations: every edge tagged with its source's
-    // out-degree, so the per-iteration join is edges ⋈ ranks only
-    val weighted = ckpt(
-      edges
-        .join(
-          edges.groupBy("src").agg(count(lit(1)).cast("double").as("od")),
-          "src"
-        )
-        .select(col("src"), col("dst"), col("od")))
-    // out-edge-owning node ids, for the dangling anti-join
-    val outNodes = ckpt(weighted.select(col("src").as("id")).distinct())
+    // out-degree, so the per-iteration join is edges ⋈ ranks only.
+    // Pre-hash-partitioned on `src` and CACHED: a cached plan keeps its
+    // output partitioning (canChangeCachedPlanOutputPartitioning stays
+    // false precisely for this), so every iteration's join reads the
+    // in-memory partitioned blocks with NO edge-side exchange and only
+    // the node-sized rank frame moves — at 100 TB the edge list is the
+    // corpus-scale side and this is the difference between one edge
+    // shuffle total and one per iteration (GraphSpec pins the 2-exchange
+    // plan). Checkpoint does NOT serve here: under AQE it captures
+    // UnknownPartitioning, so the reliable arm checkpoints for
+    // durability FIRST and re-partitions the (cheap, checkpoint-backed)
+    // read into the cache.
+    val weightedBase = edges
+      .join(
+        edges.groupBy("src").agg(count(lit(1)).cast("double").as("od")),
+        "src"
+      )
+      .select(col("src"), col("dst"), col("od"))
+    val weighted = (if (checkpointDir.isDefined) ckpt(weightedBase) else weightedBase)
+      .repartition(col("src"))
+      .persist()
+    // out-edge-owning node ids, for the dangling anti-join (node-sized)
+    val outNodes = weighted.select(col("src").as("id")).distinct().persist()
 
     var ranks = ckpt(nodes.select(col("id"), lit(1.0 / n).as("pr")))
     for (_ <- 1 to iterations) {
@@ -135,8 +148,8 @@ object Graph {
       unpersistLocal(ranks)
       ranks = next
     }
-    unpersistLocal(weighted)
-    unpersistLocal(outNodes)
+    weighted.unpersist()
+    outNodes.unpersist()
     ranks
   }
 
@@ -185,7 +198,13 @@ object Graph {
       if (checkpointDir.isEmpty)
         org.apache.spark.sql.graftbridge.ColumnBridge.unpersistLocalCheckpoint(df)
 
-    val e = ckpt(edges.select(col("src"), col("dst")))
+    // pre-partitioned on `src` + cached for the same edge-side shuffle
+    // reuse as [[pageRank]] (cached partitioning survives AQE;
+    // checkpoint's does not — reliable arm checkpoints first)
+    val eBase = edges.select(col("src"), col("dst"))
+    val e = (if (checkpointDir.isDefined) ckpt(eBase) else eBase)
+      .repartition(col("src"))
+      .persist()
     var state = ckpt(
       nodes
         .groupBy(col("id"))
@@ -227,7 +246,7 @@ object Graph {
       unpersistLocal(state)
       state = next
     }
-    unpersistLocal(e)
+    e.unpersist()
     state.select(col("id"), col("est").as("ball"), col("harmonic"))
   }
 

@@ -151,6 +151,32 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("cached pre-partitioned edges join without an edge-side exchange") {
+    // the pageRank/harmonic scale contract: the edge list is shuffled
+    // ONCE (before the checkpoint), every iteration's join reuses that
+    // partitioning and only the node-sized rank frame moves. If
+    // checkpoint stopped preserving outputPartitioning this would plan
+    // two exchanges and the operators silently pay |E| per iteration.
+    // force the shuffled-join path (at real scale the rank frame is far
+    // past any broadcast threshold)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val es = (0L until 200L).map(i => (i, (i * 7 + 3) % 200)).toDF("src", "dst")
+      val weighted = es.repartition(col("src")).persist()
+      weighted.count()
+      val ranks = (0L until 200L).map(i => (i, 1.0 / 200)).toDF("id", "pr")
+      val joined = weighted.join(ranks, weighted("src") === ranks("id"))
+        .groupBy(weighted("dst")).agg(sum(col("pr")).as("c"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // the one-time cache-fill shuffle prints as REPARTITION_BY_COL
+      // inside the InMemoryRelation; live per-query shuffles are the
+      // ENSURE_REQUIREMENTS exchanges: ranks side + groupBy(dst) — NOT
+      // an edge-side re-shuffle (which would make it 3)
+      val exchanges = "ENSURE_REQUIREMENTS".r.findAllIn(plan).size
+      assert(exchanges == 2, s"expected 2 live exchanges (ranks + agg), got $exchanges:\n$plan")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("hostRank folds page ranks to hosts with an exact decimal sum") {
     val pr = Seq((1L, 0.25), (2L, 0.25), (3L, 0.5)).toDF("id", "pr")
     val pages = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "host")
