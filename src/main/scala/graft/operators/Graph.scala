@@ -71,9 +71,20 @@ object Graph {
     * nested loop — the standard broadcast-cutoff shape, not a
     * cartesian.
     *
+    * With `reset` set, this is personalized PageRank / TrustRank
+    * (Gyöngyi, Garcia-Molina & Pedersen, "Combating Web Spam with
+    * TrustRank"): teleport and dangling mass flow to the given
+    * distribution instead of uniformly, so rank concentrates around a
+    * trusted seed set — the standard spam-demotion prior for web-corpus
+    * curation. The reset frame is node-sized (`id`, `reset`, summing to
+    * 1), cached once, and joined per round like the contribution frame.
+    *
     * @param nodes  single-column frame `id`
     * @param edges  two-column frame `src`, `dst` (parallel edges allowed;
     *               dedupe upstream if multiplicity should not weight)
+    * @param reset  optional teleport distribution (`id`, `reset`);
+    *               missing ids get 0. None = uniform 1/n (classic
+    *               PageRank)
     * @return frame (`id`, `pr`) — one row per node, Σpr = 1
     */
   def pageRank(
@@ -81,6 +92,7 @@ object Graph {
       edges: DataFrame,
       iterations: Int = 5,
       damping: Double = 0.85,
+      reset: Option[DataFrame] = None,
       checkpointDir: Option[String] = None
   ): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
@@ -123,8 +135,17 @@ object Graph {
       .persist()
     // out-edge-owning node ids, for the dangling anti-join (node-sized)
     val outNodes = weighted.select(col("src").as("id")).distinct().persist()
+    // TrustRank arm: node-sized teleport distribution, cached once
+    val resetDf = reset.map(r =>
+      nodes
+        .join(r.select(col("id"), col("reset")), Seq("id"), "left")
+        .na.fill(0.0, Seq("reset"))
+        .persist())
 
-    var ranks = ckpt(nodes.select(col("id"), lit(1.0 / n).as("pr")))
+    var ranks = ckpt(resetDf match {
+      case Some(rst) => rst.select(col("id"), col("reset").as("pr"))
+      case None      => nodes.select(col("id"), lit(1.0 / n).as("pr"))
+    })
     for (_ <- 1 to iterations) {
       val contrib = weighted
         .join(ranks, weighted("src") === ranks("id"))
@@ -135,21 +156,35 @@ object Graph {
       val dangling = ranks
         .join(outNodes, Seq("id"), "left_anti")
         .agg(coalesce(sum(col("pr").cast(dec)).cast("double"), lit(0.0)).as("dm"))
-      val next = ckpt(
-        nodes
-          .join(contrib, nodes("id") === col("cid"), "left")
-          .crossJoin(broadcast(dangling))
-          .select(
+      val joined = nodes
+        .join(contrib, nodes("id") === col("cid"), "left")
+        .crossJoin(broadcast(dangling))
+      val next = ckpt(resetDf match {
+        case Some(rst) =>
+          // pr' = (1-d)·reset + d·(contrib + dm·reset): teleport AND
+          // dangling mass flow to the trusted distribution
+          joined
+            .join(rst, Seq("id"))
+            .select(
+              col("id"),
+              (lit(1.0 - damping) * col("reset") +
+                lit(damping) * (coalesce(col("c"), lit(0.0)) + col("dm") * col("reset")))
+                .as("pr")
+            )
+        case None =>
+          joined.select(
             nodes("id"),
             (lit((1.0 - damping) / n) +
               lit(damping) * (coalesce(col("c"), lit(0.0)) + col("dm") / lit(n.toDouble)))
               .as("pr")
-          ))
+          )
+      })
       unpersistLocal(ranks)
       ranks = next
     }
     weighted.unpersist()
     outNodes.unpersist()
+    resetDf.foreach(_.unpersist())
     ranks
   }
 

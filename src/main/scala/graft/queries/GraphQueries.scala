@@ -70,6 +70,32 @@ object GraphQueries extends QueryPack {
        |${iterBlocks.mkString(",\n")}""".stripMargin
   }
 
+  /** Unrolled TrustRank chain: same contribution blocks, teleport and
+    * r0 flow to the seed distribution (hub-adjacent trusted seeds
+    * `doc_id % 50 = 0`, weight 50/n each so the reset sums to 1 at
+    * every scale).
+    */
+  private val trustRankSql: String = {
+    val n = "(SELECT count(*) FROM documents)"
+    val iterBlocks = (1 to iterations).map { i =>
+      s""" c$i AS (SELECT e.dst AS id,
+         |          CAST(SUM(CAST(r.pr / o.od AS DECIMAL(27,18))) AS DOUBLE) AS c
+         |        FROM edges e JOIN r${i - 1} r ON r.id = e.src
+         |                     JOIN outdeg o ON o.src = e.src
+         |        GROUP BY e.dst),
+         | r$i AS (SELECT t.id,
+         |          ${1.0 - damping} * t.reset + $damping * COALESCE(c.c, 0.0) AS pr
+         |        FROM reset t LEFT JOIN c$i c ON c.id = t.id)""".stripMargin
+    }
+    s"""WITH edges AS ($edgesSql),
+       | outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM edges GROUP BY src),
+       | reset AS (SELECT doc_id AS id,
+       |            CASE WHEN doc_id % 50 = 0 THEN 50.0 / $n ELSE 0.0 END AS reset
+       |          FROM documents),
+       | r0 AS (SELECT id, reset AS pr FROM reset),
+       |${iterBlocks.mkString(",\n")}""".stripMargin
+  }
+
   private def pages(s: SparkSession, dir: String): (DataFrame, DataFrame, Long) = {
     val docs = Tables.load(s, dir, "documents")
     val n = docs.count()
@@ -94,6 +120,20 @@ object GraphQueries extends QueryPack {
       Graph
         .hostRank(pr, docs.select(col("doc_id").as("id"), col("source").as("host")))
         .orderBy("host")
+    },
+    // TrustRank: teleport + dangling mass flow to a trusted seed set —
+    // the spam-demotion prior; seeds doc_id % 50 = 0 at weight 50/n
+    "q_graph_trustrank" -> { (s, dir) =>
+      val (docs, edges, n) = pages(s, dir)
+      val reset = docs.select(
+        col("doc_id").as("id"),
+        when(col("doc_id") % 50 === 0, lit(50.0 / n)).otherwise(lit(0.0)).as("reset"))
+      Graph
+        .pageRank(
+          docs.select(col("doc_id").as("id")), edges, iterations, damping,
+          reset = Some(reset))
+        .select(col("id").as("doc_id"), col("pr"))
+        .orderBy("doc_id")
     },
     // exact in/out degree per page, zero-degree pages kept
     "q_graph_degrees" -> { (s, dir) =>
@@ -132,6 +172,9 @@ object GraphQueries extends QueryPack {
          |FROM r$iterations r JOIN documents d ON d.doc_id = r.id
          |GROUP BY d.source
          |ORDER BY host""".stripMargin,
+    "q_graph_trustrank" ->
+      s"""$trustRankSql
+         |SELECT id AS doc_id, pr FROM r$iterations ORDER BY doc_id""".stripMargin,
     "q_graph_degrees" ->
       s"""WITH edges AS ($edgesSql),
          | od AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),

@@ -102,7 +102,7 @@ object IncrementalGraph {
       loadEdges(spark, storeDir),
       iterations,
       damping,
-      checkpointDir)
+      checkpointDir = checkpointDir)
 
   /** Attach the edge-store maintenance loop to an edge stream. */
   def attach(

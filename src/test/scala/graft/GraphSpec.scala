@@ -118,6 +118,35 @@ class GraphSpec extends SparkSpec {
         s"node $v: hyperball=${hc(v.toLong)} exact=${exact(v)}")
   }
 
+  test("TrustRank: teleport flows to the seed distribution (hand-computed)") {
+    // 1→2→3, seeds={1}: r0=(1,0,0)
+    // iter1: c=(0,1,0), dm=pr3=0 → r1=(.15, .85, 0)
+    // iter2: c=(0,.15,.85), dm=0 → r2=(.15, .1275, .7225)
+    import spark.implicits._
+    val reset = Seq((1L, 1.0), (2L, 0.0), (3L, 0.0)).toDF("id", "reset")
+    val pr = Graph
+      .pageRank(nodes(1L, 2L, 3L), edges(1L -> 2L, 2L -> 3L), iterations = 2,
+        reset = Some(reset))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr(1L) - 0.15) < 1e-15)
+    assert(math.abs(pr(2L) - 0.1275) < 1e-15)
+    assert(math.abs(pr(3L) - 0.7225) < 1e-15)
+  }
+
+  test("TrustRank: dangling mass returns to the seeds, not uniformly") {
+    // 1→2, node 2 dangling, seeds={1}: r0=(1,0)
+    // iter1: c=(0,1), dm=pr2=0 → r1=(.15,.85)
+    // iter2: c=(0,.15), dm=pr2=.85 → r2=(.15+.85·.85, .85·.15)=(.8725,.1275)
+    import spark.implicits._
+    val reset = Seq((1L, 1.0), (2L, 0.0)).toDF("id", "reset")
+    val pr = Graph
+      .pageRank(nodes(1L, 2L), edges(1L -> 2L), iterations = 2, reset = Some(reset))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr(1L) - 0.8725) < 1e-15)
+    assert(math.abs(pr(2L) - 0.1275) < 1e-15)
+    assert(math.abs(pr.values.sum - 1.0) < 1e-15)
+  }
+
   test("pageRank agrees with an in-memory reference on seeded random graphs") {
     // randomized-equivalence discipline (IntervalJoinSpec style):
     // arbitrary digraphs incl. dangling nodes, isolated nodes, cycles
