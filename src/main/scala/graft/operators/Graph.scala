@@ -96,6 +96,56 @@ object Graph {
       checkpointDir: Option[String] = None
   ): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    prRun(nodes, edges, damping, reset, None, checkpointDir, iterations, None)._1
+  }
+
+  /** Power iteration to the fixpoint: [[pageRank]] rounds until the L1
+    * residual `Σ|pr′ − pr|` drops below `tol` — the probe is one
+    * node-sized join + 1-row exact-decimal aggregate per round (the
+    * [[Dedup.clusters]] driver-coordination pattern, never a collect).
+    * Hitting `maxRounds` unconverged is an ERROR: a partial fixpoint
+    * would silently misrank downstream.
+    *
+    * `init` warm-starts from a previous snapshot (missing ids — new
+    * pages — seed at 1/n). Damping < 1 makes each round a contraction,
+    * so ANY start reaches the SAME fixpoint (spec-pinned); the warm
+    * start is guaranteed to begin closer to it. Rounds-to-tol, however,
+    * is spectrum-dependent, NOT guaranteed smaller: the warm error
+    * vector is dominated by the slowest surviving eigenmode (the fast
+    * components already converged), while a uniform start's error can
+    * happen to avoid that mode and decay faster —
+    * IncrementalGraphSpec pins a graph where cold beats warm on round
+    * count while both land on the same ranks. Use the returned round
+    * count to observe, not assume.
+    *
+    * @return (ranks, rounds taken)
+    */
+  def pageRankConverged(
+      nodes: DataFrame,
+      edges: DataFrame,
+      tol: Double = 1e-8,
+      // the contraction shrinks the residual ~damping^t, so tol=1e-8 at
+      // d=0.85 needs ~113 rounds — size the cap to the math, not to 100
+      maxRounds: Int = 500,
+      damping: Double = 0.85,
+      reset: Option[DataFrame] = None,
+      init: Option[DataFrame] = None,
+      checkpointDir: Option[String] = None
+  ): (DataFrame, Int) = {
+    require(tol > 0, s"tol must be > 0, got $tol")
+    prRun(nodes, edges, damping, reset, init, checkpointDir, maxRounds, Some(tol))
+  }
+
+  private def prRun(
+      nodes: DataFrame,
+      edges: DataFrame,
+      damping: Double,
+      reset: Option[DataFrame],
+      init: Option[DataFrame],
+      checkpointDir: Option[String],
+      maxRounds: Int,
+      tol: Option[Double]
+  ): (DataFrame, Int) = {
     checkpointDir.foreach(nodes.sparkSession.sparkContext.setCheckpointDir)
     def ckpt(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) {
@@ -142,11 +192,21 @@ object Graph {
         .na.fill(0.0, Seq("reset"))
         .persist())
 
-    var ranks = ckpt(resetDf match {
-      case Some(rst) => rst.select(col("id"), col("reset").as("pr"))
-      case None      => nodes.select(col("id"), lit(1.0 / n).as("pr"))
+    var ranks = ckpt(init match {
+      case Some(i0) =>
+        nodes
+          .join(i0.select(col("id"), col("pr")), Seq("id"), "left")
+          .na.fill(1.0 / n, Seq("pr"))
+      case None =>
+        resetDf match {
+          case Some(rst) => rst.select(col("id"), col("reset").as("pr"))
+          case None      => nodes.select(col("id"), lit(1.0 / n).as("pr"))
+        }
     })
-    for (_ <- 1 to iterations) {
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      round += 1
       val contrib = weighted
         .join(ranks, weighted("src") === ranks("id"))
         .groupBy(weighted("dst").as("cid"))
@@ -179,13 +239,28 @@ object Graph {
               .as("pr")
           )
       })
+      // residual probe rides the two checkpointed frames (a filter +
+      // 1-row exact-decimal aggregate over cached rows)
+      converged = tol.exists { t =>
+        next
+          .join(ranks.select(col("id"), col("pr").as("__old")), "id")
+          .agg(
+            coalesce(sum(abs(col("pr") - col("__old")).cast(dec)).cast("double"), lit(0.0))
+              .as("resid"))
+          .head()
+          .getDouble(0) < t
+      }
       unpersistLocal(ranks)
       ranks = next
     }
     weighted.unpersist()
     outNodes.unpersist()
     resetDf.foreach(_.unpersist())
-    ranks
+    if (tol.isDefined && !converged)
+      throw new IllegalStateException(
+        s"power iteration still above tol after $maxRounds rounds — raise maxRounds " +
+          "(a partial fixpoint would silently misrank)")
+    (ranks, round)
   }
 
   /** Harmonic centrality via HyperBall (Boldi & Vigna, "In-Core

@@ -104,6 +104,34 @@ object IncrementalGraph {
       damping,
       checkpointDir = checkpointDir)
 
+  /** Fixpoint refresh over the accumulated edge set, warm-startable
+    * from the previous snapshot. PageRank is globally defined and
+    * cannot be updated per-batch; the refresh is tolerance-stopped and
+    * returns its round count. Warm starts begin closer to the fixpoint
+    * but rounds-to-tol is spectrum-dependent (see
+    * [[Graph.pageRankConverged]]) — observe the returned count rather
+    * than assuming a saving.
+    *
+    * @return (ranks, rounds taken)
+    */
+  def rankSnapshotConverged(
+      spark: SparkSession,
+      storeDir: String,
+      tol: Double = 1e-8,
+      maxRounds: Int = 500,
+      damping: Double = 0.85,
+      warmStart: Option[DataFrame] = None,
+      checkpointDir: Option[String] = None
+  ): (DataFrame, Int) =
+    Graph.pageRankConverged(
+      loadNodes(spark, storeDir),
+      loadEdges(spark, storeDir),
+      tol,
+      maxRounds,
+      damping,
+      init = warmStart,
+      checkpointDir = checkpointDir)
+
   /** Attach the edge-store maintenance loop to an edge stream. */
   def attach(
       arriving: DataFrame,

@@ -55,6 +55,41 @@ class IncrementalGraphSpec extends SparkSpec {
     assert(streamedDeg == scratchDeg)
   }
 
+  test("tolerance-stopped refresh reaches the same fixpoint from cold and warm starts") {
+    val root = java.nio.file.Files.createTempDirectory("graft_graph_warm").toString
+    val store = s"$root/edges"
+    IncrementalGraph.ingestBatch(spark, crawl(0, 100).toDF("src", "dst"), store, batchId = Some(0L))
+    val (snap0, rounds0) = IncrementalGraph.rankSnapshotConverged(spark, store, tol = 1e-6)
+    assert(rounds0 > 1)
+    // an edge batch arrives; refresh cold and warm-started from snap0.
+    // NOTE the round counts: on THIS graph cold (27) beats warm (60) —
+    // the warm error vector is pure slow-eigenmode while the uniform
+    // start's error avoids it (see Graph.pageRankConverged scaladoc).
+    // The spec pins the contraction guarantee (same fixpoint), not a
+    // rounds saving, which is spectrum-dependent.
+    IncrementalGraph.ingestBatch(spark, crawl(100, 110).toDF("src", "dst"), store, batchId = Some(1L))
+    val (cold, coldRounds) = IncrementalGraph.rankSnapshotConverged(spark, store, tol = 1e-6)
+    val (warm, warmRounds) = IncrementalGraph.rankSnapshotConverged(
+      spark, store, tol = 1e-6, warmStart = Some(snap0))
+    assert(coldRounds > 1 && warmRounds > 1)
+    // both stopped within tol of the SAME fixpoint: each run's distance
+    // to it is bounded by resid·d/(1−d) ≈ 5.7·tol, so allow 1e-4
+    val c = cold.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val w = warm.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(c.keySet == w.keySet)
+    for ((k, v) <- c) assert(math.abs(v - w(k)) < 1e-4, s"node $k: cold=$v warm=${w(k)}")
+  }
+
+  test("an unconverged fixpoint errors instead of returning partial ranks") {
+    val root = java.nio.file.Files.createTempDirectory("graft_graph_ncv").toString
+    val store = s"$root/edges"
+    IncrementalGraph.ingestBatch(spark, crawl(0, 60).toDF("src", "dst"), store, batchId = Some(0L))
+    val ex = intercept[IllegalStateException] {
+      IncrementalGraph.rankSnapshotConverged(spark, store, tol = 1e-12, maxRounds = 3)
+    }
+    assert(ex.getMessage.contains("raise maxRounds"))
+  }
+
   test("a replayed batch id is a no-op (exactly-once append)") {
     val root = java.nio.file.Files.createTempDirectory("graft_graph_replay").toString
     val store = s"$root/edges"
