@@ -373,4 +373,173 @@ object Graph {
         sum(col("pr").cast(DecimalType(27, 18))).cast("double").as("host_rank"),
         count(lit(1)).as("n_pages")
       )
+
+  /** Synchronous label propagation communities (Raghavan, Albert &
+    * Kumara, "Near linear time algorithm to detect community structures
+    * in large-scale networks"), made fully deterministic: every round,
+    * EVERY node simultaneously adopts the most frequent label among its
+    * neighbors, ties broken by the smallest label; neighbor-less nodes
+    * keep their current label. Labels start as the node's own id.
+    *
+    * A fixed round count is the honest synchronous form — asynchronous
+    * LPA's convergence depends on visit order (irreproducible across
+    * partitionings), and the synchronous update can 2-cycle on
+    * bipartite structure, so "run to convergence" is ill-defined.
+    * A fixed horizon is deterministic, oracle-expressible, and what a
+    * curation pipeline wants anyway (host/near-dup grouping stabilizes
+    * in a few rounds on hubby web graphs).
+    *
+    * Scale shape: identical to a [[pageRank]] iteration — the
+    * symmetrized edge list is built once, pre-partitioned on `src` and
+    * cached, and each round is one edges⋈labels equi-join, one
+    * (node,label)-sized count, one per-node argmax, and a node-sized
+    * left join. The argmax rides [[graft.functions.MinByObject]]
+    * ordered by `struct(-count, label)` so the plan stays
+    * ObjectHashAggregate — Spark's own `min_by(label, struct)` would
+    * fall to SortAggregate (non-mutable buffer type) and sort the
+    * (node,label) frame corpus-wide every round.
+    *
+    * @param nodes      single-column frame `id`
+    * @param edges      two-column frame `src`, `dst`
+    * @param rounds     synchronous update rounds (>= 1)
+    * @param symmetrize treat edges as undirected (the community
+    *                   convention); false votes over in-edges only
+    * @return frame (`id`, `community`)
+    */
+  def labelPropagation(
+      nodes: DataFrame,
+      edges: DataFrame,
+      rounds: Int = 4,
+      symmetrize: Boolean = true,
+      checkpointDir: Option[String] = None
+  ): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    checkpointDir.foreach(nodes.sparkSession.sparkContext.setCheckpointDir)
+    def ckpt(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) {
+        df.persist()
+        try df.checkpoint()
+        finally df.unpersist()
+      } else df.localCheckpoint()
+    def unpersistLocal(df: DataFrame): Unit =
+      if (checkpointDir.isEmpty)
+        org.apache.spark.sql.graftbridge.ColumnBridge.unpersistLocalCheckpoint(df)
+
+    val dir = edges.select(col("src"), col("dst"))
+    val symBase =
+      if (symmetrize)
+        dir.unionAll(edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      else dir
+    // same edge-shuffle-once discipline as pageRank: cached partitioning
+    // survives AQE, checkpointed partitioning does not
+    val sym = (if (checkpointDir.isDefined) ckpt(symBase) else symBase)
+      .repartition(col("src"))
+      .persist()
+
+    var labels = ckpt(nodes.select(col("id"), col("id").as("label")))
+    var r = 0
+    while (r < rounds) {
+      r += 1
+      val votes = sym
+        .join(labels, sym("src") === labels("id"))
+        .groupBy(sym("dst").as("vid"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val best = votes
+        .groupBy(col("vid"))
+        .agg(
+          graft.functions.MinByObject
+            .minBy(col("label"), struct((-col("cnt")).as("nc"), col("label").as("lb")))
+            .as("new_label"))
+      val next = ckpt(
+        labels
+          .join(best, labels("id") === col("vid"), "left")
+          .select(labels("id"), coalesce(col("new_label"), col("label")).as("label")))
+      unpersistLocal(labels)
+      labels = next
+    }
+    sym.unpersist()
+    labels.select(col("id"), col("label").as("community"))
+  }
+
+  /** Deterministic DeepWalk-style walk corpus (Perozzi, Al-Rfou &
+    * Skiena, "DeepWalk: Online Learning of Social Representations"):
+    * from every start node, `length` hops; hop `t` out of node `v`
+    * picks sorted-neighbor index `mix(v, t) mod outdeg(v)`. A walk that
+    * reaches a dangling node (no out-edges) simply stops — the emitted
+    * array is the prefix walked so far, the DeepWalk convention.
+    *
+    * The hop selector is injectable because reproducibility and oracle
+    * coverage pull in different directions: production wants
+    * [[Walks.hashMix]] (`xxhash64(v, t, seed)` — uniform, overflow-free
+    * at any id range) while the DuckDB-mirrored gate uses
+    * [[Walks.lcgMix]] (64-bit linear-congruential arithmetic both
+    * engines evaluate bit-identically). Same operator body either way —
+    * only the one mixing Column differs.
+    *
+    * Scale shape: the adjacency frame (node → sorted neighbor array) is
+    * built with ONE aggregation, pre-partitioned on its key and cached;
+    * each hop is a frontier⋈adjacency equi-join with no other shuffle,
+    * so the whole corpus costs `length` node-sized joins after one
+    * edge-list aggregation. Neighbor arrays are out-degree-sized — web
+    * graphs keep out-degree small and bounded (in-degree is the skewed
+    * side, and it never materializes here). Walk state is one
+    * (start, cur, walk) row per start node, `length+1` ids at most.
+    *
+    * @param starts single-column frame `id` of walk origins (pass the
+    *               node frame for full coverage, a sample for a corpus
+    *               quota)
+    * @param mix    (cur, step) => Long column; see [[Walks]]
+    * @return frame (`start`, `walk` array<long> — walk(0) = start)
+    */
+  def randomWalks(
+      edges: DataFrame,
+      starts: DataFrame,
+      length: Int,
+      mix: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.Column = Walks.hashMix(7)
+  ): DataFrame = {
+    require(length >= 1, s"length must be >= 1, got $length")
+    val adj = edges
+      .groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"), count(lit(1)).as("deg"))
+      .repartition(col("src"))
+      .persist()
+    var state = starts.select(
+      col("id").as("start"),
+      col("id").as("cur"),
+      array(col("id")).as("walk"))
+    (1 to length).foreach { t =>
+      val idx = pmod(mix(col("cur"), lit(t.toLong)), col("deg")).cast("int") + lit(1)
+      val hop = element_at(col("nbrs"), idx)
+      state = state
+        .join(adj, state("cur") === adj("src"), "left")
+        .select(
+          col("start"),
+          when(col("src").isNull, lit(null)).otherwise(hop).as("cur"),
+          when(col("src").isNull, col("walk"))
+            .otherwise(concat(col("walk"), array(hop)))
+            .as("walk")
+        )
+    }
+    state.select(col("start"), col("walk"))
+  }
+}
+
+/** Hop selectors for [[Graph.randomWalks]]. */
+object Walks {
+  import org.apache.spark.sql.Column
+
+  /** Production mix: `xxhash64(cur, step, seed)` — uniform and safe at
+    * any id range, no DuckDB mirror (bench/spec coverage).
+    */
+  def hashMix(seed: Long): (Column, Column) => Column =
+    (cur, step) => xxhash64(cur, step, lit(seed))
+
+  /** Oracle mix: `cur*1103515245 + step*12345 + seed` (the classic LCG
+    * multiplier) — plain 64-bit arithmetic DuckDB evaluates
+    * bit-identically. Overflows past ~8e9 ids; gate scales stay far
+    * below that (5e7 docs at sf10), production uses [[hashMix]].
+    */
+  def lcgMix(seed: Long): (Column, Column) => Column =
+    (cur, step) => cur * lit(1103515245L) + step * lit(12345L) + lit(seed)
 }

@@ -25,6 +25,9 @@ object GraphQueries extends QueryPack {
   private val funnels = Seq(2 -> 202, 3 -> 303, 5 -> 505)
   private val iterations = 5
   private val damping = 0.85
+  private val lpaRounds = 4
+  private val walkLen = 6
+  private val walkSeed = 7L
 
   /** Deterministic page link graph; mirrored text in [[edgesSql]]. */
   private def linkEdges(docs: DataFrame, n: Long): DataFrame = {
@@ -96,6 +99,52 @@ object GraphQueries extends QueryPack {
        |${iterBlocks.mkString(",\n")}""".stripMargin
   }
 
+  /** Unrolled synchronous-LPA chain ending in l$lpaRounds (id, label).
+    * The per-round argmax window orders by (count DESC, label ASC) —
+    * label is unique within a (node) partition after the GROUP BY, so
+    * the tie-break is total (the QueryPack window rule).
+    */
+  private val lpaSql: String = {
+    val roundBlocks = (1 to lpaRounds).map { i =>
+      s""" b$i AS (SELECT s.dst AS id, l.label AS label
+         |        FROM sym s JOIN l${i - 1} l ON l.id = s.src
+         |        GROUP BY s.dst, l.label
+         |        QUALIFY row_number() OVER (
+         |          PARTITION BY s.dst
+         |          ORDER BY count(*) DESC, l.label ASC) = 1),
+         | l$i AS (SELECT l.id, COALESCE(b.label, l.label) AS label
+         |        FROM l${i - 1} l LEFT JOIN b$i b ON b.id = l.id)""".stripMargin
+    }
+    s"""WITH edges AS ($edgesSql),
+       | sym AS (SELECT src, dst FROM edges
+       |         UNION SELECT dst AS src, src AS dst FROM edges),
+       | l0 AS (SELECT doc_id AS id, doc_id AS label FROM documents),
+       |${roundBlocks.mkString(",\n")}""".stripMargin
+  }
+
+  /** Unrolled walk chain ending in w$walkLen (start, cur, walk): hop t
+    * indexes the sorted neighbor list at
+    * `(cur*1103515245 + t*12345 + seed) mod outdeg` — bit-identical
+    * 64-bit arithmetic in both engines (Walks.lcgMix).
+    */
+  private val walksSql: String = {
+    def hop(t: Int) =
+      s"a.nbrs[CAST((w.cur*1103515245 + $t*12345 + $walkSeed) % a.deg AS INT) + 1]"
+    val hopBlocks = (1 to walkLen).map { t =>
+      s""" w$t AS (SELECT w.start,
+         |          CASE WHEN a.src IS NULL THEN NULL ELSE ${hop(t)} END AS cur,
+         |          CASE WHEN a.src IS NULL THEN w.walk
+         |               ELSE list_append(w.walk, ${hop(t)}) END AS walk
+         |        FROM w${t - 1} w LEFT JOIN adj a ON a.src = w.cur)""".stripMargin
+    }
+    s"""WITH edges AS ($edgesSql),
+       | adj AS (SELECT src, list(dst ORDER BY dst) AS nbrs, count(*) AS deg
+       |         FROM edges GROUP BY src),
+       | w0 AS (SELECT doc_id AS start, doc_id AS cur, [doc_id] AS walk
+       |        FROM documents),
+       |${hopBlocks.mkString(",\n")}""".stripMargin
+  }
+
   private def pages(s: SparkSession, dir: String): (DataFrame, DataFrame, Long) = {
     val docs = Tables.load(s, dir, "documents")
     val n = docs.count()
@@ -143,6 +192,28 @@ object GraphQueries extends QueryPack {
         .join(docs.select(col("doc_id"), col("source")), col("id") === col("doc_id"))
         .select(col("doc_id"), col("source"), col("out_deg"), col("in_deg"))
         .orderBy("doc_id")
+    },
+    // synchronous label-propagation communities (undirected, 4 rounds,
+    // smallest-label ties) — the host/near-dup grouping primitive
+    "q_graph_communities" -> { (s, dir) =>
+      val (docs, edges, _) = pages(s, dir)
+      Graph
+        .labelPropagation(docs.select(col("doc_id").as("id")), edges, lpaRounds)
+        .select(col("id").as("doc_id"), col("community"))
+        .orderBy("doc_id")
+    },
+    // deterministic DeepWalk corpus: 6 hops from every page, LCG hop
+    // selector (the oracle-mirrored mix; production uses Walks.hashMix)
+    "q_graph_walks" -> { (s, dir) =>
+      val (docs, edges, _) = pages(s, dir)
+      Graph
+        .randomWalks(
+          edges,
+          docs.select(col("doc_id").as("id")),
+          walkLen,
+          graft.operators.Walks.lcgMix(walkSeed))
+        .select(col("start").as("doc_id"), col("walk"))
+        .orderBy("doc_id")
     }
   )
 
@@ -175,6 +246,12 @@ object GraphQueries extends QueryPack {
     "q_graph_trustrank" ->
       s"""$trustRankSql
          |SELECT id AS doc_id, pr FROM r$iterations ORDER BY doc_id""".stripMargin,
+    "q_graph_communities" ->
+      s"""$lpaSql
+         |SELECT id AS doc_id, label AS community FROM l$lpaRounds ORDER BY doc_id""".stripMargin,
+    "q_graph_walks" ->
+      s"""$walksSql
+         |SELECT start AS doc_id, walk FROM w$walkLen ORDER BY doc_id""".stripMargin,
     "q_graph_degrees" ->
       s"""WITH edges AS ($edgesSql),
          | od AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),

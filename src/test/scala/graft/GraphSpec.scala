@@ -206,6 +206,112 @@ class GraphSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("labelPropagation: two triangles joined by a bridge (hand-traced rounds)") {
+    // 1-2-3 and 4-5-6 triangles, bridge 3-4, undirected. Synchronous
+    // min-tie-break trace: r1=[2,1,1,3,4,4], r2=[1,1,1,4,3,3],
+    // r3=[1,1,1,3,3,3], r4 stable — each triangle collapses to its
+    // min-reachable label, the bridge does not merge them.
+    val lp = Graph
+      .labelPropagation(
+        nodes(1L, 2L, 3L, 4L, 5L, 6L),
+        edges(1L -> 2L, 2L -> 3L, 3L -> 1L, 4L -> 5L, 5L -> 6L, 6L -> 4L, 3L -> 4L),
+        rounds = 4)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(lp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
+  }
+
+  test("labelPropagation: ties take the smallest label; isolated nodes keep their own") {
+    // star 2-1-3 after one round: node 1 sees {2,3} once each → 2;
+    // leaves see {1} → 1; node 9 has no edges → keeps 9
+    val lp = Graph
+      .labelPropagation(nodes(1L, 2L, 3L, 9L), edges(1L -> 2L, 1L -> 3L), rounds = 1)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(lp == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 9L -> 9L))
+  }
+
+  test("labelPropagation directed mode votes over in-edges only") {
+    // 1→2, 1→3, symmetrize=false: node 1 has no in-edges → keeps 1;
+    // 2 and 3 adopt 1. (Symmetrized, node 1 would adopt 2 — prior test.)
+    val lp = Graph
+      .labelPropagation(
+        nodes(1L, 2L, 3L), edges(1L -> 2L, 1L -> 3L), rounds = 1, symmetrize = false)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(lp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("labelPropagation reliable-checkpoint arm is identical") {
+    val dir = java.nio.file.Files.createTempDirectory("lpa-ckpt").toString
+    val ns = nodes(1L, 2L, 3L, 4L, 5L, 6L)
+    val es = edges(1L -> 2L, 2L -> 3L, 3L -> 1L, 4L -> 5L, 5L -> 6L, 6L -> 4L, 3L -> 4L)
+    val local = Graph.labelPropagation(ns, es, rounds = 3).collect().toSet
+    val reliable =
+      Graph.labelPropagation(ns, es, rounds = 3, checkpointDir = Some(dir)).collect().toSet
+    assert(local.map(r => (r.getLong(0), r.getLong(1))) ==
+      reliable.map(r => (r.getLong(0), r.getLong(1))))
+  }
+
+  test("randomWalks: deg-1 cycle walks the cycle; dangling node stops the walk") {
+    // 1→2→3→1: every hop has one choice regardless of mix
+    val w = Graph
+      .randomWalks(edges(1L -> 2L, 2L -> 3L, 3L -> 1L), nodes(1L), length = 4)
+      .collect()
+    assert(w.length == 1)
+    assert(w.head.getSeq[Long](1) == Seq(1L, 2L, 3L, 1L, 2L))
+    // 1→2, 2 dangling: the walk from 1 stops after one hop, from 2 immediately
+    val stopped = Graph
+      .randomWalks(edges(1L -> 2L), nodes(1L, 2L), length = 3)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+      .toMap
+    assert(stopped(1L) == Seq(1L, 2L))
+    assert(stopped(2L) == Seq(2L))
+  }
+
+  test("randomWalks lcgMix picks the hand-computed sorted-neighbor index") {
+    // cur=5, t=1, seed=7: (5*1103515245 + 12345 + 7) mod 3 = 1 →
+    // sorted nbrs [10,20,30] index 1 → 20
+    val w = Graph
+      .randomWalks(
+        edges(5L -> 10L, 5L -> 20L, 5L -> 30L),
+        nodes(5L),
+        length = 1,
+        mix = graft.operators.Walks.lcgMix(7))
+      .collect()
+    assert(w.head.getSeq[Long](1) == Seq(5L, 20L))
+  }
+
+  test("randomWalks hashMix emits valid deterministic walks on a random digraph") {
+    val rnd = new scala.util.Random(11)
+    val n = 30
+    val es = Seq.fill(4 * n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (s, d) => s != d }.distinct
+    val adj = es.groupBy(_._1).map { case (s, ps) => s -> ps.map(_._2).toSet }
+    val ns = (0L until n.toLong).toDF("id")
+    def run() = Graph
+      .randomWalks(es.toDF("src", "dst"), ns, length = 5)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+      .toMap
+    val walks = run()
+    assert(walks.keySet == (0L until n.toLong).toSet)
+    for ((start, walk) <- walks) {
+      assert(walk.head == start)
+      walk.sliding(2).foreach {
+        case Seq(a, b) => assert(adj(a).contains(b), s"$a→$b is not an edge")
+        case _         =>
+      }
+      // a stopped walk ends at a node with no out-edges
+      if (walk.length < 6) assert(!adj.contains(walk.last))
+    }
+    assert(run() == walks) // hash-mix determinism across runs
+  }
+
   test("hostRank folds page ranks to hosts with an exact decimal sum") {
     val pr = Seq((1L, 0.25), (2L, 0.25), (3L, 0.5)).toDF("id", "pr")
     val pages = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "host")
