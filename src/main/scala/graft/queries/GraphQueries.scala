@@ -228,6 +228,20 @@ object GraphQueries extends QueryPack {
         .harmonicCentrality(docs.select(col("doc_id").as("id")), edges, maxRadius = 8)
         .select(col("id").as("doc_id"), col("ball"), col("harmonic"))
         .orderBy("doc_id")
+    },
+    // production walk corpus: same operator body as the gated
+    // q_graph_walks but the xxhash64 hop mix (uniform at any id range;
+    // no 64-bit-arithmetic DuckDB mirror) — benches the path users run
+    "q_graph_walks_hash" -> { (s, dir) =>
+      val (docs, edges, _) = pages(s, dir)
+      Graph
+        .randomWalks(
+          edges,
+          docs.select(col("doc_id").as("id")),
+          walkLen,
+          graft.operators.Walks.hashMix(walkSeed))
+        .select(col("start").as("doc_id"), col("walk"))
+        .orderBy("doc_id")
     }
   )
 
