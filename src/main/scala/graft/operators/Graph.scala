@@ -485,10 +485,22 @@ object Graph {
     * side, and it never materializes here). Walk state is one
     * (start, cur, walk) row per start node, `length+1` ids at most.
     *
+    * Lineage discipline: each hop chains a join onto the previous
+    * state's plan, so an untruncated walk of DeepWalk-typical length
+    * (40–80) carries an O(length)-deep lineage — linear re-execution
+    * risk on partition loss and linear planning cost. Every
+    * `checkpointEvery` hops the state is checkpoint-truncated exactly
+    * like the [[pageRank]] rounds (`localCheckpoint` by default,
+    * reliable `checkpointDir` on a real cluster), with superseded
+    * local blocks unpersisted eagerly. Truncation is pure lineage
+    * surgery — hop values are unaffected (GraphSpec pins a length-48
+    * walk bit-identical across truncation cadences).
+    *
     * @param starts single-column frame `id` of walk origins (pass the
     *               node frame for full coverage, a sample for a corpus
     *               quota)
     * @param mix    (cur, step) => Long column; see [[Walks]]
+    * @param checkpointEvery truncate lineage every this many hops
     * @return frame (`start`, `walk` array<long> — walk(0) = start)
     */
   def randomWalks(
@@ -496,9 +508,23 @@ object Graph {
       starts: DataFrame,
       length: Int,
       mix: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
-        org.apache.spark.sql.Column = Walks.hashMix(7)
+        org.apache.spark.sql.Column = Walks.hashMix(7),
+      checkpointEvery: Int = 8,
+      checkpointDir: Option[String] = None
   ): DataFrame = {
     require(length >= 1, s"length must be >= 1, got $length")
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def ckpt(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) {
+        df.persist()
+        try df.checkpoint()
+        finally df.unpersist()
+      } else df.localCheckpoint()
+    def unpersistLocal(df: DataFrame): Unit =
+      if (checkpointDir.isEmpty)
+        org.apache.spark.sql.graftbridge.ColumnBridge.unpersistLocalCheckpoint(df)
+
     val adj = edges
       .groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"), count(lit(1)).as("deg"))
@@ -508,6 +534,8 @@ object Graph {
       col("id").as("start"),
       col("id").as("cur"),
       array(col("id")).as("walk"))
+    // the last truncated block, so superseding it can unpersist eagerly
+    var lastCkpt: Option[DataFrame] = None
     (1 to length).foreach { t =>
       val idx = pmod(mix(col("cur"), lit(t.toLong)), col("deg")).cast("int") + lit(1)
       val hop = element_at(col("nbrs"), idx)
@@ -520,6 +548,12 @@ object Graph {
             .otherwise(concat(col("walk"), array(hop)))
             .as("walk")
         )
+      if (t % checkpointEvery == 0 && t < length) {
+        val truncated = ckpt(state)
+        lastCkpt.foreach(unpersistLocal)
+        lastCkpt = Some(truncated)
+        state = truncated
+      }
     }
     state.select(col("start"), col("walk"))
   }

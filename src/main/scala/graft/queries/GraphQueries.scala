@@ -203,7 +203,10 @@ object GraphQueries extends QueryPack {
         .orderBy("doc_id")
     },
     // deterministic DeepWalk corpus: 6 hops from every page, LCG hop
-    // selector (the oracle-mirrored mix; production uses Walks.hashMix)
+    // selector (the oracle-mirrored mix; production uses Walks.hashMix).
+    // The walk serializes via array_join — every gated output column must
+    // be scalar for the driver's comparator (the q_collect convention,
+    // RelationalQueries.scala:251-252).
     "q_graph_walks" -> { (s, dir) =>
       val (docs, edges, _) = pages(s, dir)
       Graph
@@ -212,7 +215,7 @@ object GraphQueries extends QueryPack {
           docs.select(col("doc_id").as("id")),
           walkLen,
           graft.operators.Walks.lcgMix(walkSeed))
-        .select(col("start").as("doc_id"), col("walk"))
+        .select(col("start").as("doc_id"), array_join(col("walk"), ",").as("walk"))
         .orderBy("doc_id")
     }
   )
@@ -265,7 +268,8 @@ object GraphQueries extends QueryPack {
          |SELECT id AS doc_id, label AS community FROM l$lpaRounds ORDER BY doc_id""".stripMargin,
     "q_graph_walks" ->
       s"""$walksSql
-         |SELECT start AS doc_id, walk FROM w$walkLen ORDER BY doc_id""".stripMargin,
+         |SELECT start AS doc_id, ARRAY_TO_STRING(walk, ',') AS walk
+         |FROM w$walkLen ORDER BY doc_id""".stripMargin,
     "q_graph_degrees" ->
       s"""WITH edges AS ($edgesSql),
          | od AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),

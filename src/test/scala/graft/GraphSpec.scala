@@ -312,6 +312,26 @@ class GraphSpec extends SparkSpec {
     assert(run() == walks) // hash-mix determinism across runs
   }
 
+  test("randomWalks length-48 checkpoint truncation is pure lineage surgery") {
+    // DeepWalk-typical length: truncation cadence (none / default-8 /
+    // every-4 / reliable dir) must not change a single hop value
+    val rnd = new scala.util.Random(23)
+    val n = 40
+    val es = Seq.fill(5 * n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (s, d) => s != d }.distinct.toDF("src", "dst")
+    val ns = (0L until n.toLong).toDF("id")
+    def run(every: Int, dir: Option[String] = None) = Graph
+      .randomWalks(es, ns, length = 48, checkpointEvery = every, checkpointDir = dir)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+      .toMap
+    val untruncated = run(every = 1000) // > length: zero truncation points
+    assert(run(every = 8) == untruncated)
+    assert(run(every = 4) == untruncated)
+    val ckdir = java.nio.file.Files.createTempDirectory("walk-ckpt").toString
+    assert(run(every = 8, dir = Some(ckdir)) == untruncated)
+  }
+
   test("hostRank folds page ranks to hosts with an exact decimal sum") {
     val pr = Seq((1L, 0.25), (2L, 0.25), (3L, 0.5)).toDF("id", "pr")
     val pages = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "host")
