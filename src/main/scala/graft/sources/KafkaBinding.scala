@@ -80,6 +80,58 @@ object KafkaBinding {
   def reader(spark: SparkSession, model: EntityModel[_], opts: KafkaOptions): DataStreamReader =
     spark.readStream.format("kafka").options(sourceOptions(model, opts))
 
+  /** `.load()` with a fail-fast error taxonomy (the StoreGuard
+    * discipline applied to the broker boundary — categorize precisely,
+    * never swallow):
+    *
+    *   - **missing data source** (no `spark-sql-kafka-0-10` on the
+    *     classpath — this sandbox, or a misbuilt deploy): rethrown as
+    *     [[KafkaSourceUnavailable]] naming the exact artifact AND the
+    *     fully-assembled source options, so the operator sees in one
+    *     message both what to add and that nothing else is missing —
+    *     the "real broker swap is config-only" claim, test-pinned
+    *     (KafkaBindingSpec);
+    *   - anything else (unreachable bootstrap endpoint, auth, quota —
+    *     errors the kafka client raises AFTER the source resolves)
+    *     propagates untouched: they are environment truth, and
+    *     wrapping them would hide the client's own retry semantics.
+    */
+  def loadSource(spark: SparkSession, model: EntityModel[_], opts: KafkaOptions): DataFrame =
+    try reader(spark, model, opts).load()
+    catch {
+      case e: Throwable if isMissingKafkaSource(e) =>
+        throw new KafkaSourceUnavailable(sourceOptions(model, opts), e)
+    }
+
+  /** Spark reports a missing streaming source as AnalysisException
+    * FAILED_TO_FIND_DATA_SOURCE (wrapping ClassNotFoundException in
+    * older spellings) — the one failure category that means "classpath",
+    * not "broker".
+    */
+  private def isMissingKafkaSource(e: Throwable): Boolean = {
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    chain(e).exists {
+      case a: org.apache.spark.sql.AnalysisException =>
+        Option(a.getCondition).exists(_.startsWith("FAILED_TO_FIND_DATA_SOURCE")) ||
+        a.getMessage.contains("Failed to find data source: kafka")
+      case c: ClassNotFoundException => c.getMessage != null && c.getMessage.contains("kafka")
+      case _                         => false
+    }
+  }
+
+  /** Classpath-category failure from [[loadSource]]: the assembled
+    * options were valid; only the kafka connector artifact is absent.
+    */
+  final class KafkaSourceUnavailable(val options: Map[String, String], cause: Throwable)
+      extends IllegalStateException(
+        "kafka connector not on the classpath — add " +
+          "org.apache.spark:spark-sql-kafka-0-10_2.13 (same Spark version); " +
+          "the source options are fully assembled and need no other change: " +
+          options.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(", "),
+        cause
+      )
+
   /** Schema-registry subject names (`{topic}-key`/`{topic}-value`,
     * `KsqlContext.Schema.cs:273-281`).
     */

@@ -38,6 +38,28 @@ class KafkaBindingSpec extends SparkSpec {
     KafkaBinding.reader(spark, tick, opts)
   }
 
+  test("loadSource fail-fast taxonomy: missing connector names the artifact and the exact options") {
+    // a mock endpoint nothing listens on — the failure must still be the
+    // CLASSPATH category (this sandbox ships no spark-sql-kafka jar), and
+    // the error must carry every assembled option so the "real broker
+    // swap is config-only" claim is test-named, not prose
+    val unreachable = opts.copy(bootstrapServers = "localhost:65535")
+    val e = intercept[KafkaBinding.KafkaSourceUnavailable] {
+      KafkaBinding.loadSource(spark, tick, unreachable)
+    }
+    assert(e.options == Map(
+      "kafka.bootstrap.servers" -> "localhost:65535",
+      "subscribe" -> "ticks",
+      "startingOffsets" -> "earliest",
+      "failOnDataLoss" -> "true",
+      "maxOffsetsPerTrigger" -> "500000"
+    ))
+    assert(e.getMessage.contains("spark-sql-kafka-0-10_2.13"))
+    assert(e.getMessage.contains("kafka.bootstrap.servers=localhost:65535"))
+    assert(e.getMessage.contains("subscribe=ticks"))
+    assert(e.getCause != null) // the raw Spark error rides along for debugging
+  }
+
   test("sink options carry topic + per-entity checkpoint; subjects follow the registry convention") {
     val sink = KafkaBinding.sinkOptions(tick, opts, "/chk")
     assert(sink("topic") == "ticks")
