@@ -329,6 +329,10 @@ object Graph {
         .join(state, e("src") === state("id"))
         .groupBy(e("dst").as("gid"))
         .agg(hll_union_agg(col("sk"), false).as("nbr"))
+      // __prev (last round's est) stays in the checkpointed frame so the
+      // growth probe below is a filter over cached rows — NOT an extra
+      // node-sized self-join per radius (it was one before round 14:
+      // 8 radii × a join the state already knew the answer to)
       val next = ckpt(
         state
           .join(gathered, state("id") === col("gid"), "left")
@@ -344,17 +348,13 @@ object Graph {
           .withColumn(
             "harmonic",
             col("harmonic") +
-              greatest(col("est") - col("__prev"), lit(0L)).cast("double") / lit(r))
-          .drop("__prev"))
+              greatest(col("est") - col("__prev"), lit(0L)).cast("double") / lit(r)))
       // convergence probe rides the checkpointed frame: est is monotone
       // non-decreasing up to estimator jitter, so "no ball grew" ends
       // the walk at the graph's effective diameter
-      grew = !next
-        .join(state.select(state("id"), state("est").as("__old")), "id")
-        .filter(col("est") > col("__old"))
-        .isEmpty
+      grew = !next.filter(col("est") > col("__prev")).isEmpty
       unpersistLocal(state)
-      state = next
+      state = next.drop("__prev")
     }
     e.unpersist()
     state.select(col("id"), col("est").as("ball"), col("harmonic"))
