@@ -186,6 +186,96 @@ object Sketches {
         .as("active_est"))
   }
 
+  /** Default KLL accuracy knob: rank error ≈ O(1/k); 200 keeps the
+    * sketch ≈ 4 KB serialized (same footprint class as the HLL cells)
+    * at ~1–2% rank error — spec-pinned in QuantileSketchSpec.
+    */
+  val DefaultKllK = 200
+
+  /** Per-shard KLL quantile sketches over `valueCol` (WRITE side — the
+    * quantile member of the persisted-sketch family). One hash
+    * aggregate; partials merge map-side, the exchange carries ≤ ~3k
+    * doubles per shard per partition regardless of corpus size. Persist
+    * the output next to the data: later rollups are sketch algebra.
+    */
+  def kllShardSketches(
+      df: DataFrame,
+      shardCols: Seq[String],
+      valueCol: String,
+      k: Int = DefaultKllK
+  ): DataFrame = {
+    require(shardCols.nonEmpty, "need at least one shard column")
+    df.groupBy(shardCols.map(col): _*)
+      .agg(
+        kllSketchCol(col(valueCol), k).as("kll_sketch"),
+        count(col(valueCol)).as("n")
+      )
+  }
+
+  /** READ side: roll persisted shard sketches up to `groupCols` (empty =
+    * global) and emit one DOUBLE column per requested probability, named
+    * by `names` (default p50/p90/...). While total n ≤ k the result is
+    * EXACTLY discrete quantiles (DuckDB `quantile_disc` semantics);
+    * past that it degrades to the sketch's O(1/k) rank error — never a
+    * corpus rescan either way.
+    */
+  def kllMergeQuantiles(
+      sketches: DataFrame,
+      groupCols: Seq[String],
+      probs: Seq[Double],
+      sketchCol: String = "kll_sketch"
+  ): DataFrame = {
+    val merged = kllMergeQuantilesCol(col(sketchCol), probs).as("__qs")
+    val base =
+      if (groupCols.isEmpty) sketches.agg(merged)
+      else sketches.groupBy(groupCols.map(col): _*).agg(merged)
+    val qCols = probs.zipWithIndex.map { case (p, i) =>
+      element_at(col("__qs"), i + 1).as(nameOfProb(p))
+    }
+    base.select(groupCols.map(col) ++ qCols: _*)
+  }
+
+  private def nameOfProb(p: Double): String = {
+    val pct = p * 100
+    if (pct == pct.floor) f"p${pct.toInt}%d" else s"p${pct}".replace('.', '_')
+  }
+
+  /** `kll_sketch(x, k)` as a Column (BINARY serialized sketch). */
+  def kllSketchCol(c: Column, k: Int = DefaultKllK): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.KllSketchAgg(
+        org.apache.spark.sql.graftbridge.ColumnBridge
+          .catalystExpression(c.cast("double")),
+        k
+      ).toAggregateExpression()
+    )
+
+  /** `kll_quantiles(x, probs, k)` as a Column (ARRAY<DOUBLE>, one entry
+    * per probability) — the one-shot grouped form.
+    */
+  def kllQuantilesCol(
+      c: Column,
+      probs: Seq[Double],
+      k: Int = DefaultKllK
+  ): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.KllQuantilesAgg(
+        org.apache.spark.sql.graftbridge.ColumnBridge
+          .catalystExpression(c.cast("double")),
+        probs,
+        k
+      ).toAggregateExpression()
+    )
+
+  /** `kll_merge_quantiles(sketchBytes, probs)` as a Column. */
+  def kllMergeQuantilesCol(c: Column, probs: Seq[Double]): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.KllMergeQuantilesAgg(
+        org.apache.spark.sql.graftbridge.ColumnBridge.catalystExpression(c),
+        probs
+      ).toAggregateExpression()
+    )
+
   /** Tokenize helper shared by the sketch queries: whitespace tokens of
     * `textCol`, exploded — the same token definition as
     * TextAnalysis.vocabulary so sketch estimates are comparable to the

@@ -47,6 +47,42 @@ object PipelineQueries extends QueryPack {
         .exact(Tables.load(s, dir, "documents"), "doc_id", Seq("text"))
         .orderBy(col("canonical_id"))
     },
+    // KLL quantile sketch through its exactness window (total retained
+    // ≤ k keeps every item at weight 1 through any merge order), so the
+    // gated result IS DuckDB quantile_disc — the bounded-slice gate
+    // pattern (q_hard_negatives). The genuinely-approximate production
+    // shape is the q_quantile_sketch_approx bench twin; its O(1/k) rank
+    // error is spec-pinned (QuantileSketchSpec).
+    "q_quantile_sketch" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents").filter(col("doc_id") < 5000)
+      d.groupBy(col("lang"))
+        .agg(Sketches
+          .kllQuantilesCol(col("n_chars"), Seq(0.5, 0.9, 0.99), k = 8192)
+          .as("__qs"))
+        .select(
+          col("lang"),
+          element_at(col("__qs"), 1).as("p50"),
+          element_at(col("__qs"), 2).as("p90"),
+          element_at(col("__qs"), 3).as("p99"))
+        .orderBy(col("lang"))
+    },
+    // the persisted-sketch loop gated end-to-end: WRITE per-(source ×
+    // shard) KLL cells, READ them back to per-source quantiles with the
+    // binary-merge aggregate — still inside the exactness window, so
+    // the rollup must equal quantile_disc over the raw rows. At 100 TB
+    // the sketch table is what lands next to each ingest batch; this
+    // proves the write→merge algebra loses nothing.
+    "q_quantile_merge" -> { (s, dir) =>
+      val d = Tables
+        .load(s, dir, "documents")
+        .filter(col("doc_id") < 5000)
+        .withColumn("shard", (col("doc_id") % 8).cast("int"))
+      val sketches =
+        Sketches.kllShardSketches(d, Seq("source", "shard"), "n_chars", k = 8192)
+      Sketches
+        .kllMergeQuantiles(sketches, Seq("source"), Seq(0.5, 0.95))
+        .orderBy(col("source"))
+    },
     "q_dedup_minhash" -> { (s, dir) =>
       Dedup
         .minhashCandidates(Tables.load(s, dir, "documents"), "doc_id", "text")
@@ -1336,6 +1372,23 @@ object PipelineQueries extends QueryPack {
     // |∩|, |∪|, Jaccard, containment from two one-pass scans and a
     // broadcast 1×1 combine. Bench-only; ±10% accuracy vs the exact
     // intersection is spec-pinned (SketchesSpec)
+    // production shape of q_quantile_sketch: full corpus, k=200 — the
+    // sketch is genuinely compacting (per-lang groups outgrow k from
+    // sf0.1 up), retained size k-bounded. Bench-only: approximate
+    // values have no DuckDB mirror; rank error spec-pinned
+    "q_quantile_sketch_approx" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      d.groupBy(col("lang"))
+        .agg(Sketches
+          .kllQuantilesCol(col("n_chars"), Seq(0.5, 0.9, 0.99))
+          .as("__qs"))
+        .select(
+          col("lang"),
+          element_at(col("__qs"), 1).as("p50"),
+          element_at(col("__qs"), 2).as("p90"),
+          element_at(col("__qs"), 3).as("p99"))
+        .orderBy(col("lang"))
+    },
     "q_theta_overlap" -> { (s, dir) =>
       val d = Tables.load(s, dir, "documents")
       val train = Sketches.explodedTokens(d.filter(col("doc_id") % 10 =!= 0), "text")
@@ -1345,6 +1398,19 @@ object PipelineQueries extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_quantile_sketch" ->
+      """SELECT lang,
+        |       CAST(quantile_disc(n_chars, 0.50) AS DOUBLE) AS p50,
+        |       CAST(quantile_disc(n_chars, 0.90) AS DOUBLE) AS p90,
+        |       CAST(quantile_disc(n_chars, 0.99) AS DOUBLE) AS p99
+        |FROM documents WHERE doc_id < 5000
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_quantile_merge" ->
+      """SELECT source,
+        |       CAST(quantile_disc(n_chars, 0.50) AS DOUBLE) AS p50,
+        |       CAST(quantile_disc(n_chars, 0.95) AS DOUBLE) AS p95
+        |FROM documents WHERE doc_id < 5000
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q_dedup_exact" ->
       """SELECT MD5(text) AS content_hash,
         |       MIN(doc_id) AS canonical_id,
