@@ -295,7 +295,55 @@ object Graph {
       maxRadius: Int = 16,
       lgK: Int = 12,
       checkpointDir: Option[String] = None
+  ): DataFrame =
+    hyperBallLoop(nodes, edges, maxRadius, lgK, checkpointDir,
+      collectRadii = false)._1
+
+  /** The neighbourhood function N(r) = Σ_v |B_r(v)| — how many (u, v)
+    * pairs are within distance r — and the effective diameter, from the
+    * SAME HyperBall loop as [[harmonicCentrality]] (Boldi–Vigna's
+    * original use; Palmer et al.'s ANF). One extra 1-row aggregate per
+    * radius on the already-checkpointed state (the same driver-probe
+    * class as the loop's convergence check — never a node collect).
+    *
+    * Returns one row per radius 0..R_stop: (`radius`,
+    * `reachable_pairs` — the N(r) estimate, `reach_frac` — N(r)/N(last),
+    * `eff_diameter` — the smallest radius whose reach_frac ≥ `q`, same
+    * value on every row). At 100 TB this is the "how connected is the
+    * crawl" question answered in O(diameter) PageRank-shaped rounds with
+    * ~KB of state per node; the exact form is all-pairs BFS.
+    */
+  def neighborhoodFunction(
+      nodes: DataFrame,
+      edges: DataFrame,
+      maxRadius: Int = 16,
+      lgK: Int = 12,
+      q: Double = 0.9,
+      checkpointDir: Option[String] = None
   ): DataFrame = {
+    require(q > 0 && q <= 1, s"q must be in (0, 1], got $q")
+    val (_, radii) =
+      hyperBallLoop(nodes, edges, maxRadius, lgK, checkpointDir,
+        collectRadii = true)
+    val last = radii.last._2.toDouble
+    val eff = radii
+      .collectFirst { case (r, n) if n >= q * last => r }
+      .getOrElse(radii.last._1)
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    radii
+      .map { case (r, n) => (r, n, n / last, eff) }
+      .toDF("radius", "reachable_pairs", "reach_frac", "eff_diameter")
+  }
+
+  private def hyperBallLoop(
+      nodes: DataFrame,
+      edges: DataFrame,
+      maxRadius: Int,
+      lgK: Int,
+      checkpointDir: Option[String],
+      collectRadii: Boolean
+  ): (DataFrame, Vector[(Int, Long)]) = {
     require(maxRadius >= 1, s"maxRadius must be >= 1, got $maxRadius")
     checkpointDir.foreach(nodes.sparkSession.sparkContext.setCheckpointDir)
     def ckpt(df: DataFrame): DataFrame =
@@ -321,6 +369,10 @@ object Graph {
         .agg(hll_sketch_agg(col("id"), lgK).as("sk"))
         .withColumn("est", hll_sketch_estimate(col("sk")))
         .withColumn("harmonic", lit(0.0)))
+    def radiusSum(): Long =
+      state.agg(sum(col("est"))).first().getLong(0)
+    var radii = Vector.empty[(Int, Long)]
+    if (collectRadii) radii :+= (0 -> radiusSum())
     var r = 0
     var grew = true
     while (grew && r < maxRadius) {
@@ -355,9 +407,10 @@ object Graph {
       grew = !next.filter(col("est") > col("__prev")).isEmpty
       unpersistLocal(state)
       state = next.drop("__prev")
+      if (collectRadii && grew) radii :+= (r -> radiusSum())
     }
     e.unpersist()
-    state.select(col("id"), col("est").as("ball"), col("harmonic"))
+    (state.select(col("id"), col("est").as("ball"), col("harmonic")), radii)
   }
 
   /** Host-level rank: page ranks summed per host (exact decimal sum) —

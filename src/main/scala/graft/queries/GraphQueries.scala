@@ -232,6 +232,17 @@ object GraphQueries extends QueryPack {
         .select(col("id").as("doc_id"), col("ball"), col("harmonic"))
         .orderBy("doc_id")
     },
+    // neighbourhood function N(r) + effective diameter from the same
+    // HyperBall loop: O(diameter) rows out, one 1-row probe per radius.
+    // Bench-only (HLL estimates, no DuckDB mirror); exact-mode pins vs
+    // all-pairs BFS live in GraphSpec
+    "q_graph_neighborhood" -> { (s, dir) =>
+      val (docs, edges, _) = pages(s, dir)
+      Graph
+        .neighborhoodFunction(
+          docs.select(col("doc_id").as("id")), edges, maxRadius = 8)
+        .orderBy("radius")
+    },
     // production walk corpus: same operator body as the gated
     // q_graph_walks but the xxhash64 hop mix (uniform at any id range;
     // no 64-bit-arithmetic DuckDB mirror) — benches the path users run

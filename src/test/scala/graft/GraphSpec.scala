@@ -89,6 +89,35 @@ class GraphSpec extends SparkSpec {
     assert(hc(3L)._1 == 3L && math.abs(hc(3L)._2 - 1.5) < 1e-9)
   }
 
+  test("neighbourhood function on a path: exact N(r) ladder and effective diameter") {
+    // 0→1→2→3→4: in-balls grow one hop per radius, so
+    // N(0)=5, N(1)=9, N(2)=12, N(3)=14, N(4)=15 (all-pairs reach);
+    // eff_diameter(0.9): first r with N(r) ≥ 13.5 → 3. HLL is exact at
+    // these cardinalities, so the pins are tight.
+    val nf = Graph
+      .neighborhoodFunction(
+        nodes(0L, 1L, 2L, 3L, 4L),
+        edges(0L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 4L),
+        maxRadius = 10)
+      .orderBy(col("radius"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(nf.map(x => x._1 -> x._2).toSeq ==
+      Seq(0 -> 5L, 1 -> 9L, 2 -> 12L, 3 -> 14L, 4 -> 15L))
+    assert(nf.forall(_._4 == 3))
+    assert(math.abs(nf.last._3 - 1.0) < 1e-12)
+    // monotone non-decreasing reach
+    assert(nf.sliding(2).forall(w => w(0)._2 <= w(1)._2))
+  }
+
+  test("neighbourhood function with no edges: a single radius-0 row, diameter 0") {
+    val nf = Graph
+      .neighborhoodFunction(nodes(1L, 2L, 3L), edges(), maxRadius = 5)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(3)))
+    assert(nf.toSeq == Seq((0, 3L, 0)))
+  }
+
   test("HyperBall matches exact BFS harmonic centrality on a funnel+hub digraph") {
     val n = 40
     val es = (0 until n).flatMap { i =>
