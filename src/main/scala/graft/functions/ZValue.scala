@@ -90,3 +90,30 @@ case class ZValue(children: Seq[Expression], boundaries: Seq[Array[Double]], bit
       newChildren: IndexedSeq[Expression]): ZValue =
     copy(children = newChildren)
 }
+
+object ZValue {
+
+  /** Identity boundaries: bucket(x) = x for integer x in [0, 2^bits) —
+    * `ZValue` degenerates to a pure bit interleave, which an ANSI SQL
+    * mirror can reproduce. Used by the q_zorder_key gate to pin the
+    * production bit layout against DuckDB.
+    */
+  def identityBoundaries(bits: Int): Array[Double] =
+    Array.tabulate((1 << bits) - 1)(i => (i + 1).toDouble)
+
+  /** The EXACT interleave of [[ZValue.eval]] as ANSI SQL over already-
+    * bucketed integer inputs: bit b of column c lands at position
+    * `b*n + (n-1-c)`. Kept adjacent to the eval loop so the two bit
+    * layouts cannot silently drift — q_zorder_key hash-compares them
+    * row-for-row in DuckDB.
+    */
+  def interleaveSql(cols: Seq[String], bits: Int): String = {
+    require(cols.nonEmpty && cols.size * bits <= 63)
+    val n = cols.size
+    (for {
+      (c, cIdx) <- cols.zipWithIndex
+      b <- 0 until bits
+    } yield s"((($c >> $b) & 1) << ${b * n + (n - 1 - cIdx)})")
+      .mkString(" | ")
+  }
+}

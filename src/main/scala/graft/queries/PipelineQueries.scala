@@ -66,6 +66,24 @@ object PipelineQueries extends QueryPack {
           element_at(col("__qs"), 3).as("p99"))
         .orderBy(col("lang"))
     },
+    // the PRODUCTION z-order key (functions.ZValue — the expression
+    // Lake.writeZOrdered sorts by) gate-checked bit-for-bit against a
+    // DuckDB mirror: identity boundaries make bucket(x) = x, so the
+    // quantile rank degenerates to a pure interleave both engines can
+    // compute; row-group pruning itself is measured in ZOrderSpec.
+    "q_zorder_key" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      val bits = 8
+      val bounds = graft.functions.ZValue.identityBoundaries(bits)
+      val zc = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.ZValue(
+          Seq("o_orderkey", "o_custkey").map(c =>
+            org.apache.spark.sql.graftbridge.ColumnBridge
+              .expression((col(c) % 256).cast("double"))),
+          Seq(bounds, bounds),
+          bits))
+      o.select(col("o_orderkey"), zc.as("z")).orderBy(col("o_orderkey"))
+    },
     // the persisted-sketch loop gated end-to-end: WRITE per-(source ×
     // shard) KLL cells, READ them back to per-source quantiles with the
     // binary-merge aggregate — still inside the exactness window, so
@@ -1398,6 +1416,12 @@ object PipelineQueries extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_zorder_key" ->
+      s"""SELECT o_orderkey,
+         |       (${graft.functions.ZValue.interleaveSql(
+                    Seq("(o_orderkey % 256)", "(o_custkey % 256)"), 8)}) AS z
+         |FROM orders
+         |ORDER BY o_orderkey""".stripMargin,
     "q_quantile_sketch" ->
       """SELECT lang,
         |       CAST(quantile_disc(n_chars, 0.50) AS DOUBLE) AS p50,
