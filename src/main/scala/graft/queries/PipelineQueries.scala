@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Curation, Dedup, HashFamily, History, IntervalJoin, Multimodal, Quality, Retrieval, Similarity, Sketches, TextAnalysis, Tokenizer}
+import graft.operators.{Curation, Dedup, Embeddings, HashFamily, History, IntervalJoin, Multimodal, Quality, Retrieval, Similarity, Sketches, TextAnalysis, Tokenizer}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -65,6 +65,29 @@ object PipelineQueries extends QueryPack {
           element_at(col("__qs"), 2).as("p90"),
           element_at(col("__qs"), 3).as("p99"))
         .orderBy(col("lang"))
+    },
+    // the covariance MATH of the whitening fit, gated: raw second
+    // moments of the leading 4 embedding dims through the repo's
+    // decimal-sum convention (exact, order-independent) — what
+    // MomentsAgg accumulates in doubles at full width is spec-pinned
+    // against driver-exact instead (EmbeddingsSpec); the fit+transform
+    // path itself is the q_embed_whiten bench twin
+    "q_embed_moments" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val dims = 4
+      // widen float→double FIRST (exact both engines), do the product in
+      // IEEE double (bit-identical both engines), and only then quantize
+      // to decimal for the order-independent sum — casting the FLOAT to
+      // decimal directly rounds differently in DuckDB (~1e-9/element,
+      // accumulating with n)
+      val x = (1 to dims).map(i =>
+        element_at(col("embedding"), i).cast("double"))
+      val sumCols = (1 to dims).map(i =>
+        sum(x(i - 1).cast("decimal(28,18)")).cast("double").as(s"s$i"))
+      val prodCols = for { i <- 1 to dims; j <- i to dims }
+        yield sum((x(i - 1) * x(j - 1)).cast("decimal(28,18)"))
+          .cast("double").as(s"m$i$j")
+      e.agg(count(lit(1)).as("n"), (sumCols ++ prodCols): _*)
     },
     // the PRODUCTION z-order key (functions.ZValue — the expression
     // Lake.writeZOrdered sorts by) gate-checked bit-for-bit against a
@@ -1390,6 +1413,23 @@ object PipelineQueries extends QueryPack {
     // |∩|, |∪|, Jaccard, containment from two one-pass scans and a
     // broadcast 1×1 combine. Bench-only; ±10% accuracy vs the exact
     // intersection is spec-pinned (SketchesSpec)
+    // PCA-whitening end to end: one moments pass (MomentsAgg — a 17 KB
+    // buffer per partition on the exchange), driver-side deterministic
+    // Jacobi on the 64×64, then the broadcast-literal MatVec projection
+    // at scan speed. Bench-only (eigendecomposition has no DuckDB
+    // mirror); whitening identity + determinism spec-pinned
+    // (EmbeddingsSpec), covariance math gated via q_embed_moments
+    "q_embed_whiten" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val model = Embeddings.fitWhitening(e, "embedding", dim = 64, k = 16)
+      Embeddings
+        .transform(e, "embedding", model)
+        .select(
+          col("vec_id"),
+          element_at(col("whitened"), 1).as("w1"),
+          element_at(col("whitened"), 16).as("w16"))
+        .orderBy(col("vec_id"))
+    },
     // production shape of q_quantile_sketch: full corpus, k=200 — the
     // sketch is genuinely compacting (per-lang groups outgrow k from
     // sf0.1 up), retained size k-bounded. Bench-only: approximate
@@ -1416,6 +1456,15 @@ object PipelineQueries extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_embed_moments" -> {
+      val dims = 4
+      def xd(i: Int) = s"CAST(embedding[$i] AS DOUBLE)"
+      val ss = (1 to dims).map(i =>
+        s"CAST(SUM(CAST(${xd(i)} AS DECIMAL(28,18))) AS DOUBLE) AS s$i")
+      val ms = for { i <- 1 to dims; j <- i to dims }
+        yield s"CAST(SUM(CAST(${xd(i)} * ${xd(j)} AS DECIMAL(28,18))) AS DOUBLE) AS m$i$j"
+      s"SELECT COUNT(*) AS n, ${(ss ++ ms).mkString(", ")} FROM embeddings"
+    },
     "q_zorder_key" ->
       s"""SELECT o_orderkey,
          |       (${graft.functions.ZValue.interleaveSql(
