@@ -178,4 +178,187 @@ object Tokenizer {
   def tokenize(df: DataFrame, textCol: String, model: BpeModel): DataFrame =
     df.withColumn("tokens", encode(model)(col(textCol)))
       .withColumn("n_tokens", size(col("tokens")))
+
+  // ---- unigram-LM tokenizer (Kudo 2018 — the SentencePiece unigram
+  // model), the other major subword family next to BPE ----
+
+  /** Piece → log-prob vocabulary. Every single code point of the
+    * training corpus is retained (never pruned), so encoding any
+    * training-charset text is total and the marked round-trip is
+    * lossless; unseen code points still segment as themselves at a
+    * floor log-prob ([[graft.functions.UnigramCodec.viterbi]]).
+    */
+  final case class UnigramModel(pieces: Seq[(String, Double)]) {
+    require(pieces.nonEmpty, "empty unigram model")
+    @transient lazy val lookup: java.util.HashMap[String, java.lang.Double] = {
+      val m = new java.util.HashMap[String, java.lang.Double](pieces.size * 2)
+      pieces.foreach { case (p, s) => m.putIfAbsent(p, s) }
+      m
+    }
+    @transient lazy val maxLen: Int =
+      pieces.iterator.map(p => p._1.codePointCount(0, p._1.length)).max
+    @transient lazy val floor: Double = pieces.iterator.map(_._2).min - 10.0
+  }
+
+  /** Train a unigram LM vocabulary of ≤ `vocabSize` pieces via
+    * Viterbi-EM over the word-count table — the SAME scale shape as
+    * [[train]]: the corpus contributes exactly ONE hash aggregate, the
+    * driver loop runs on the top-`vocabCap` word rows.
+    *
+    * Algorithm (Kudo 2018, the deterministic hard-EM variant): seed
+    * with every single code point plus the top `seedFactor × vocabSize`
+    * word substrings up to `maxPieceLen` code points by occurrence
+    * count; `emRounds` rounds of (Viterbi-segment every word → piece
+    * counts → re-normalized log-probs); prune to the `vocabSize` most
+    * used pieces (single code points are never pruned); one final
+    * re-estimation round on the surviving vocabulary. Hard EM's
+    * complete-data likelihood is monotone, and every tie in the
+    * segmenter, the seeding, and the prune is broken lexicographically
+    * — same corpus, same model, independent of partitioning
+    * (spec-pinned in UnigramTokenizerSpec).
+    */
+  def trainUnigram(
+      df: DataFrame,
+      textCol: String,
+      vocabSize: Int,
+      vocabCap: Int = 65536,
+      maxPieceLen: Int = 8,
+      emRounds: Int = 4,
+      seedFactor: Int = 4,
+      minSeedCount: Long = 2L): UnigramModel = {
+    require(vocabSize > 0 && maxPieceLen >= 1 && emRounds >= 1)
+    val wordRows = df
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(vocabCap)
+      .collect()
+    val words = wordRows.map(_.getString(0))
+    val wcs = wordRows.map(_.getLong(1))
+
+    // seed: substring counts (weighted by word count)
+    val subCounts = new java.util.HashMap[String, Long]()
+    var w = 0
+    while (w < words.length) {
+      val b = graft.functions.UnigramCodec.cpBounds(words(w))
+      val n = b.length - 1
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j <= math.min(n, i + maxPieceLen)) {
+          subCounts.merge(words(w).substring(b(i), b(j)), wcs(w), (a, x) => a + x)
+          j += 1
+        }
+        i += 1
+      }
+      w += 1
+    }
+    val entries = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      subCounts.forEach((p, c) => buf += ((p, c)))
+      buf.sortInPlace()(Ordering.by[(String, Long), (Long, String)](e => (-e._2, e._1)))
+      buf
+    }
+    val isSingle = (p: String) => p.codePointCount(0, p.length) == 1
+    val singles = entries.filter(e => isSingle(e._1))
+    val multis = entries
+      .filter(e => !isSingle(e._1) && e._2 >= minSeedCount)
+      .take(math.max(0, seedFactor * vocabSize - singles.length))
+    var counts: Map[String, Double] =
+      (singles ++ multis).map { case (p, c) => p -> c.toDouble }.toMap
+
+    def toModel(cs: Map[String, Double]): UnigramModel = {
+      val total = cs.valuesIterator.sum
+      UnigramModel(
+        cs.toSeq.sortBy(_._1).map { case (p, c) => p -> math.log(c / total) })
+    }
+    def emRound(m: UnigramModel): Map[String, Double] = {
+      val next = new java.util.HashMap[String, Double]()
+      var i = 0
+      while (i < words.length) {
+        val toks = graft.functions.UnigramCodec
+          .viterbi(words(i), m.lookup, m.maxLen, m.floor)
+        var t = 0
+        while (t < toks.length) {
+          next.merge(toks(t), wcs(i).toDouble, (a, x) => a + x)
+          t += 1
+        }
+        i += 1
+      }
+      // singles survive at a half-count floor even when unused — they
+      // are the totality guarantee
+      val buf = scala.collection.mutable.Map.empty[String, Double]
+      counts.keysIterator.foreach { p =>
+        val c = next.getOrDefault(p, 0.0)
+        if (c > 0.0) buf(p) = c
+        else if (isSingle(p)) buf(p) = 0.5
+      }
+      buf.toMap
+    }
+
+    var round = 0
+    while (round < emRounds) { counts = emRound(toModel(counts)); round += 1 }
+    // prune to vocabSize: singles always kept, multis by usage
+    val keptSingles = counts.filter(e => isSingle(e._1))
+    val keptMultis = counts.toSeq
+      .filter(e => !isSingle(e._1))
+      .sortBy(e => (-e._2, e._1))
+      .take(math.max(0, vocabSize - keptSingles.size))
+    counts = keptSingles ++ keptMultis
+    counts = emRound(toModel(counts)) // final re-estimate on survivors
+    toModel(counts)
+  }
+
+  /** Corpus best-path log-likelihood under `model` (the quantity hard
+    * EM improves) — one word-count pass + a driver sum over the bounded
+    * table. Diagnostic/spec hook, not a pipeline operator.
+    */
+  def unigramLogLikelihood(df: DataFrame, textCol: String, model: UnigramModel, vocabCap: Int = 65536): Double = {
+    val rows = df
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(vocabCap)
+      .collect()
+    rows.map { r =>
+      val toks = graft.functions.UnigramCodec
+        .viterbi(r.getString(0), model.lookup, model.maxLen, model.floor)
+      r.getLong(1) * toks.map { t =>
+        val s = model.lookup.get(t)
+        if (s != null) s.doubleValue() else model.floor
+      }.sum
+    }.sum
+  }
+
+  /** `array<string>` of unigram tokens for `textCol` under `model`. */
+  def encodeUnigram(model: UnigramModel)(textCol: Column): Column =
+    ColumnBridge.column(
+      graft.functions.UnigramEncode(ColumnBridge.expression(textCol), model.pieces))
+
+  /** Marked unigram encode — same lossless round-trip contract (and the
+    * same enforced marker precondition) as [[encodeMarked]]; decode is
+    * the shared [[decode]].
+    */
+  def encodeUnigramMarked(model: UnigramModel)(textCol: Column): Column = {
+    val encoded = ColumnBridge.column(
+      graft.functions.UnigramEncode(
+        ColumnBridge.expression(textCol), model.pieces, Some(BoundaryMarker)))
+    when(
+      textCol.contains(BoundaryMarker),
+      raise_error(concat(
+        lit("encodeUnigramMarked: input contains the U+0120 boundary " +
+          "marker; round-trip would corrupt it. Strip or remap the " +
+          "marker before tokenizing: "),
+        substring(textCol, 0, 40))).cast("array<string>"))
+      .otherwise(encoded)
+  }
+
+  /** Unigram tokenize: `tokens` + `n_tokens`, the [[tokenize]] twin. */
+  def tokenizeUnigram(df: DataFrame, textCol: String, model: UnigramModel): DataFrame =
+    df.withColumn("tokens", encodeUnigram(model)(col(textCol)))
+      .withColumn("n_tokens", size(col("tokens")))
 }

@@ -1012,6 +1012,22 @@ object PipelineQueries extends QueryPack {
           Tokenizer.decode(Tokenizer.encodeMarked(model)(col("text"))).as("text"))
         .orderBy(col("doc_id"))
     },
+    // the unigram-LM twin of q_bpe_roundtrip: train (one word-count
+    // agg + driver Viterbi-EM), marked-encode, decode — must equal the
+    // raw text byte-for-byte (totality: single code points never
+    // pruned). The oracle is the ground truth text
+    "q_unigram_roundtrip" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val model =
+        Tokenizer.trainUnigram(docs, "text", vocabSize = 2048, vocabCap = 8192)
+      docs
+        .select(
+          col("doc_id"),
+          Tokenizer
+            .decode(Tokenizer.encodeUnigramMarked(model)(col("text")))
+            .as("text"))
+        .orderBy(col("doc_id"))
+    },
     // PMI collocation mining: vocab-bounded count aggs + equi-joins +
     // TakeOrdered top-K — no global window, corpus scanned twice and
     // never re-shuffled (TextAnalysis.pmiPhrases scaladoc)
@@ -1377,6 +1393,18 @@ object PipelineQueries extends QueryPack {
       val model = Tokenizer.train(docs, "text", numMerges = 200, vocabCap = 16384)
       Tokenizer
         .tokenize(docs, "text", model)
+        .select(col("doc_id"), col("n_tokens"), col("tokens"))
+    },
+    // unigram-LM twin of q_bpe_tokenize: Viterbi-EM train on the same
+    // bounded word table, broadcast-literal DP encode at scan speed.
+    // Bench-only (no DuckDB mirror); semantics spec-pinned
+    // (UnigramTokenizerSpec)
+    "q_unigram_tokenize" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val model =
+        Tokenizer.trainUnigram(docs, "text", vocabSize = 4096, vocabCap = 16384)
+      Tokenizer
+        .tokenizeUnigram(docs, "text", model)
         .select(col("doc_id"), col("n_tokens"), col("tokens"))
     },
     // mergeable HLL rollup: per-(source × hash-shard) token sketches —
@@ -2435,6 +2463,9 @@ object PipelineQueries extends QueryPack {
     // mirrors q_bpe_roundtrip: decode(encodeMarked(text)) must equal
     // the raw text byte-for-byte — the oracle is the ground truth
     "q_bpe_roundtrip" ->
+      "SELECT doc_id, text FROM documents ORDER BY doc_id",
+    // mirrors q_unigram_roundtrip: same ground-truth-text contract
+    "q_unigram_roundtrip" ->
       "SELECT doc_id, text FROM documents ORDER BY doc_id",
     // mirrors q_pmi_bigrams: all probabilities are ratios of exact
     // longs; LN is libm, absorbed by ROUND(6); top-K boundary is
