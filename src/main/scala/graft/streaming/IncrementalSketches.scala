@@ -79,6 +79,79 @@ object IncrementalSketches {
   ): DataFrame =
     Sketches.hllMergeEstimate(spark.read.parquet(storeDir), groupCols)
 
+  // ---- quantile (KLL) member of the same store pattern ----
+
+  /** Seed a KLL quantile-sketch store from an existing corpus. */
+  def seedQuantiles(
+      df: DataFrame,
+      storeDir: String,
+      shardCols: Seq[String],
+      valueCol: String,
+      k: Int = Sketches.DefaultKllK
+  ): Unit =
+    Sketches
+      .kllShardSketches(df, shardCols, valueCol, k)
+      .withColumn(BatchCol, lit(-1L))
+      .write.mode("overwrite").parquet(storeDir)
+
+  /** Sketch one micro-batch's quantile state and append — same stamped
+    * exactly-once discipline as [[ingestBatch]]. Within the exactness
+    * window (total per rollup group ≤ k) the maintained store answers
+    * quantiles IDENTICALLY to a from-scratch pass; past it, within the
+    * sketch's O(1/k) rank error (QuantileSketchSpec) — either way the
+    * corpus is read once, at ingest.
+    */
+  def ingestQuantilesBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      storeDir: String,
+      shardCols: Seq[String],
+      valueCol: String,
+      batchId: Option[Long] = None,
+      k: Int = Sketches.DefaultKllK
+  ): Unit = {
+    batchId match {
+      case Some(b) if StoreGuard.hasBatch(spark, storeDir, BatchCol, b) => return
+      case _ => ()
+    }
+    Sketches
+      .kllShardSketches(batch, shardCols, valueCol, k)
+      .withColumn(BatchCol, lit(batchId.getOrElse(-1L)))
+      .write.mode("append").parquet(storeDir)
+  }
+
+  /** Roll the persisted quantile store up to `groupCols` (empty =
+    * global) — O(|store| rows) of KB-sized sketch algebra.
+    */
+  def quantiles(
+      spark: SparkSession,
+      storeDir: String,
+      groupCols: Seq[String],
+      probs: Seq[Double]
+  ): DataFrame =
+    Sketches.kllMergeQuantiles(spark.read.parquet(storeDir), groupCols, probs)
+
+  /** Attach the quantile-sketch maintenance loop to a stream. */
+  def attachQuantiles(
+      arriving: DataFrame,
+      storeDir: String,
+      shardCols: Seq[String],
+      valueCol: String,
+      k: Int = Sketches.DefaultKllK,
+      checkpointLocation: Option[String] = None
+  ): StreamingQuery = {
+    val spark = arriving.sparkSession
+    val writer = arriving.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        ingestQuantilesBatch(spark, batch, storeDir, shardCols, valueCol,
+          batchId = Some(bid), k = k)
+      }
+    checkpointLocation
+      .fold(writer)(c => writer.option("checkpointLocation", c))
+      .start()
+  }
+
   /** Attach the sketch maintenance loop to a stream. */
   def attach(
       arriving: DataFrame,

@@ -71,6 +71,53 @@ class StreamingSketchesSpec extends SparkSpec {
         s"source=$src est=${streamed(src)} exact=$ex")
   }
 
+  test("streamed KLL quantile store matches a from-scratch pass exactly inside the window") {
+    val root = java.nio.file.Files.createTempDirectory("graft_kll_stream").toString
+    val store = s"$root/kll"
+    def vals(ids: Range) =
+      ids.map(i => (i.toLong, if (i % 2 == 0) "a" else "b",
+        ((i.toLong * 7919) % 100000).toDouble))
+    IncrementalSketches.seedQuantiles(
+      vals(0 until 300).toDF("id", "source", "v"),
+      store, Seq("source"), "v", k = 4096)
+
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, String, Double)]
+    val q = IncrementalSketches.attachQuantiles(
+      mem.toDF().toDF("id", "source", "v"),
+      store, Seq("source"), "v", k = 4096,
+      checkpointLocation = Some(s"$root/chk"))
+    try {
+      mem.addData(vals(300 until 700): _*)
+      q.processAllAvailable()
+      mem.addData(vals(700 until 1000): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rolled = IncrementalSketches
+      .quantiles(spark, store, Seq("source"), Seq(0.5, 0.9))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    // 500 values per source, k=4096 → the store answers EXACT discrete
+    // quantiles despite arriving in three installments
+    val bySrc = vals(0 until 1000).groupBy(_._2)
+      .view.mapValues(_.map(_._3).sorted.toIndexedSeq).toMap
+    def disc(s: IndexedSeq[Double], p: Double) =
+      s(math.max(1, math.ceil(p * s.length).toInt) - 1)
+    for ((src, (p50, p90)) <- rolled) {
+      assert(p50 == disc(bySrc(src), 0.5), s"$src p50")
+      assert(p90 == disc(bySrc(src), 0.9), s"$src p90")
+    }
+    // replay idempotence rides the shared stamp discipline
+    val rows = spark.read.parquet(store).count()
+    IncrementalSketches.ingestQuantilesBatch(spark,
+      vals(700 until 1000).toDF("id", "source", "v"),
+      store, Seq("source"), "v", batchId = Some(1L), k = 4096)
+    assert(spark.read.parquet(store).count() == rows, "replay appended rows")
+  }
+
   test("a replayed batch id is a no-op (exactly-once append)") {
     val root = java.nio.file.Files.createTempDirectory("graft_sketch_replay").toString
     val store = s"$root/sketches"
