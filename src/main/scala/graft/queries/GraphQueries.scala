@@ -153,12 +153,23 @@ object GraphQueries extends QueryPack {
 
   override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // page-level PageRank, 5 iterations, damping 0.85 — the centrality
-    // prior a curation pipeline scores documents with
+    // prior a curation pipeline scores documents with.
+    // Rank outputs are ROUND(pr, 7) on BOTH sides: the engines' double→
+    // decimal cast semantics disagree by ~1e-18 per contribution term
+    // (Spark quantizes the shortest decimal repr HALF_UP; DuckDB scales
+    // in binary), accumulating to ~1e-16 over the iteration chain — and
+    // Spark's decimal-quantized ranks land EXACTLY on the comparator's
+    // 9-dp half boundaries, so at 50k+ rows an unrounded gate straddles
+    // one (~1e-16 noise vs 1e-9 grid; measured: 974/50k rows with raw
+    // diffs ≤ 6.8e-17 at sf1, doc 763 = 0.0001596725 exactly). At 1e-7
+    // grid the straddle probability is ~1e-10/row — deterministic in
+    // practice at every gate scale, still ≥5 significant digits at
+    // sf0.01.
     "q_graph_pagerank" -> { (s, dir) =>
       val (docs, edges, _) = pages(s, dir)
       Graph
         .pageRank(docs.select(col("doc_id").as("id")), edges, iterations, damping)
-        .select(col("id").as("doc_id"), col("pr"))
+        .select(col("id").as("doc_id"), round(col("pr"), 7).as("pr"))
         .orderBy("doc_id")
     },
     // host-level rank: page ranks folded to their host (source) — the
@@ -181,7 +192,7 @@ object GraphQueries extends QueryPack {
         .pageRank(
           docs.select(col("doc_id").as("id")), edges, iterations, damping,
           reset = Some(reset))
-        .select(col("id").as("doc_id"), col("pr"))
+        .select(col("id").as("doc_id"), round(col("pr"), 7).as("pr"))
         .orderBy("doc_id")
     },
     // exact in/out degree per page, zero-degree pages kept
@@ -262,7 +273,8 @@ object GraphQueries extends QueryPack {
   override def oracles: Map[String, String] = Map(
     "q_graph_pagerank" ->
       s"""$pageRankSql
-         |SELECT id AS doc_id, pr FROM r$iterations ORDER BY doc_id""".stripMargin,
+         |SELECT id AS doc_id, ROUND(pr, 7) AS pr
+         |FROM r$iterations ORDER BY doc_id""".stripMargin,
     "q_graph_host_rank" ->
       s"""$pageRankSql
          |SELECT d.source AS host,
@@ -273,7 +285,8 @@ object GraphQueries extends QueryPack {
          |ORDER BY host""".stripMargin,
     "q_graph_trustrank" ->
       s"""$trustRankSql
-         |SELECT id AS doc_id, pr FROM r$iterations ORDER BY doc_id""".stripMargin,
+         |SELECT id AS doc_id, ROUND(pr, 7) AS pr
+         |FROM r$iterations ORDER BY doc_id""".stripMargin,
     "q_graph_communities" ->
       s"""$lpaSql
          |SELECT id AS doc_id, label AS community FROM l$lpaRounds ORDER BY doc_id""".stripMargin,
