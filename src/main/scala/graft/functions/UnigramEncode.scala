@@ -129,13 +129,28 @@ case class UnigramEncode(
   @transient private lazy val floor =
     pieces.iterator.map(_._2).min - 10.0
 
+  // word → tokens memo, per deserialized instance (= per task): the
+  // Viterbi DP runs once per DISTINCT word per task instead of once
+  // per occurrence (Zipfian words — the BpeEncode memo rationale);
+  // bounded at BpeEncode.MemoCap, no eviction.
+  @transient private lazy val memo =
+    new java.util.HashMap[String, Array[String]]()
+
+  private def segment(word: String): Array[String] = {
+    val cached = memo.get(word)
+    if (cached != null) return cached
+    val toks = UnigramCodec.viterbi(word, lp, maxLen, floor)
+    if (memo.size < BpeEncode.MemoCap) memo.put(word, toks)
+    toks
+  }
+
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
     val words = text.split(" ", -1)
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     var w = 0
     while (w < words.length) {
-      val toks = UnigramCodec.viterbi(words(w), lp, maxLen, floor)
+      val toks = segment(words(w))
       boundaryMarker match {
         case Some(mark) if w > 0 =>
           if (toks.isEmpty) out += UTF8String.fromString(mark)

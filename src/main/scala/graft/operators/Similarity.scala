@@ -350,23 +350,25 @@ object Similarity {
           org.apache.spark.sql.types.NullType),
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("pq_code")),
         codebooks))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("adist").asc, col(idCol))
-    val byAdc = encoded
+    // ADC stage rank = bounded heap (the candidate set is |queries| ×
+    // |corpus| — the row_number window form sorts ALL of it); the exact
+    // re-rank stage keeps its tiny window: ≤ reRank rows per query
+    // survive the heap, the same bounded class as the nprobe cell rank
+    val scored = encoded
       .join(broadcast(q), col("query_id") =!= col(idCol))
       .withColumn("adist", round(dist, 6))
-      .withColumn("rank", row_number().over(w))
-    if (reRank <= 0)
-      byAdc
-        .filter(col("rank") <= k)
-        .select(col("query_id"), col(idCol).as("neighbor_id"), col("adist"), col("rank"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("adist"))
+    if (reRank <= 0) perQueryTopK(scored, "adist", descending = false, k)
     else {
-      val we = Window.partitionBy(col("query_id")).orderBy(col("edist").asc, col(idCol))
-      byAdc
-        .filter(col("rank") <= reRank)
-        .withColumn("edist", round(sqDist(col("qvec"), col(vecCol)), 6))
+      val winners = perQueryTopK(scored, "adist", descending = false, reRank)
+      val we = Window.partitionBy(col("query_id")).orderBy(col("edist").asc, col("neighbor_id"))
+      encoded
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("__nvec"))
+        .join(broadcast(winners.join(broadcast(q), Seq("query_id"))), Seq("neighbor_id"))
+        .withColumn("edist", round(sqDist(col("qvec"), col("__nvec")), 6))
         .withColumn("rank", row_number().over(we))
         .filter(col("rank") <= k)
-        .select(col("query_id"), col(idCol).as("neighbor_id"), col("edist"), col("rank"))
+        .select(col("query_id"), col("neighbor_id"), col("edist"), col("rank"))
     }
   }
 
@@ -455,22 +457,27 @@ object Similarity {
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("centroid_vec")),
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("pq_code")),
         codebooks))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("adist").asc, col(idCol))
-    val byAdc = encoded
+    // ADC stage rank = bounded heap — candidates are |queries| ×
+    // |probed cells| rows, corpus-proportional (the row_number window
+    // sorts all of them); the exact re-rank window stays: ≤ reRank
+    // rows per query, the bounded nprobe class
+    val scored = encoded
       .join(broadcast(qCells), Seq("cell"))
       .filter(col("query_id") =!= col(idCol))
       .withColumn("adist", round(dist, 6))
-      .withColumn("rank", row_number().over(w))
-    if (reRank <= 0)
-      byAdc.filter(col("rank") <= k)
-        .select(col("query_id"), col(idCol).as("neighbor_id"), col("adist"), col("rank"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("adist"))
+    if (reRank <= 0) perQueryTopK(scored, "adist", descending = false, k)
     else {
-      val we = Window.partitionBy(col("query_id")).orderBy(col("edist").asc, col(idCol))
-      byAdc.filter(col("rank") <= reRank)
-        .withColumn("edist", round(sqDist(col("qvec"), col(vecCol)), 6))
+      val winners = perQueryTopK(scored, "adist", descending = false, reRank)
+      val q = queries.select(col(idCol).as("query_id"), col(qVecCol).as("qvec"))
+      val we = Window.partitionBy(col("query_id")).orderBy(col("edist").asc, col("neighbor_id"))
+      encoded
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("__nvec"))
+        .join(broadcast(winners.join(broadcast(q), Seq("query_id"))), Seq("neighbor_id"))
+        .withColumn("edist", round(sqDist(col("qvec"), col("__nvec")), 6))
         .withColumn("rank", row_number().over(we))
         .filter(col("rank") <= k)
-        .select(col("query_id"), col(idCol).as("neighbor_id"), col("edist"), col("rank"))
+        .select(col("query_id"), col("neighbor_id"), col("edist"), col("rank"))
     }
   }
 
@@ -487,7 +494,13 @@ object Similarity {
       k: Int
   ): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-    val scored = corpus
+    // the corpus is small in BYTES (so the scan yields few partitions)
+    // but the nested-loop join output is |corpus|×|queries| ROWS — one
+    // cheap round-robin exchange unlocks every core for the cosine
+    // work instead of leaving the O(n·q) loop on the scan's 1-2 tasks
+    val spread = corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    val scored = spread
       .join(broadcast(q), col("query_id") =!= col(idCol))
       .select(
         col("query_id"),
@@ -495,10 +508,11 @@ object Similarity {
         // round before ranking so rank order is stable across engines
         round(cosine(col("qvec"), col(vecCol)), 6).as("cos")
       )
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // rank = bounded-heap hash aggregate, NOT a row_number window (the
+    // hardNegatives lesson, CLAUDE.md): the window form sorts all
+    // |queries|×|corpus| candidate rows — at sf10 a single 2.5-billion-
+    // row TimSort spill that wedged the full gate for 40+ minutes
+    perQueryTopK(scored, "cos", descending = true, k)
   }
 
   /** Sign-LSH bucket id: one bit per leading dimension's sign (the
@@ -720,8 +734,42 @@ object Similarity {
         col(idCol).as("neighbor_id"),
         round(cosine(col("qvec"), col(vecCol)), 6).as("cos")
       )
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    // bounded-heap rank, not a row_number window: candidates are
+    // |queries| × |cell| rows and a per-query window SORTS them all
+    // (the hardNegatives/bruteForceTopK lesson) — the heap shuffles
+    // ≤ k rows per query per map task and sorts nothing
+    perQueryTopK(scored, "cos", descending = true, k)
+  }
+
+  /** Per-query bounded-heap top-k over (query_id, neighbor_id,
+    * `scoreCol`): reproduces `row_number over (partition by query_id
+    * order by score [desc], neighbor_id)` EXACTLY — scores are 6-dp
+    * rounded everywhere they feed a rank, so the descending order's
+    * negation is exact — while shuffling ≤ k rows per query per map
+    * task and sorting nothing (TopKByObject; the CLAUDE.md plan rule:
+    * a row_number window sorts every candidate row, which at sf10 is
+    * a billions-of-rows TimSort spill).
+    */
+  private def perQueryTopK(
+      scored: DataFrame,
+      scoreCol: String,
+      descending: Boolean,
+      k: Int
+  ): DataFrame = {
+    val key =
+      if (descending) struct(negate(col(scoreCol)), col("neighbor_id"))
+      else struct(col(scoreCol), col("neighbor_id"))
+    scored
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKByObject
+        .topKBy(struct(col("neighbor_id"), col(scoreCol)), key, k)
+        .as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__i", "__n")))
+      .select(
+        col("query_id"),
+        col("__n.neighbor_id").as("neighbor_id"),
+        col(s"__n.$scoreCol").as(scoreCol),
+        (col("__i") + 1).cast("int").as("rank"))
   }
 
   /** KMeans centroids for IVF cells (spark.ml, fixed seed). The
@@ -824,8 +872,9 @@ object Similarity {
         round(cosine(col("query_vec"), col("n_vec")), 6).as("cos")
       )
       .distinct()
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    // bounded-heap rank over the bucket candidates (corpus-proportional
+    // at fixed planes) — the row_number window form sorts all of them
+    perQueryTopK(scored, "cos", descending = true, k)
   }
 
   /** Bucketed ANN: rank only within the query's sign bucket. */
@@ -855,8 +904,9 @@ object Similarity {
         col(idCol).as("neighbor_id"),
         round(cosine(col("qvec"), col(vecCol)), 6).as("cos")
       )
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    // bounded-heap rank over the bucket candidates — same rationale as
+    // lshTopKMulti
+    perQueryTopK(scored, "cos", descending = true, k)
   }
 
   /** Hard-negative mining for contrastive embedding training: for each
