@@ -60,7 +60,13 @@ object GraphIngestionScale {
       parts.reduce(_ unionAll _).filter(col("src") =!= col("dst")).distinct()
     }
 
-    val snapEvery = sys.env.getOrElse("SPARK_GRAFT_SNAP_EVERY", "2").toInt
+    val snapEvery = {
+      val raw = sys.env.getOrElse("SPARK_GRAFT_SNAP_EVERY", "2")
+      val v = raw.toIntOption.getOrElse(
+        sys.error(s"SPARK_GRAFT_SNAP_EVERY must be an integer >= 1, got '$raw'"))
+      require(v >= 1, s"SPARK_GRAFT_SNAP_EVERY must be >= 1, got $v")
+      v
+    }
     val per = n / batches
     println(f"graph ingestion scale: $sfDir, $n%d docs, $batches%d crawl slices, snapshot every $snapEvery%d")
     println("batch | ingest s | ingest MB | rebuild s | rebuild MB | store edges | snap s")

@@ -1,0 +1,227 @@
+package graft.examples
+
+import graft.operators.{Curation, Dedup, Similarity, TextAnalysis, Tokenizer}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.util.concurrent.atomic.AtomicLong
+
+/** The INTEGRATED production sequence measured end-to-end — what a
+  * training-data team actually runs as one job chain, not the
+  * per-operator benches (every stage below has its own solo growth row
+  * in BASELINE.md; this main measures the composition):
+  *
+  *   1. URL canonical dedup (crawl-variant collapse);
+  *   2. curate: lang gate + quality gate + PII scrub + normalize +
+  *      exact content dedup (ONE plan — [[Curation.curate]]);
+  *   3. MinHash near-dup removal (band join → verify → components);
+  *   4. semantic dedup over the embedding sidecar (IVF-cell blocking);
+  *   5. fuzzy decontamination against a synthesized eval set;
+  *   6. unigram-LM tokenizer: corpus-bounded train + scan-local encode;
+  *   7. sequence packing to a fixed context;
+  *   8. corpus mixing to per-source token budgets (epoch repeats);
+  *   9. deterministic epoch shuffle (range-partitioned total order).
+  *
+  * Protocol: each stage CHECKPOINTS to parquet in the work dir and the
+  * next stage reads that file — the additive per-stage walls and
+  * shuffle bytes are the production multi-job shape (and what makes
+  * the table below attributable). The tokenize→pack→mix→shuffle tail
+  * is ALSO run FUSED (one lazy plan from the stage-5 parquet to the
+  * final write) to audit what composition saves: the staged form pays
+  * three extra parquet round-trips; the fused plan shares one scan and
+  * lets the mix join ride the pack exchange. Stages 3/4's component
+  * loops run driver-side actions internally, so the head of the
+  * pipeline cannot legally fuse past them — the segment boundaries ARE
+  * the driver-model fits (band plan, cluster loop, unigram EM).
+  *
+  * Per-stage Spark metrics come from a stage-completion listener
+  * (shuffle read/write, scan input, disk spill) — the numbers BASELINE.md
+  * records for the 100 TB extrapolation.
+  *
+  * Run: `sbt "runMain graft.examples.ProductionPipeline <sfDir> <workDir>"`
+  */
+object ProductionPipeline {
+
+  final class StageMetrics extends SparkListener {
+    val shuffleWrite = new AtomicLong
+    val shuffleRead = new AtomicLong
+    val input = new AtomicLong
+    val spilled = new AtomicLong
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        input.addAndGet(m.inputMetrics.bytesRead)
+        spilled.addAndGet(m.diskBytesSpilled)
+      }
+    }
+    def reset(): Unit = Seq(shuffleWrite, shuffleRead, input, spilled).foreach(_.set(0))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val work = if (args.length > 1) args(1) else "/tmp/graft_pipeline"
+    val spark = SparkSession
+      .builder()
+      .appName("graft-production-pipeline")
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      // typed imperative aggregates (MinByObject in the dedup keeps)
+      // degrade to sort-based passes past 128 distinct groups per task
+      // without this — the SCALE.md session invariant
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "16777216")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val metrics = new StageMetrics
+    spark.sparkContext.addSparkListener(metrics)
+    spark.sparkContext.setCheckpointDir(s"$work/checkpoints")
+
+    val rows = scala.collection.mutable.ListBuffer.empty[(String, Double, Long, Long, Long, Long, Long)]
+    def mb(b: Long): Double = b / 1e6
+    def stage(name: String)(body: => DataFrame): DataFrame = {
+      metrics.reset()
+      val t0 = System.nanoTime()
+      val out = body
+      out.write.mode("overwrite").parquet(s"$work/$name.parquet")
+      val secs = (System.nanoTime() - t0) / 1e9
+      val back = spark.read.parquet(s"$work/$name.parquet")
+      val n = back.count()
+      rows += ((name, secs, n, metrics.shuffleWrite.get, metrics.shuffleRead.get,
+        metrics.input.get, metrics.spilled.get))
+      println(f"[stage] $name%-22s $secs%8.2f s  $n%9d rows  " +
+        f"shufW ${mb(metrics.shuffleWrite.get)}%8.1f MB  shufR ${mb(metrics.shuffleRead.get)}%8.1f MB  " +
+        f"scan ${mb(metrics.input.get)}%8.1f MB  spill ${mb(metrics.spilled.get)}%6.1f MB")
+      back
+    }
+
+    val tWall0 = System.nanoTime()
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+
+    // 1. URL dedup — synthesize the crawl URL (testdata has none): 1 in
+    // 400 ids share a canonical target, mirroring crawl variants
+    val d1 = stage("s1_url_dedup") {
+      docs
+        .withColumn("url",
+          concat(lit("HTTPS://Site.Example/"), col("source"), lit("/d?id="),
+            (col("doc_id") % 400).cast("string"), lit("&utm_source=crawl")))
+        .withColumn("canonical_url", Curation.canonicalizeUrl(col("url")))
+        .groupBy(col("canonical_url"), (col("doc_id") / lit(400)).cast("long").as("__shard"))
+        .agg(graft.functions.MinByObject
+          .minBy(struct(col("doc_id"), col("text"), col("source")), col("doc_id")).as("d"))
+        .select(col("d.doc_id").as("doc_id"), col("d.text").as("text"), col("d.source").as("source"))
+    }
+
+    // 2. curate: lang + quality gates, PII scrub, normalize, exact dedup
+    val d2 = stage("s2_curate") {
+      Curation.curate(d1, "doc_id", "text", keepLang = "en", minQuality = 0.3,
+          carry = Seq("source"))
+        .select(col("canonical_id").as("doc_id"), col("clean_text").as("text"),
+          col("source"), col("quality"))
+    }
+
+    // 3. MinHash near-dup removal (candidates → verify → components)
+    val d3 = stage("s3_minhash_dedup") {
+      Dedup.dropNearDuplicates(d2, "doc_id", "text",
+        checkpointDir = Some(s"$work/checkpoints"))
+    }
+
+    // 4. semantic dedup on the embedding sidecar: IVF-cell blocking
+    // (q_embedding_neardup_ivf convention — 8 deterministic centroids),
+    // survivors keep their text row; docs without a vector pass through
+    val d4 = stage("s4_semantic_dedup") {
+      val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("centroid_id"), col("embedding").as("centroid_vec"))
+      val docVecs = emb.select(col("vec_id").as("doc_id"), col("embedding"))
+        .join(d3.select("doc_id"), "doc_id")
+      val kept = Dedup.dropSemanticDuplicates(
+        Similarity.assignCells(docVecs, cents, "embedding"),
+        "doc_id", "embedding", "cell",
+        checkpointDir = Some(s"$work/checkpoints"))
+      val losers = docVecs.select("doc_id")
+        .join(kept.select("doc_id"), Seq("doc_id"), "left_anti")
+      d3.join(losers, Seq("doc_id"), "left_anti")
+    }
+
+    // 5. fuzzy decontamination — eval set synthesized as in the gated
+    // q_decontaminate_fuzzy (every 20th doc, case-perturbed head)
+    val d5 = stage("s5_decontaminate") {
+      val evalSet = d4
+        .filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(upper(substring(col("text"), 1, 10)), expr("substring(text, 11)")).as("text"))
+      Curation.decontaminateFuzzy(d4.select("doc_id", "text", "source"), evalSet,
+          "doc_id", "text")
+        .filter(!col("contaminated"))
+        .select("doc_id", "text", "source")
+    }
+
+    // 6. unigram tokenizer: bounded corpus train (driver EM on the
+    // vocabCap word list) + scan-local DP encode
+    val model = Tokenizer.trainUnigram(d5, "text", vocabSize = 512)
+    val d6 = stage("s6_tokenize") {
+      Tokenizer.tokenizeUnigram(d5, "text", model)
+        .select(col("doc_id"), col("source"), col("text"), col("tokens"), col("n_tokens"))
+    }
+
+    // 7. pack to a fixed training context per source stratum
+    val d7 = stage("s7_pack") {
+      Curation.packSequences(d6, "doc_id", "source", "n_tokens", ctxTokens = 2048)
+    }
+
+    // 8. mix to per-source token budgets (epoch-repeat scarce sources)
+    val d8 = stage("s8_mix") {
+      Curation.mixCorpus(d6, "doc_id", "text", "source",
+        targets = Map.empty, defaultTarget = Some(2.0e5))
+    }
+
+    // 9. epoch shuffle: (doc, copy) examples in a seeded total order
+    val d9 = stage("s9_epoch_shuffle") {
+      Curation.shuffleForTraining(
+        d8.select((col("doc_id") * 1000 + col("copy")).as("example_id"),
+          col("doc_id"), col("copy")),
+        "example_id", seed = 17L)
+    }
+
+    val wallStaged = (System.nanoTime() - tWall0) / 1e9
+    println("\nstage | wall s | rows | shufW MB | shufR MB | scan MB | spill MB")
+    rows.foreach { case (n, s, r, w, rd, in, sp) =>
+      println(f"$n | $s%.2f | $r%d | ${mb(w)}%.1f | ${mb(rd)}%.1f | ${mb(in)}%.1f | ${mb(sp)}%.1f")
+    }
+    println(f"[total] staged end-to-end: $wallStaged%.1f s, " +
+      f"input ${docs.count()}%d docs -> ${d9.count()}%d training examples")
+
+    // FUSED tail: tokenize→pack→mix→shuffle as ONE lazy plan from the
+    // stage-5 parquet (the post-model segment is pure plan) — what the
+    // staged form pays in parquet round-trips, and whether the composed
+    // DAG shares the scan (audit with SPARK_GRAFT_EXPLAIN=1)
+    metrics.reset()
+    val tf0 = System.nanoTime()
+    val curated = spark.read.parquet(s"$work/s5_decontaminate.parquet")
+    val toks = Tokenizer.tokenizeUnigram(curated, "text", model)
+      .select(col("doc_id"), col("source"), col("text"), col("tokens"), col("n_tokens"))
+    val packed = Curation.packSequences(toks, "doc_id", "source", "n_tokens", ctxTokens = 2048)
+    val mixed = Curation.mixCorpus(toks, "doc_id", "text", "source",
+      targets = Map.empty, defaultTarget = Some(2.0e5))
+      .join(packed.select("doc_id", "pack_id"), "doc_id")
+    val fusedOut = Curation.shuffleForTraining(
+      mixed.select((col("doc_id") * 1000 + col("copy")).as("example_id"),
+        col("doc_id"), col("copy"), col("pack_id")),
+      "example_id", seed = 17L)
+    if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) fusedOut.explain("formatted")
+    fusedOut.write.mode("overwrite").parquet(s"$work/fused_tail.parquet")
+    val fusedSecs = (System.nanoTime() - tf0) / 1e9
+    val stagedTail = rows.toList.filter(r => Set("s6_tokenize", "s7_pack", "s8_mix", "s9_epoch_shuffle")(r._1))
+    println(f"[fused tail] tokenize->pack->mix->shuffle one-plan: $fusedSecs%.2f s " +
+      f"(staged sum ${stagedTail.map(_._2).sum}%.2f s), " +
+      f"shufW ${mb(metrics.shuffleWrite.get)}%.1f MB shufR ${mb(metrics.shuffleRead.get)}%.1f MB " +
+      f"scan ${mb(metrics.input.get)}%.1f MB")
+
+    spark.stop()
+  }
+}

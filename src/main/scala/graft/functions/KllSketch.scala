@@ -73,12 +73,20 @@ final class KllSketch(val k: Int, private var rng: Long) {
           if (i + 1 == levels.length) levels += ArrayBuffer.empty[Double]
           val sorted = levels(i).toArray
           java.util.Arrays.sort(sorted)
-          val even = sorted.length & ~1
-          var j = nextBit()
-          while (j < even) { levels(i + 1) += sorted(j); j += 2 }
+          // parity-neutral odd leftover: an odd buffer keeps its min or
+          // its max with equal probability (one extra LCG bit), not
+          // always the max — always-max retention is a small systematic
+          // upward skew at the compaction level (weights stay exact
+          // either way; the 2.5% rank-error spec held under both).
+          val odd = (sorted.length & 1) == 1
+          val keepMin = odd && nextBit() == 1
+          val base = if (keepMin) 1 else 0
+          val limit = base + (sorted.length & ~1)
+          var j = base + nextBit()
+          while (j < limit) { levels(i + 1) += sorted(j); j += 2 }
           levels(i).clear()
           // an odd leftover keeps its weight at this level
-          if (even < sorted.length) levels(i) += sorted(even)
+          if (odd) levels(i) += (if (keepMin) sorted(0) else sorted(sorted.length - 1))
         }
         i += 1
       }

@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Synthetic scale multiplier: reads a testdata sf directory and writes a
@@ -34,11 +34,21 @@ import org.apache.spark.sql.functions._
 object ScaleUp {
 
   // two DISJOINT high-frequency letter sets; replica r applies rotation
-  // r%10 over the first and r/10 over the second, giving 100 distinct
+  // r%10 over the first and (r/10)%10 over the second, giving 100 distinct
   // length-preserving transforms with no pair composing to another
   // (cross-replica exact text dups would need BOTH rotations equal)
   private val alphabet  = "aeiousnrtl"
   private val alphabet2 = "mcgwhdbpyk"
+  // third rotation set for docFactor up to 1000 (sf100 ladder decade),
+  // applied AFTER the first two with rotation r/100. It deliberately
+  // OVERLAPS the first two (order of application is fixed, so the
+  // composition is still a well-defined permutation): 'f' is outside
+  // both base sets, so distinct r/100 values move 'f' to distinct
+  // letters — all 1000 triples compose to distinct permutations — and
+  // the other nine members are high-frequency letters, so replicas
+  // sharing the first two rotations still diverge on essentially every
+  // shingle (a surviving shingle needs NO letter from this set either).
+  private val alphabet3 = "fsnrtlcgdb"
 
   def main(args: Array[String]): Unit = {
     val src = args(0)
@@ -46,8 +56,9 @@ object ScaleUp {
     val factor = args(2).toInt
     val docFactor = if (args.length > 3) args(3).toInt else factor
     require(factor >= 1 && docFactor >= 1, "factors must be >= 1")
-    require(docFactor <= alphabet.length * alphabet2.length,
-      s"docFactor > ${alphabet.length * alphabet2.length} would repeat a rotation pair (exact cross-replica dups)")
+    val maxDoc = alphabet.length * alphabet2.length * alphabet3.length
+    require(docFactor <= maxDoc,
+      s"docFactor > $maxDoc would repeat a rotation triple (exact cross-replica dups)")
 
     val spark = SparkSession
       .builder()
@@ -108,21 +119,30 @@ object ScaleUp {
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val dStride = maxOf(docs, "doc_id") + 1
     def rot(a: String, r: Int) = a.drop(r) + a.take(r)
-    // replica r → rotation r%10 over alphabet, then r/10 over alphabet2
-    // (disjoint sets: the composition is order-independent and a pair
-    // (r1, r2) uniquely identifies the transform). Residual shingle
-    // overlap between replicas sharing ONE rotation needs a shingle
-    // with no letter from the other set — rare, and a band match needs
-    // 4 consecutive minhash agreements on top.
-    val pass1 = (0 until math.min(docFactor, alphabet.length))
-      .map(r => (pmod(col("__r"), lit(alphabet.length)) === r,
-        translate(col("text"), alphabet, rot(alphabet, r))))
-      .foldRight(col("text")) { case ((cond, v), acc) => when(cond, v).otherwise(acc) }
-    val n2 = (docFactor + alphabet.length - 1) / alphabet.length
-    val translated = (0 until n2)
-      .map(r => ((col("__r") / alphabet.length).cast("int") === r,
-        translate(pass1, alphabet2, rot(alphabet2, r))))
-      .foldRight(pass1) { case ((cond, v), acc) => when(cond, v).otherwise(acc) }
+    // replica r → rotation r%10 over alphabet, (r/10)%10 over alphabet2,
+    // then r/100 over alphabet3 (identity for docFactor <= 100 — the
+    // sf1/sf10 datasets are byte-identical to the two-pass form). The
+    // first two sets are disjoint so their pair is order-independent;
+    // the third is applied last in a FIXED order, and its distinctness
+    // rides the 'f' argument on the alphabet3 declaration. Residual
+    // shingle overlap between replicas sharing all-but-one rotation
+    // needs a shingle with no letter from the differing set — rare for
+    // these high-frequency sets, and a band match needs 4 consecutive
+    // minhash agreements on top. Each pass is <= 10 when-branches, so
+    // the expression stays codegen-friendly at docFactor 1000.
+    def rotPass(base: Column, abc: String, idx: Column, count: Int): Column =
+      (1 until count)
+        .map(r => (idx === r, translate(base, abc, rot(abc, r))))
+        .foldRight(base) { case ((cond, v), acc) => when(cond, v).otherwise(acc) }
+    val pass1 = rotPass(col("text"), alphabet,
+      pmod(col("__r"), lit(alphabet.length)),
+      math.min(docFactor, alphabet.length))
+    val pass2 = rotPass(pass1, alphabet2,
+      pmod((col("__r") / alphabet.length).cast("int"), lit(alphabet2.length)),
+      math.min((docFactor + alphabet.length - 1) / alphabet.length, alphabet2.length))
+    val translated = rotPass(pass2, alphabet3,
+      (col("__r") / (alphabet.length * alphabet2.length)).cast("int"),
+      math.min((docFactor + 99) / 100, alphabet3.length))
     write(
       replicated(docs, docFactor)
         .withColumn("text", translated)

@@ -87,8 +87,10 @@ class ModelSampleGuardSpec extends SparkSpec {
       "streaming/IncrementalDedup.scala" -> 1,
       // market-calendar dimension table (days × markets, not data volume)
       "streaming/MarketSchedule.scala" -> 1,
-      // vocabCap-bounded BPE merge-table extraction
-      "operators/Tokenizer.scala" -> 1,
+      // vocabCap-bounded model pulls: BPE merge-table extraction plus the
+      // round-14 trainUnigram / unigramLogLikelihood word-count pulls —
+      // all three are limit(vocabCap).collect() bounded-model extractions
+      "operators/Tokenizer.scala" -> 3,
       // sampleCap'd Lloyd's-training model extractions (the tests above)
       "operators/Similarity.scala" -> 3,
       // measurement mirrors: one-row aggregates (count/sum) and
