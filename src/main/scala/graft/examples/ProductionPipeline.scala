@@ -102,15 +102,21 @@ object ProductionPipeline {
     val tWall0 = System.nanoTime()
     val docs = graft.sources.Tables.load(spark, sfDir, "documents")
 
-    // 1. URL dedup — synthesize the crawl URL (testdata has none): 1 in
-    // 400 ids share a canonical target, mirroring crawl variants
+    // 1. URL dedup — synthesize the crawl URL (testdata has none).
+    // Every doc_id % 5 == 1 is a crawl VARIANT of the previous doc's
+    // url (tracking-param noise): groups stay size <= 2 at every scale
+    // (a constant ~20% variant rate — NOT a corpus-sized hot url), so
+    // the keep-min aggregate's group count grows with the corpus the
+    // way real crawl dedup does
     val d1 = stage("s1_url_dedup") {
+      val urlId = when(pmod(col("doc_id"), lit(5)) === 1, col("doc_id") - 1)
+        .otherwise(col("doc_id"))
       docs
         .withColumn("url",
           concat(lit("HTTPS://Site.Example/"), col("source"), lit("/d?id="),
-            (col("doc_id") % 400).cast("string"), lit("&utm_source=crawl")))
+            urlId.cast("string"), lit("&utm_source=crawl")))
         .withColumn("canonical_url", Curation.canonicalizeUrl(col("url")))
-        .groupBy(col("canonical_url"), (col("doc_id") / lit(400)).cast("long").as("__shard"))
+        .groupBy(col("canonical_url"))
         .agg(graft.functions.MinByObject
           .minBy(struct(col("doc_id"), col("text"), col("source")), col("doc_id")).as("d"))
         .select(col("d.doc_id").as("doc_id"), col("d.text").as("text"), col("d.source").as("source"))
@@ -155,9 +161,12 @@ object ProductionPipeline {
         .filter(col("doc_id") % 20 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"),
           concat(upper(substring(col("text"), 1, 10)), expr("substring(text, 11)")).as("text"))
-      Curation.decontaminateFuzzy(d4.select("doc_id", "text", "source"), evalSet,
-          "doc_id", "text")
-        .filter(!col("contaminated"))
+      // decontaminateFuzzy RETURNS the contaminated ids (with match
+      // count + max jaccard); survivors are the anti-join
+      val contaminated = Curation
+        .decontaminateFuzzy(d4.select("doc_id", "text"), evalSet, "doc_id", "text")
+        .select("doc_id")
+      d4.join(contaminated, Seq("doc_id"), "left_anti")
         .select("doc_id", "text", "source")
     }
 

@@ -1026,6 +1026,15 @@ object Dedup {
     * LSH bucket). Dot products stay columnar: `zip_with` + `aggregate`
     * over the float vectors, promoted to double before multiply so the
     * result is bit-identical across engines.
+    *
+    * Anisotropic encoders (a dominant shared component saturating
+    * cosine): whiten FIRST and feed the whitened column here — the
+    * compose-it-yourself pre-step is
+    * `Embeddings.fitWhitening` → `Embeddings.transform` → this call on
+    * the output column; no parameter needed because the transform is a
+    * scan-local column map. Measured A/B (recall vs clean-space
+    * truth): EmbeddingsSpec "whitening A/B" — raw 0.09 vs whitened
+    * 0.77 exact recall@5 on a shifted+scaled corruption.
     */
   def embeddingNearDup(
       df: DataFrame,

@@ -668,6 +668,12 @@ object Similarity {
     *   the exact fold quadratic over the corpus (see that scaladoc);
     *   the query side stays exact (it is small and needs the n-best
     *   cells, not the argmax).
+    * @note anisotropic encoders: whiten queries AND corpus first
+    *   (`Embeddings.fitWhitening` on the corpus →
+    *   `Embeddings.transform` both sides → this call on the whitened
+    *   column). Measured A/B in EmbeddingsSpec "whitening A/B":
+    *   recall@5 vs clean-space truth 0.09 raw → 0.41 whitened for this
+    *   operator (0.77 for exact search) on a shifted+scaled corruption.
     */
   def ivfTopK(
       queries: DataFrame,

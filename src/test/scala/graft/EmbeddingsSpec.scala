@@ -107,4 +107,76 @@ class EmbeddingsSpec extends SparkSpec {
       .select(col("whitened")).collect().map(_.getSeq[Double](0))
     assert(p1.forall(_.length == 3))
   }
+
+  test("whitening A/B: IVF recall@5 improves on an anisotropic space (the scaladoc claim, measured)") {
+    // The claim whitening was built for: cosine-based near-dup and ANN
+    // behave on anisotropic spaces. The failure mode
+    // (sentence-embedding anisotropy, Ethayarajh 2019 / Su 2021
+    // "whitening sentence representations"): the encoder emits
+    // y = A·z + c — meaningful semantics z behind an anisotropic map A
+    // and a dominant common component c that together saturate cosine.
+    // Whitening is exactly the estimator of that corruption: with the
+    // clean space isotropic (cov_z = σ²I), the fitted transform
+    // W(y - mean) = WA·(z - mean_z) has WA orthogonal-up-to-scale, so
+    // COSINE IS RECOVERED — no knowledge of A or c. A/B harness:
+    // ground-truth top-5 = exact cosine on the clean z; arm A searches
+    // the observed y raw, arm B whitens first (compose-it-yourself:
+    // fitWhitening → transform → the SAME search call). Measured both
+    // for exact search and ivfTopK end-to-end (trained k-means cells,
+    // nprobe=2); floors are slack under the measured values (info
+    // lines / BASELINE.md r15).
+    import graft.operators.Similarity
+    val dim = 64
+    // isotropic clean vectors: 64 independent uniform streams per row
+    // (same LCG family as vecs() above)
+    val clean: IndexedSeq[Array[Float]] = (0 until 500).map { i =>
+      Array.tabulate(dim) { j =>
+        (((i.toLong * (48271 + 101 * j) + 7 * j) % 1009).toDouble / 1009.0 - 0.5).toFloat
+      }
+    }
+    // observed corruption: per-dim scales 8.0 (dims 0-7) / 0.5 (rest)
+    // plus a constant shift 3.0 on dims 0-3 — the dominant shared
+    // component that pushes every pairwise cosine toward 1
+    def corrupt(v: Array[Float]): Array[Float] =
+      Array.tabulate(dim) { j =>
+        val s = if (j < 8) 8.0f else 0.5f
+        v(j) * s + (if (j < 4) 3.0f else 0.0f)
+      }
+    val emb = clean.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val observed = clean.zipWithIndex.map { case (v, i) => (i.toLong, corrupt(v)) }
+      .toDF("vec_id", "embedding")
+
+    def topSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def queriesOf(data: org.apache.spark.sql.DataFrame) =
+      data.filter(col("vec_id") % 25 === 0)
+    val truth = topSet(Similarity.bruteForceTopK(queriesOf(emb), emb, "vec_id", "embedding", 5))
+    def recallVsTruth(data: org.apache.spark.sql.DataFrame, ivf: Boolean): Double = {
+      val qs = queriesOf(data)
+      val found =
+        if (ivf) {
+          val cents = Similarity.trainCentroidsKMeans(data, "embedding", nlist = 16)
+          topSet(Similarity.ivfTopK(qs, data, cents, "vec_id", "embedding", 5, nprobe = 2))
+        } else topSet(Similarity.bruteForceTopK(qs, data, "vec_id", "embedding", 5))
+      found.intersect(truth).size.toDouble / truth.size
+    }
+
+    val model = Embeddings.fitWhitening(observed, "embedding", dim = dim, k = dim)
+    val whitened = Embeddings.transform(observed, "embedding", model, "w")
+      .select(col("vec_id"), transform(col("w"), x => x.cast("float")).as("embedding"))
+
+    val rawExact = recallVsTruth(observed, ivf = false)
+    val whiteExact = recallVsTruth(whitened, ivf = false)
+    val rawIvf = recallVsTruth(observed, ivf = true)
+    val whiteIvf = recallVsTruth(whitened, ivf = true)
+    info(f"recall@5 vs clean-space truth — exact: raw $rawExact%.3f, whitened $whiteExact%.3f")
+    info(f"recall@5 vs clean-space truth — IVF nprobe=2: raw $rawIvf%.3f, whitened $whiteIvf%.3f")
+    assert(rawExact <= 0.7, s"fixture not anisotropic enough to discriminate: raw exact recall $rawExact")
+    assert(whiteExact >= rawExact + 0.2,
+      s"whitening should recover clean-space neighbors: raw $rawExact, whitened $whiteExact")
+    assert(whiteIvf >= rawIvf,
+      s"whitened ANN should not trail raw ANN: raw $rawIvf, whitened $whiteIvf")
+  }
 }
