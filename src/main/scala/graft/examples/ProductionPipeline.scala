@@ -111,9 +111,11 @@ object ProductionPipeline {
     val d1 = stage("s1_url_dedup") {
       val urlId = when(pmod(col("doc_id"), lit(5)) === 1, col("doc_id") - 1)
         .otherwise(col("doc_id"))
+      // the url must NOT embed per-doc attributes like source — a
+      // variant pair (5k, 5k+1) has to share its canonical target
       docs
         .withColumn("url",
-          concat(lit("HTTPS://Site.Example/"), col("source"), lit("/d?id="),
+          concat(lit("HTTPS://Site.Example/d?id="),
             urlId.cast("string"), lit("&utm_source=crawl")))
         .withColumn("canonical_url", Curation.canonicalizeUrl(col("url")))
         .groupBy(col("canonical_url"))
@@ -137,8 +139,18 @@ object ProductionPipeline {
     }
 
     // 4. semantic dedup on the embedding sidecar: IVF-cell blocking
-    // (q_embedding_neardup_ivf convention — 8 deterministic centroids),
-    // survivors keep their text row; docs without a vector pass through
+    // with the 8-deterministic-centroid convention
+    // (q_embedding_neardup_ivf). Measured here and REJECTED: the
+    // "production sizing" nlist ∝ n with centroids = first-n vectors —
+    // at sf100 it was BOTH slower (178 vs 113 s) and nearly blind
+    // (245 vs 6213 dups): untrained fine-grained cells split
+    // near-identical vectors across boundaries. The lesson the solo
+    // family rows already encode (BASELINE r8/r11): growing nlist is
+    // only sound with TRAINED centroids (trainCentroidsKMeans /
+    // lloydCodebooks on a capped sample) + assignCellsApprox; with a
+    // handful of arbitrary cells the id-window banding inside
+    // embeddingNearDup bounds the pairing instead, which is the shape
+    // this stage keeps.
     val d4 = stage("s4_semantic_dedup") {
       val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
       val cents = emb.filter(col("vec_id") < 8)
@@ -155,10 +167,14 @@ object ProductionPipeline {
     }
 
     // 5. fuzzy decontamination — eval set synthesized as in the gated
-    // q_decontaminate_fuzzy (every 20th doc, case-perturbed head)
+    // q_decontaminate_fuzzy (every 20th doc, case-perturbed head), but
+    // CAPPED at a fixed id range: benchmark eval sets do not grow with
+    // the training corpus, and an uncapped synthetic one turns the
+    // band join quadratic at scale (both sides ∝ n — the sf100 run
+    // measured 24×/decade before this cap, 273k docs vs a 1.5M-id slice)
     val d5 = stage("s5_decontaminate") {
       val evalSet = d4
-        .filter(col("doc_id") % 20 === 0)
+        .filter(col("doc_id") % 20 === 0 && col("doc_id") < 1500000L)
         .select((col("doc_id") + 1000000L).as("doc_id"),
           concat(upper(substring(col("text"), 1, 10)), expr("substring(text, 11)")).as("text"))
       // decontaminateFuzzy RETURNS the contaminated ids (with match
@@ -183,10 +199,17 @@ object ProductionPipeline {
       Curation.packSequences(d6, "doc_id", "source", "n_tokens", ctxTokens = 2048)
     }
 
-    // 8. mix to per-source token budgets (epoch-repeat scarce sources)
+    // 8. mix to per-source token budgets. The target is CORPUS-RELATIVE
+    // (1.5× the median source's token mass) so the stage keeps its
+    // production shape at every scale: most sources get ~1-2 epochs,
+    // the hot ones down-sample toward the median — an absolute number
+    // here would flip from up- to down-sampling as the corpus grows
+    val medianSourceTokens = d6
+      .groupBy("source").agg(sum("n_tokens").cast("double").as("t"))
+      .agg(percentile_approx(col("t"), lit(0.5), lit(1000))).head().getDouble(0)
     val d8 = stage("s8_mix") {
       Curation.mixCorpus(d6, "doc_id", "text", "source",
-        targets = Map.empty, defaultTarget = Some(2.0e5))
+        targets = Map.empty, defaultTarget = Some(1.5 * medianSourceTokens))
     }
 
     // 9. epoch shuffle: (doc, copy) examples in a seeded total order
@@ -216,7 +239,7 @@ object ProductionPipeline {
       .select(col("doc_id"), col("source"), col("text"), col("tokens"), col("n_tokens"))
     val packed = Curation.packSequences(toks, "doc_id", "source", "n_tokens", ctxTokens = 2048)
     val mixed = Curation.mixCorpus(toks, "doc_id", "text", "source",
-      targets = Map.empty, defaultTarget = Some(2.0e5))
+      targets = Map.empty, defaultTarget = Some(1.5 * medianSourceTokens))
       .join(packed.select("doc_id", "pack_id"), "doc_id")
     val fusedOut = Curation.shuffleForTraining(
       mixed.select((col("doc_id") * 1000 + col("copy")).as("example_id"),

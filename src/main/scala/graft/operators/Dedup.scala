@@ -684,6 +684,21 @@ object Dedup {
         .as("fingerprint"))
   }
 
+  /** 64-bit simhash fingerprints — the scale form (16-bit Hamming
+    * bands at maxHamming = 3 instead of the 32-bit form's saturating
+    * 8-bit bands; see [[graft.functions.SimHashText64]] for the
+    * geometry and the measured sf100 quadratic it fixes). benchDefs /
+    * spec surface only: the bit-of-md5-byte vote is not mirrorable in
+    * engine-portable SQL.
+    */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      org.apache.spark.sql.graftbridge.ColumnBridge
+        .column(graft.functions.SimHashText64(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col(textCol))))
+        .as("fingerprint"))
+
   /** The composed (explode + hash-agg) twin of
     * [[graft.functions.SimHashText]] — the executable bit-identity
     * contract for the spec; not the hot path.
@@ -726,6 +741,18 @@ object Dedup {
     * at sf0.1). `maxBucketSize` caps degenerate buckets (e.g. the
     * all-zero fingerprint of empty docs) exactly like the minhash cap —
     * a b-member bucket is b² pairs.
+    *
+    * MEASURED CEILING (BASELINE r15): at 32 bits / maxHamming 3 the
+    * 8-bit bands saturate their 256 bucket values once the corpus is
+    * millions of docs — 18×/decade at sf100 (5M docs, 432 s) while the
+    * rest of the dedup family stayed ≤6×. Past ~1M docs use
+    * [[simhash64]] + [[hammingNearDup]] (16-bit bands, 65,536
+    * buckets/band — the q_dedup_simhash_near64 bench twin); past ~10⁹
+    * docs the pigeonhole needs the Manku et al. WWW'07 multi-block
+    * design — d > maxHamming+1 blocks, one probe table per
+    * (d − maxHamming)-block combination, so exact-match keys WIDEN
+    * (C(d, maxHamming) tables of ~(d−maxHamming)·(bits/d)-bit keys)
+    * instead of buckets deepening.
     */
   def simhashNearDup(
       df: DataFrame,

@@ -1045,6 +1045,20 @@ object PipelineQueries extends QueryPack {
     * md5-family versions is spec-pinned (CurationSpec / AsOfJoinSpec).
     */
   override val benchDefs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the 64-bit scale twin of q_dedup_simhash_near: same pigeonhole
+    // band join + bit_count verify, but 16-bit bands (65,536 bucket
+    // values) instead of the gate form's saturating 8-bit bands — the
+    // sf100 run measured the 32-bit form at 18×/decade (432 s) while
+    // this geometry stays ~linear (BASELINE r15). Bench-only: the
+    // md5-BYTE-bit vote has no portable SQL mirror; semantics pinned
+    // in DedupSpec against a driver-side reference
+    "q_dedup_simhash_near64" -> { (s, dir) =>
+      Dedup
+        .hammingNearDup(
+          Dedup.simhash64(Tables.load(s, dir, "documents"), "doc_id", "text"),
+          "doc_id", "fingerprint", bits = 64, maxHamming = 3)
+        .orderBy(col("doc1"), col("doc2"))
+    },
     // perceptual image dedup: every 10th doc gets a phase-perturbed
     // gradient-PNG twin; real decode → 64-bit aHash → pigeonhole
     // Hamming bands. Bench-only (no SQL engine decodes PNG); pairing

@@ -289,6 +289,39 @@ class DedupSpec extends SparkSpec {
     assert(pairs.map(p => (p._1, p._2)).toSet == expected)
   }
 
+  test("simhash64: bit-identical to the driver reference; pairing complete within the bound") {
+    // driver reference: same tokenizer (split limit -1), vote i = bit
+    // (i & 7) of byte (i >> 3) of md5(token), strictly-positive sign
+    def ref(text: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val votes = new Array[Int](64)
+      text.split(" ", -1).foreach { t =>
+        md.reset()
+        val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (0 until 64).foreach { i =>
+          if (((d(i >> 3) >> (i & 7)) & 1) == 1) votes(i) += 1 else votes(i) -= 1
+        }
+      }
+      (0 until 64).foldLeft(0L)((fp, i) => if (votes(i) > 0) fp | (1L << i) else fp)
+    }
+    val fp = Dedup.simhash64(docs, "doc_id", "text").as[(Long, Long)].collect().toMap
+    val texts = docs.select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    texts.foreach { case (id, t) => assert(fp(id) == ref(t), s"doc $id fingerprint") }
+    // identical docs collide; the banded pairing is pigeonhole-complete
+    assert(fp(1L) == fp(2L))
+    val pairs = Dedup
+      .hammingNearDup(Dedup.simhash64(docs, "doc_id", "text"), "doc_id", "fingerprint",
+        bits = 64, maxHamming = 6)
+      .select($"doc1", $"doc2", $"hamming").as[(Long, Long, Int)].collect()
+    val all = fp.keys.toSeq.sorted
+    val expected = (for {
+      a <- all; b <- all if a < b
+      if java.lang.Long.bitCount(fp(a) ^ fp(b)) <= 6
+    } yield (a, b)).toSet
+    assert(pairs.map(p => (p._1, p._2)).toSet == expected)
+    assert(pairs.forall(_._3 <= 6))
+  }
+
   test("simhashNearDup maxBucketSize drops degenerate buckets") {
     // many identical docs share every band bucket; cap below the clone
     // count suppresses the bucket entirely
