@@ -16,7 +16,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private val packs: Seq[QueryPack] =
-    Seq(RelationalQueries, FunctionQueries, WindowQueries, PipelineQueries, GraphQueries)
+    Seq(RelationalQueries, FunctionQueries, WindowQueries, PipelineQueries, GraphQueries, SelectionQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** A trained, bucket-bounded linear text classifier: logistic
+  * regression over hashed bag-of-words features — the fastText shape
+  * (Joulin et al. 2016, "Bag of Tricks for Efficient Text
+  * Classification") that production pipelines (CCNet, LLaMA) use as
+  * the learned quality/domain filter next to the heuristic gates
+  * ([[TextAnalysis.gopherRules]]) and the closed-form NB scorer
+  * ([[TextAnalysis.nbTokenWeights]]). The reference engine has no
+  * learned-filter surface; this extends the LLM-data family.
+  *
+  * Bounded-model discipline (the unigram-tokenizer/PQ-codebook rule):
+  * the MODEL is `buckets + 1` doubles on the driver; the DATA path is
+  * per-epoch distributed aggregates — the corpus never reaches the
+  * driver. Training is full-batch gradient descent, deterministic
+  * (zero init, fixed epoch count, decimal-summed gradients), so two
+  * fits of the same frame are bit-identical.
+  */
+object Classifier {
+
+  /** Hashed token bucket in [0, buckets): md5 first 8 hex digits mod
+    * buckets — the [[Selection.gramBucket]] convention at n = 1, so the
+    * scorer has an exact DuckDB mirror.
+    */
+  def tokenBucket(tok: Column, buckets: Int): Column =
+    Selection.gramBucket(tok, buckets)
+
+  /** The fitted model: `weights(b)` multiplies the document's
+    * count-share of bucket b (cnt_b / n_tokens — fastText's mean-of-
+    * embeddings normalization collapsed to scalar features).
+    */
+  final case class HashedLogReg(bias: Double, weights: Array[Double], buckets: Int) {
+    require(weights.length == buckets, s"weights.length ${weights.length} != buckets $buckets")
+  }
+
+  /** Train by full-batch gradient descent: per epoch, ONE pass over the
+    * cached token-bucket frame computes every per-document margin
+    * (broadcast-join of the ≤`buckets`-row weight table, per-doc hash
+    * agg), and a second aggregate folds the residuals back into a
+    * ≤`buckets + 1`-row gradient that is collected to the driver —
+    * the only driver materialization, bucket-bounded by construction.
+    * Gradient components are summed through DECIMAL so partition order
+    * never changes the fit (the oracle-determinism rule applied to
+    * training itself).
+    *
+    * At 100 TB: epochs × (one broadcast join + two hash aggregates)
+    * over a frame the fit caches once; the collect stays `buckets`
+    * rows however large the corpus is. Sub-sampling the fit corpus is
+    * the caller's dial (a classifier fits fine on a hash-sampled
+    * slice — [[Curation.sampleByHash]]).
+    */
+  def train(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      buckets: Int = 256,
+      epochs: Int = 30,
+      learnRate: Double = 2.0,
+      l2: Double = 1e-4
+  ): HashedLogReg = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    require(epochs >= 1, s"epochs must be >= 1, got $epochs")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    // (id, y, n_tokens, bucket, x) with x = cnt_b / n — one row per
+    // DISTINCT (doc, bucket); cached: every epoch reuses it twice
+    val toks = df.select(
+      col(idCol).as("__id"),
+      col(labelCol).cast("double").as("__y"),
+      split(col(textCol), " ").as("__toks")
+    )
+    val feat = toks
+      .select(
+        col("__id"),
+        col("__y"),
+        size(col("__toks")).cast("double").as("__n"),
+        explode(col("__toks")).as("__tok")
+      )
+      .withColumn("bucket", tokenBucket(col("__tok"), buckets))
+      .groupBy(col("__id"), col("__y"), col("__n"), col("bucket"))
+      .agg(count(lit(1)).cast("double").as("__cnt"))
+      .withColumn("__x", col("__cnt") / col("__n"))
+      .select(col("__id"), col("__y"), col("bucket"), col("__x"))
+      .persist()
+    val nDocs =
+      feat.select(col("__id")).distinct().count().toDouble
+
+    val weights = Array.fill(buckets)(0.0)
+    var bias = 0.0
+    var epoch = 0
+    try {
+      while (epoch < epochs) {
+        val wDf = broadcast(
+          weights.toIndexedSeq.zipWithIndex
+            .map { case (w, b) => (b.toLong, w) }
+            .toDF("bucket", "__w")
+        )
+        // margin per doc → residual (σ(z) − y); both joins are on __id /
+        // bucket equi-keys, the weight side is bucket-sized broadcast
+        val resid = feat
+          .join(wDf, "bucket")
+          .groupBy(col("__id"), col("__y"))
+          .agg(sum(col("__w") * col("__x")).as("__dot"))
+          .select(
+            col("__id"),
+            (lit(1.0) / (lit(1.0) + exp(-(lit(bias) + col("__dot")))) - col("__y"))
+              .as("__r")
+          )
+        // gradient: ≤ buckets rows + the bias row (bucket = -1);
+        // DECIMAL(28,18) sums make the fold order-independent
+        val grad = feat
+          .join(resid, "__id")
+          .select(col("bucket"), (col("__r") * col("__x")).as("__g"))
+          .union(resid.select(lit(-1L).as("bucket"), col("__r").as("__g")))
+          .groupBy(col("bucket"))
+          .agg(
+            sum(col("__g").cast(org.apache.spark.sql.types.DecimalType(28, 18)))
+              .cast("double")
+              .as("__g")
+          )
+          .collect() // bounded: ≤ buckets + 1 rows whatever the corpus size
+        grad.foreach { row =>
+          val b = row.getLong(0)
+          val g = row.getDouble(1) / nDocs
+          if (b < 0) bias -= learnRate * g
+          else weights(b.toInt) -= learnRate * (g + l2 * weights(b.toInt))
+        }
+        epoch += 1
+      }
+    } finally feat.unpersist()
+    HashedLogReg(bias, weights, buckets)
+  }
+
+  /** Score a text column under a fitted (or closed-form) model:
+    * σ(bias + Σ_tokens w(bucket(tok)) / n_tokens). Zero-shuffle and
+    * scan-linear — the weight vector rides into the plan as a literal
+    * array (the broadcast-literal DP-encode pattern from the
+    * tokenizers) and the per-token fold is one `aggregate` over the
+    * split, so the filter runs inside the scan projection at any
+    * corpus size.
+    */
+  def score(textCol: Column, model: HashedLogReg): Column = {
+    val wLit = typedLit(model.weights.toSeq)
+    val toks = split(textCol, " ")
+    val dot = aggregate(
+      toks,
+      lit(0.0),
+      (acc, t) => acc + element_at(wLit, (tokenBucket(t, model.buckets) + lit(1L)).cast("int"))
+    ) / size(toks).cast("double")
+    lit(1.0) / (lit(1.0) + exp(-(lit(model.bias) + dot)))
+  }
+}

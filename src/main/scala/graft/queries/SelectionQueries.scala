@@ -1,0 +1,192 @@
+package graft.queries
+
+import graft.operators.{Classifier, Curation, Selection}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Data-selection family: DSIR importance resampling, temperature
+  * mixture sampling, and the trained hashed-feature quality classifier
+  * (operators/Selection.scala, operators/Classifier.scala).
+  *
+  * Target-domain convention for the gated DSIR rows: documents
+  * containing the token `spark` — a deterministic predicate whose
+  * bigram distribution genuinely differs from the raw corpus (the
+  * testdata word pools are shared across lang/source, so metadata
+  * columns carry no text signal to select on).
+  */
+object SelectionQueries extends QueryPack {
+
+  private val DsirBuckets = 1024
+  private val ClfBuckets = 256
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  private def isTarget = array_contains(split(col("text"), " "), "spark")
+
+  private def dsirWeightsDf(s: SparkSession, dir: String): DataFrame =
+    Selection
+      .dsirScore(docs(s, dir), "doc_id", "text", isTarget, DsirBuckets, n = 2)
+
+  /** Closed-form weight vector for the gated scorer row: exercises the
+    * REAL [[Classifier.score]] path (literal-array lookup + token fold
+    * + sigmoid) under weights DuckDB can recompute from bucket
+    * arithmetic — training itself is gradient-descent float math no
+    * cross-engine gate can pin, so the trained row lives in benchDefs
+    * with ClassifierSpec pinning its semantics.
+    */
+  private def closedFormModel: Classifier.HashedLogReg =
+    Classifier.HashedLogReg(
+      bias = 0.1,
+      weights = Array.tabulate(ClfBuckets)(b => (b % 101) / 100.0 - 0.5),
+      buckets = ClfBuckets
+    )
+
+  /** Trained models memoized per data dir: training is deterministic
+    * (spec-pinned), and the plan-guard sweeps instantiate every bench
+    * def several times — refitting identical weights each time would
+    * only slow the suite.
+    */
+  private val trainedModels =
+    new java.util.concurrent.ConcurrentHashMap[String, Classifier.HashedLogReg]()
+
+  private def trainedModel(s: SparkSession, dir: String): Classifier.HashedLogReg =
+    trainedModels.computeIfAbsent(
+      dir,
+      _ => {
+        // fit on the deterministic 25% hash slice — the production
+        // shape (a quality classifier never needs the whole crawl to
+        // fit `buckets` weights), and it keeps the bench row honest
+        // about fit-vs-score cost split
+        val fit = docs(s, dir)
+          .filter(Curation.sampleByHash("doc_id", 25))
+          .withColumn("label", isTarget.cast("int"))
+        Classifier.train(
+          fit, "doc_id", "text", "label",
+          buckets = ClfBuckets, epochs = 10, learnRate = 2.0, l2 = 1e-4)
+      }
+    )
+
+  override def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // per-doc DSIR importance weight under the hashed-bigram model
+    "q_dsir_weights" -> { (s, dir) =>
+      dsirWeightsDf(s, dir).orderBy(col("doc_id"))
+    },
+    // Gumbel-top-k resample of the weights — DSIR's selection step
+    "q_dsir_resample" -> { (s, dir) =>
+      Selection
+        .gumbelTopK(dsirWeightsDf(s, dir), "doc_id", "dsir_weight", k = 50, temperature = 2.0, seed = "s42")
+        .select(col("doc_id"), col("dsir_weight"), col("sel_key"))
+        .orderBy(col("sel_key").desc, col("doc_id"))
+    },
+    // per-lang temperature rates + the deterministic keep counts
+    "q_mix_temperature" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val rates = Selection.temperatureRates(d, "lang", alpha = 0.3)
+      val kept = Selection
+        .temperatureSample(d, "doc_id", "lang", alpha = 0.3, seed = "mix7")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"))
+      rates
+        .join(kept, Seq("lang"), "left")
+        .select(
+          col("lang"),
+          col("n_docs"),
+          col("rate"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept")
+        )
+        .orderBy(col("lang"))
+    },
+    // the fastText-shaped scorer under closed-form weights — gates the
+    // hashed-feature path (bucketing, count-share fold, sigmoid) exactly
+    "q_classifier_score" -> { (s, dir) =>
+      docs(s, dir)
+        .select(
+          col("doc_id"),
+          round(Classifier.score(col("text"), closedFormModel), 6).as("clf_score")
+        )
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  override def benchDefs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // full train-then-score loop: fit on the 25% hash slice, score the
+    // whole corpus through the literal-weights fold. Semantics pinned
+    // by ClassifierSpec (separability, determinism); no DuckDB mirror —
+    // iterated sigmoid/GD float math can't be cross-engine-pinned.
+    "q_classifier_train" -> { (s, dir) =>
+      val model = trainedModel(s, dir)
+      docs(s, dir)
+        .select(
+          col("doc_id"),
+          isTarget.cast("int").as("label"),
+          round(Classifier.score(col("text"), model), 6).as("clf_score")
+        )
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  override def oracles: Map[String, String] = {
+    // shared CTE chain: hashed-bigram buckets + the smoothed log-ratio
+    // table (mirrors Selection.dsirLogRatios / dsirWeights exactly —
+    // same shingle window, same md5-hex bucket, same add-one smoothing)
+    val dsirWeightsCte =
+      s"""WITH toks AS (SELECT doc_id, STRING_SPLIT(text,' ') AS t FROM documents),
+         |sh AS (SELECT doc_id,
+         |              LIST_CONTAINS(t, 'spark') AS is_target,
+         |              UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(t), 2)),
+         |                     i -> ARRAY_TO_STRING(t[i:i+1], ' '))) AS g
+         |       FROM toks),
+         |hb AS (SELECT doc_id, is_target,
+         |              CAST('0x' || SUBSTRING(MD5(g),1,8) AS BIGINT) % $DsirBuckets AS bucket
+         |       FROM sh),
+         |tc AS (SELECT bucket, COUNT(*) AS c FROM hb WHERE is_target GROUP BY bucket),
+         |rc AS (SELECT bucket, COUNT(*) AS c FROM hb GROUP BY bucket),
+         |tot AS (SELECT (SELECT SUM(c) FROM tc) AS tt, (SELECT SUM(c) FROM rc) AS rt),
+         |ratio AS (SELECT rc.bucket,
+         |                 LN((COALESCE(tc.c,0)+1.0)/(tot.tt+$DsirBuckets)) - LN((rc.c+1.0)/(tot.rt+$DsirBuckets)) AS lr
+         |          FROM rc LEFT JOIN tc USING(bucket) CROSS JOIN tot),
+         |w AS (SELECT hb.doc_id,
+         |             CAST(COUNT(*) AS INT) AS n_grams,
+         |             ROUND(SUM(ratio.lr), 6) AS dsir_weight
+         |      FROM hb JOIN ratio USING(bucket)
+         |      GROUP BY hb.doc_id)""".stripMargin
+
+    Map(
+      "q_dsir_weights" ->
+        s"""$dsirWeightsCte
+           |SELECT doc_id, n_grams, dsir_weight FROM w ORDER BY doc_id""".stripMargin,
+      "q_dsir_resample" ->
+        s"""$dsirWeightsCte,
+           |keyed AS (SELECT doc_id, dsir_weight,
+           |                 ROUND(dsir_weight / 2.0
+           |                       - LN(-LN((CAST('0x' || SUBSTRING(MD5('s42-' || CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) + 0.5) / 4294967296.0)),
+           |                       6) AS sel_key
+           |          FROM w)
+           |SELECT doc_id, dsir_weight, sel_key FROM keyed
+           |ORDER BY sel_key DESC, doc_id LIMIT 50""".stripMargin,
+      "q_mix_temperature" ->
+        """WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+          |tot AS (SELECT SUM(n) AS nt FROM counts),
+          |rates AS (SELECT lang, n,
+          |                 ROUND(POW(n / tot.nt, 0.3) / MAX(POW(n / tot.nt, 0.3)) OVER (), 6) AS rate
+          |          FROM counts CROSS JOIN tot),
+          |kept AS (SELECT d.lang,
+          |                CASE WHEN (CAST('0x' || SUBSTRING(MD5('mix7-' || CAST(d.doc_id AS VARCHAR)),1,8) AS BIGINT) + 0.5) / 4294967296.0 < r.rate
+          |                     THEN 1 ELSE 0 END AS keep
+          |         FROM documents d JOIN rates r USING(lang))
+          |SELECT k.lang, r.n AS n_docs, r.rate, CAST(SUM(k.keep) AS BIGINT) AS n_kept
+          |FROM kept k JOIN rates r USING(lang)
+          |GROUP BY k.lang, r.n, r.rate ORDER BY k.lang""".stripMargin,
+      "q_classifier_score" ->
+        """WITH toks AS (SELECT doc_id, STRING_SPLIT(text,' ') AS t FROM documents),
+          |tw AS (SELECT doc_id, LEN(t) AS n, UNNEST(t) AS tok FROM toks),
+          |scored AS (SELECT doc_id, ANY_VALUE(n) AS n,
+          |                  SUM(((CAST('0x' || SUBSTRING(MD5(tok),1,8) AS BIGINT) % 256) % 101) / 100.0 - 0.5) AS sw
+          |           FROM tw GROUP BY doc_id)
+          |SELECT doc_id, ROUND(1.0 / (1.0 + EXP(-(0.1 + sw / n))), 6) AS clf_score
+          |FROM scored ORDER BY doc_id""".stripMargin
+    )
+  }
+}

@@ -93,6 +93,10 @@ class ModelSampleGuardSpec extends SparkSpec {
       "operators/Tokenizer.scala" -> 3,
       // sampleCap'd Lloyd's-training model extractions (the tests above)
       "operators/Similarity.scala" -> 3,
+      // buckets-bounded gradient pull: the logistic-regression fit
+      // collects ≤ buckets + 1 (bucket, gradient) rows per epoch —
+      // the model is driver-sized by construction, never the corpus
+      "operators/Classifier.scala" -> 1,
       // measurement mirrors: one-row aggregates (count/sum) and
       // per-batch key sets bounded by the batch, all feeding printed
       // evidence tables, not operator plans

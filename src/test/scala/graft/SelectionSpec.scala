@@ -1,0 +1,119 @@
+package graft
+
+import graft.operators.Selection
+import org.apache.spark.sql.functions._
+
+/** DSIR importance resampling + temperature mixture sampling
+  * (operators/Selection.scala). The cross-engine value gates live in
+  * SelectionQueries' oracles; these pin the SEMANTIC properties no
+  * hash-compare can see — that the weights actually separate the
+  * target domain, that resampling follows the weights, and that the
+  * temperature knob moves the mixture the direction the math says.
+  */
+class SelectionSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // two word distributions: target-ish docs draw from mostly-disjoint
+  // vocabulary so the hashed-bigram model has real signal
+  private lazy val corpus = {
+    val rows = (0 until 300).map { i =>
+      val target = i % 3 == 0
+      val words =
+        if (target) Seq.tabulate(30)(j => Seq("clean", "prose", "cited", "edited")((i + j) % 4))
+        else Seq.tabulate(30)(j => Seq("spam", "lorem", "click", "now", "buy")((i + j) % 5))
+      (i.toLong, words.mkString(" "), target)
+    }
+    rows.toDF("doc_id", "text", "is_target")
+  }
+
+  test("dsir weights separate the target domain") {
+    val scored = Selection
+      .dsirScore(corpus, "doc_id", "text", col("is_target"), buckets = 512, n = 2)
+      .join(corpus.select("doc_id", "is_target"), "doc_id")
+    val avg = scored
+      .groupBy(col("is_target"))
+      .agg(org.apache.spark.sql.functions.avg(col("dsir_weight")).as("m"))
+      .collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1))
+      .toMap
+    assert(avg(true) > 0.0, s"target mean ${avg(true)} should be positive")
+    assert(avg(false) < 0.0, s"raw-only mean ${avg(false)} should be negative")
+    assert(avg(true) - avg(false) > 5.0, s"separation ${avg(true) - avg(false)} too small")
+  }
+
+  test("dsir weight of a doc equals the sum of its bucket log-ratios (hand check)") {
+    // two one-bigram docs: one target, one not — the weight must be
+    // exactly ln((tc+1)/(tt+B)) - ln((rc+1)/(rt+B)) for its bucket
+    val tiny = Seq(
+      (1L, "alpha beta", true),
+      (2L, "gamma delta", false)
+    ).toDF("doc_id", "text", "is_target")
+    val b = 64
+    val w = Selection
+      .dsirScore(tiny, "doc_id", "text", col("is_target"), buckets = b, n = 2)
+      .collect()
+      .map(r => r.getLong(0) -> r.getDouble(2))
+      .toMap
+    // doc 1's bigram: tc=1, rc=1 of tt=1, rt=2
+    val w1 = math.log(2.0 / (1 + b)) - math.log(2.0 / (2 + b))
+    // doc 2's bigram: tc=0, rc=1
+    val w2 = math.log(1.0 / (1 + b)) - math.log(2.0 / (2 + b))
+    assert(math.abs(w(1L) - w1) < 1e-6, s"${w(1L)} vs $w1")
+    assert(math.abs(w(2L) - w2) < 1e-6, s"${w(2L)} vs $w2")
+  }
+
+  test("gumbel top-k selects mostly high-weight rows and is deterministic") {
+    val weights = Selection.dsirScore(corpus, "doc_id", "text", col("is_target"), 512, 2)
+    val sel = Selection.gumbelTopK(weights, "doc_id", "dsir_weight", k = 60, temperature = 1.0)
+    val selected = sel.select("doc_id").as[Long].collect().toSet
+    assert(selected.size == 60)
+    val targetHits = corpus
+      .filter(col("is_target") && col("doc_id").isin(selected.toSeq: _*))
+      .count()
+    // 100 of 300 docs are target; weight-proportional selection at T=1
+    // over a >5-nat gap should pick nearly only target docs
+    assert(targetHits >= 55, s"only $targetHits/60 selected docs are target-domain")
+    val again = Selection
+      .gumbelTopK(weights, "doc_id", "dsir_weight", k = 60, temperature = 1.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == selected, "same seed must select the same set")
+  }
+
+  test("temperature rates: alpha=1 is the natural mixture, alpha→0 flattens") {
+    val df = (0 until 400)
+      .map(i => (i.toLong, if (i % 4 == 0) "small" else "large"))
+      .toDF("doc_id", "domain")
+    def rate(alpha: Double): Map[String, Double] =
+      Selection
+        .temperatureRates(df, "domain", alpha)
+        .collect()
+        .map(r => r.getString(0) -> r.getDouble(2))
+        .toMap
+    val natural = rate(1.0)
+    assert(natural("large") == 1.0)
+    assert(math.abs(natural("small") - 100.0 / 300.0) < 1e-6)
+    val flat = rate(0.1)
+    assert(flat("small") > natural("small"), "small alpha must lift the small domain")
+    assert(flat("small") > 0.85, s"alpha=0.1 should nearly flatten, got ${flat("small")}")
+  }
+
+  test("temperature sample keeps the large domain whole and subsamples the rest at ~rate") {
+    val df = (0 until 4000)
+      .map(i => (i.toLong, if (i % 4 == 0) "small" else "large"))
+      .toDF("doc_id", "domain")
+    val kept = Selection
+      .temperatureSample(df, "doc_id", "domain", alpha = 0.3)
+      .groupBy("domain")
+      .count()
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(kept("large") == 3000L, "rate-1 domain must pass through whole")
+    val expectedSmall = math.pow(1.0 / 3.0, 0.3) * 1000 // rate vs large
+    assert(
+      math.abs(kept("small") - expectedSmall) < 60,
+      s"small kept ${kept("small")} vs expected ~$expectedSmall"
+    )
+  }
+}
