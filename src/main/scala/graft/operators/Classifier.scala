@@ -21,18 +21,26 @@ import org.apache.spark.sql.functions._
   */
 object Classifier {
 
-  /** Hashed token bucket in [0, buckets): md5 first 8 hex digits mod
-    * buckets — the [[Selection.gramBucket]] convention at n = 1, so the
-    * scorer has an exact DuckDB mirror.
+  /** Hashed token bucket in [0, buckets): [[Selection.gramBucket]] at
+    * n = 1 — md5 (oracle-mirrorable) or xxhash64 (production; one
+    * codegen'd mix instead of the md5→hex→conv chain).
     */
-  def tokenBucket(tok: Column, buckets: Int): Column =
-    Selection.gramBucket(tok, buckets)
+  def tokenBucket(tok: Column, buckets: Int, family: HashFamily = HashFamily.Md5): Column =
+    Selection.gramBucket(tok, buckets, family)
 
   /** The fitted model: `weights(b)` multiplies the document's
     * count-share of bucket b (cnt_b / n_tokens — fastText's mean-of-
-    * embeddings normalization collapsed to scalar features).
+    * embeddings normalization collapsed to scalar features). The model
+    * CARRIES its hash family: bucket assignments differ between
+    * families, so a fit/score family mismatch would silently score
+    * noise — making it a model field makes the mismatch unrepresentable.
     */
-  final case class HashedLogReg(bias: Double, weights: Array[Double], buckets: Int) {
+  final case class HashedLogReg(
+      bias: Double,
+      weights: Array[Double],
+      buckets: Int,
+      family: HashFamily = HashFamily.Md5
+  ) {
     require(weights.length == buckets, s"weights.length ${weights.length} != buckets $buckets")
   }
 
@@ -60,7 +68,8 @@ object Classifier {
       buckets: Int = 256,
       epochs: Int = 30,
       learnRate: Double = 2.0,
-      l2: Double = 1e-4
+      l2: Double = 1e-4,
+      family: HashFamily = HashFamily.Md5
   ): HashedLogReg = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     require(epochs >= 1, s"epochs must be >= 1, got $epochs")
@@ -81,7 +90,7 @@ object Classifier {
         size(col("__toks")).cast("double").as("__n"),
         explode(col("__toks")).as("__tok")
       )
-      .withColumn("bucket", tokenBucket(col("__tok"), buckets))
+      .withColumn("bucket", tokenBucket(col("__tok"), buckets, family))
       .groupBy(col("__id"), col("__y"), col("__n"), col("bucket"))
       .agg(count(lit(1)).cast("double").as("__cnt"))
       .withColumn("__x", col("__cnt") / col("__n"))
@@ -133,24 +142,34 @@ object Classifier {
         epoch += 1
       }
     } finally feat.unpersist()
-    HashedLogReg(bias, weights, buckets)
+    HashedLogReg(bias, weights, buckets, family)
   }
 
   /** Score a text column under a fitted (or closed-form) model:
     * σ(bias + Σ_tokens w(bucket(tok)) / n_tokens). Zero-shuffle and
-    * scan-linear — the weight vector rides into the plan as a literal
-    * array (the broadcast-literal DP-encode pattern from the
-    * tokenizers) and the per-token fold is one `aggregate` over the
-    * split, so the filter runs inside the scan projection at any
-    * corpus size.
+    * scan-linear: the weight vector rides into the plan inside the
+    * [[graft.functions.HashedGramFold]] kernel (n = 1 — per-token
+    * lookup), one fused split+hash+lookup loop per row, so the filter
+    * runs inside the scan projection at any corpus size.
     */
   def score(textCol: Column, model: HashedLogReg): Column = {
+    val dot = Selection.hashedGramFold(textCol, 1, model.buckets, model.weights, model.family) /
+      size(split(textCol, " ")).cast("double")
+    lit(1.0) / (lit(1.0) + exp(-(lit(model.bias) + dot)))
+  }
+
+  /** The pre-kernel composed twin of [[score]] (interpreted
+    * aggregate-lambda fold) — retained as the identity oracle for the
+    * native kernel's spec pin.
+    */
+  private[graft] def scoreComposed(textCol: Column, model: HashedLogReg): Column = {
     val wLit = typedLit(model.weights.toSeq)
     val toks = split(textCol, " ")
     val dot = aggregate(
       toks,
       lit(0.0),
-      (acc, t) => acc + element_at(wLit, (tokenBucket(t, model.buckets) + lit(1L)).cast("int"))
+      (acc, t) =>
+        acc + element_at(wLit, (tokenBucket(t, model.buckets, model.family) + lit(1L)).cast("int"))
     ) / size(toks).cast("double")
     lit(1.0) / (lit(1.0) + exp(-(lit(model.bias) + dot)))
   }

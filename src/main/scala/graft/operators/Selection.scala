@@ -33,77 +33,110 @@ object Selection {
     * bucket count is a fidelity dial, not a correctness one).
     */
   def gramBucket(gram: Column, buckets: Int): Column =
-    conv(substring(md5(gram.cast("binary")), 1, 8), 16, 10).cast("long") % buckets
+    gramBucket(gram, buckets, HashFamily.Md5)
+
+  /** [[gramBucket]] with the family dial: [[HashFamily.Md5]] is the
+    * oracle form (DuckDB recomputes it digit-for-digit);
+    * [[HashFamily.XxHash64]] is the production form — one codegen'd
+    * 64-bit mix, no hex round-trip (the [[Dedup]] family's measured
+    * ~25% minhash saving is mostly THIS swap; here the md5 chain is
+    * the dominant per-gram cost, so the saving is larger — see
+    * BASELINE.md round 15). Bucket assignments differ between
+    * families, so fitted ratios/weights are family-consistent only —
+    * never mix families between fit and score.
+    */
+  def gramBucket(gram: Column, buckets: Int, family: HashFamily): Column = family match {
+    case HashFamily.Md5 =>
+      conv(substring(md5(gram.cast("binary")), 1, 8), 16, 10).cast("long") % buckets
+    case HashFamily.XxHash64 =>
+      pmod(xxhash64(gram), lit(buckets.toLong))
+  }
 
   /** One row per word-n-gram occurrence: (passthrough cols..., bucket).
     * Tokens are materialized once per row before the shingle window
     * (the [[Dedup.shinglesOf]] rule: inlining split() re-evaluates it
     * per window index).
     */
-  private def gramFrame(
-      df: DataFrame,
-      textCol: String,
-      buckets: Int,
-      n: Int,
-      passthrough: Seq[Column]
-  ): DataFrame = {
-    val toks = df.withColumn("__toks", split(col(textCol), " "))
-    toks
-      .select(passthrough :+ explode(Dedup.shinglesOf("__toks", n)).as("__gram"): _*)
-      .withColumn("bucket", gramBucket(col("__gram"), buckets))
-      .drop("__gram")
-  }
+  /** Number of [[Dedup.shinglesOf]] n-grams a document contributes:
+    * max(words − n + 1, 1) — pure token arithmetic, so gram TOTALS
+    * never pay the hash/explode pass.
+    */
+  private def gramCount(textCol: String, n: Int): Column =
+    greatest(size(split(col(textCol), " ")) - lit(n - 1), lit(1)).cast("long")
 
   /** Fit the DSIR bucket model in ONE corpus pass: per hashed-n-gram
     * bucket, `ln p̂_target(b) − ln p̂_raw(b)` with add-one smoothing over
     * the `buckets` cells. `isTarget` is a boolean column over `df`
     * marking the target-domain rows (target ⊆ raw, the usual shape:
     * the curated/quality subset of the crawl; an external target corpus
-    * unions in with the flag set). Both count vectors come out of the
-    * same hash aggregate — the corpus is exploded and scanned once.
+    * unions in with the flag set).
     *
-    * Returns ≤ `buckets` rows (bucket, log_ratio): broadcast material.
-    * Buckets no gram hashed into carry the pure-smoothing ratio via the
-    * scorer's `coalesce` (they can only be hit by score-time grams when
-    * scoring a DIFFERENT frame than the fit ran on).
+    * The pass is one [[graft.functions.GramBucketCounts]] typed
+    * aggregate: each partition contributes a single 2·buckets count
+    * buffer, the exchange carries KBs at any corpus size, and both
+    * count vectors AND their grand totals come out of the one result
+    * row (the first cut exploded one row per gram occurrence through a
+    * hash aggregate — 27M exchange rows at sf1, measured ~4× slower).
+    *
+    * Returns exactly `buckets` rows (bucket, log_ratio) — broadcast
+    * material; buckets no gram hashed into carry the pure-smoothing
+    * zero-count ratio, so scoring a frame OTHER than the fit frame
+    * needs no default handling.
     */
   def dsirLogRatios(
       df: DataFrame,
       textCol: String,
       isTarget: Column,
       buckets: Int = 1024,
-      n: Int = 2
+      n: Int = 2,
+      family: HashFamily = HashFamily.Md5
   ): DataFrame = {
-    val grams = gramFrame(df, textCol, buckets, n, Seq(isTarget.as("__is_target")))
-    val counts = grams
-      .groupBy(col("bucket"))
-      .agg(
-        sum(when(col("__is_target"), 1L).otherwise(0L)).as("__tc"),
-        count(lit(1)).as("__rc")
-      )
-    // grand totals from the bucket-sized aggregate, not a corpus re-scan
-    val totals = counts.agg(sum(col("__tc")).as("__tt"), sum(col("__rc")).as("__rt"))
-    counts
-      .crossJoin(broadcast(totals))
+    val countsAgg = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions
+        .GramBucketCounts(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col(textCol)),
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(isTarget),
+          n,
+          buckets,
+          family == HashFamily.XxHash64
+        )
+        .toAggregateExpression()
+    )
+    val bD = lit(buckets.toDouble)
+    df.agg(countsAgg.as("__v"))
       .select(
-        col("bucket"),
-        (log((col("__tc") + lit(1.0)) / (col("__tt") + lit(buckets.toDouble))) -
-          log((col("__rc") + lit(1.0)) / (col("__rt") + lit(buckets.toDouble))))
-          .as("log_ratio")
+        col("__v"),
+        aggregate(slice(col("__v"), 1, buckets), lit(0L), _ + _).as("__rt"),
+        aggregate(slice(col("__v"), buckets + 1, buckets), lit(0L), _ + _).as("__tt")
+      )
+      .select(col("__tt"), col("__rt"), col("__v"), posexplode(slice(col("__v"), 1, buckets)))
+      .select(
+        col("pos").cast("long").as("bucket"),
+        (log((element_at(col("__v"), col("pos") + lit(buckets + 1)) + lit(1.0)) / (col("__tt") + bD)) -
+          log((col("col") + lit(1.0)) / (col("__rt") + bD))).as("log_ratio")
       )
   }
 
   /** Per-document DSIR importance weight: the sum over the document's
     * hashed-n-gram OCCURRENCES of the bucket log-ratio — i.e.
     * `ln p̂_target(doc) − ln p̂_raw(doc)` under the bag-of-hashed-n-grams
-    * model. One corpus pass: explode → broadcast-join the ≤`buckets`-row
-    * ratio table → per-doc hash aggregate. Rounded to 6 dp so the
-    * summation order never leaks into comparisons (the
-    * q_unigram_logprob convention).
+    * model. Rounded to 6 dp so the summation order never leaks into
+    * comparisons (the q_unigram_logprob convention).
     *
-    * At 100 TB: fit + score is two corpus scans (the gram explode runs
-    * in each); a pipeline that already materializes a gram/bucket frame
-    * (e.g. alongside minhash shingles) can pass it straight to both.
+    * Scale shape: the ≤`buckets`-row ratio table is pulled to the
+    * driver ONCE (bucket-bounded by construction — the
+    * tokenizer-codebook discipline) and rides into the plan as a
+    * literal array; the weight is then a per-row fold over the
+    * document's own shingle array — ZERO shuffle, scan-linear at any
+    * corpus size. The first cut of this operator broadcast-JOINED the
+    * ratio table onto the exploded gram stream and re-aggregated by
+    * doc: same values, but it shuffled one row per gram occurrence
+    * (27M rows at sf1 — measured ~2× slower; BASELINE.md round 15).
+    *
+    * `defaultRatio` fills buckets absent from `ratios` — never needed
+    * for a [[dsirLogRatios]] table (it emits every bucket, zero-count
+    * cells carrying the smoothing ratio); it exists for truncated or
+    * externally-persisted ratio tables.
     */
   def dsirWeights(
       df: DataFrame,
@@ -111,16 +144,68 @@ object Selection {
       textCol: String,
       ratios: DataFrame,
       buckets: Int = 1024,
-      n: Int = 2
+      n: Int = 2,
+      family: HashFamily = HashFamily.Md5,
+      defaultRatio: Double = 0.0
   ): DataFrame = {
-    val grams = gramFrame(df, textCol, buckets, n, Seq(col(idCol)))
-    grams
-      .join(broadcast(ratios), "bucket")
-      .groupBy(col(idCol))
-      .agg(
-        count(lit(1)).cast("int").as("n_grams"),
-        round(sum(col("log_ratio")), 6).as("dsir_weight")
+    val byBucket = ratios
+      .select(col("bucket").cast("long"), col("log_ratio").cast("double"))
+      .collect() // bounded: the ratio table is ≤ buckets rows by construction
+      .map(r => r.getLong(0) -> r.getDouble(1))
+      .toMap
+    val ratioArr = Array.tabulate(buckets)(b => byBucket.getOrElse(b.toLong, defaultRatio))
+    df.select(
+      col(idCol),
+      gramCount(textCol, n).cast("int").as("n_grams"),
+      round(hashedGramFold(col(textCol), n, buckets, ratioArr, family), 6).as("dsir_weight")
+    )
+  }
+
+  /** The native scoring kernel: Σ gram occurrences of table(bucket).
+    * One fused split+window+hash loop per row (no shingle array, no
+    * interpreted lambda chain) — value-identical to
+    * [[hashedGramFoldComposed]], spec-pinned.
+    */
+  def hashedGramFold(
+      textCol: Column,
+      n: Int,
+      buckets: Int,
+      table: Array[Double],
+      family: HashFamily
+  ): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.HashedGramFold(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(textCol),
+        n,
+        buckets,
+        table.toIndexedSeq,
+        family == HashFamily.XxHash64
       )
+    )
+
+  /** The composed twin of [[hashedGramFold]] — the identity oracle for
+    * its spec pin (and the plain-Spark reading of the semantics).
+    */
+  private[graft] def hashedGramFoldComposed(
+      textCol: Column,
+      n: Int,
+      buckets: Int,
+      table: Array[Double],
+      family: HashFamily
+  ): Column = {
+    val tLit = typedLit(table.toSeq)
+    val toksArr = split(textCol, " ")
+    // spec-only: the inlined split re-evaluates per window index
+    // (O(words²)) — the exact cost class the native form exists to avoid
+    val shingles = transform(
+      sequence(lit(0), greatest(size(toksArr) - lit(n), lit(0))),
+      i => concat_ws(" ", slice(toksArr, i + lit(1), lit(n)))
+    )
+    aggregate(
+      shingles,
+      lit(0.0),
+      (acc, g) => acc + element_at(tLit, (gramBucket(g, buckets, family) + lit(1L)).cast("int"))
+    )
   }
 
   /** [[dsirLogRatios]] + [[dsirWeights]] in one call, fit and scored on
@@ -132,9 +217,13 @@ object Selection {
       textCol: String,
       isTarget: Column,
       buckets: Int = 1024,
-      n: Int = 2
+      n: Int = 2,
+      family: HashFamily = HashFamily.Md5
   ): DataFrame =
-    dsirWeights(df, idCol, textCol, dsirLogRatios(df, textCol, isTarget, buckets, n), buckets, n)
+    dsirWeights(
+      df, idCol, textCol,
+      dsirLogRatios(df, textCol, isTarget, buckets, n, family),
+      buckets, n, family)
 
   /** Uniform (0,1) deterministic per-row noise: md5 over seed+id, first
     * 8 hex digits, +0.5 so the value is never exactly 0 or 1 (both ends

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Classifier, Curation, Selection}
+import graft.operators.{Classifier, Curation, HashFamily, Selection}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -122,6 +122,24 @@ object SelectionQueries extends QueryPack {
           col("doc_id"),
           isTarget.cast("int").as("label"),
           round(Classifier.score(col("text"), model), 6).as("clf_score")
+        )
+        .orderBy(col("doc_id"))
+    },
+    // production-hash twins (xxhash64 bucket instead of md5→hex→conv —
+    // no DuckDB mirror; SelectionSpec pins the family-invariant
+    // semantics, the gated md5 rows pin the math)
+    "q_dsir_weights_xx" -> { (s, dir) =>
+      Selection
+        .dsirScore(docs(s, dir), "doc_id", "text", isTarget, DsirBuckets, n = 2,
+          family = HashFamily.XxHash64)
+        .orderBy(col("doc_id"))
+    },
+    "q_classifier_score_xx" -> { (s, dir) =>
+      val m = closedFormModel.copy(family = HashFamily.XxHash64)
+      docs(s, dir)
+        .select(
+          col("doc_id"),
+          round(Classifier.score(col("text"), m), 6).as("clf_score")
         )
         .orderBy(col("doc_id"))
     }

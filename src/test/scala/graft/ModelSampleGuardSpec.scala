@@ -97,6 +97,9 @@ class ModelSampleGuardSpec extends SparkSpec {
       // collects ≤ buckets + 1 (bucket, gradient) rows per epoch —
       // the model is driver-sized by construction, never the corpus
       "operators/Classifier.scala" -> 1,
+      // buckets-bounded DSIR ratio-table pull feeding the literal-array
+      // scoring fold (the tokenizer-codebook discipline)
+      "operators/Selection.scala" -> 1,
       // measurement mirrors: one-row aggregates (count/sum) and
       // per-batch key sets bounded by the batch, all feeding printed
       // evidence tables, not operator plans

@@ -63,6 +63,54 @@ class SelectionSpec extends SparkSpec {
     assert(math.abs(w(2L) - w2) < 1e-6, s"${w(2L)} vs $w2")
   }
 
+  test("xxhash64 production family preserves the domain separation (different buckets, same signal)") {
+    val scored = Selection
+      .dsirScore(corpus, "doc_id", "text", col("is_target"), buckets = 512, n = 2,
+        family = graft.operators.HashFamily.XxHash64)
+      .join(corpus.select("doc_id", "is_target"), "doc_id")
+    val avg = scored
+      .groupBy(col("is_target"))
+      .agg(org.apache.spark.sql.functions.avg(col("dsir_weight")).as("m"))
+      .collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1))
+      .toMap
+    assert(avg(true) > 0.0 && avg(false) < 0.0 && avg(true) - avg(false) > 5.0,
+      s"xx family lost the separation: ${avg(true)} vs ${avg(false)}")
+  }
+
+  test("native HashedGramFold is value-identical to the composed lambda fold (both families, edges)") {
+    // edge zoo: empty string, single word, doc shorter than n, double/
+    // leading/trailing spaces (empty words), unicode multibyte words,
+    // plus a deterministic word-salad sweep
+    val rnd = new scala.util.Random(7)
+    val vocab = Seq("alpha", "beta", "γάμμα", "delta", "ε", "zeta2", "η…θ")
+    val texts = Seq(
+      "",
+      "one",
+      "one two",
+      "a  b",
+      " lead",
+      "trail ",
+      "naïve café über señor",
+      "x " * 5 + "x"
+    ) ++ (0 until 40).map(_ => Seq.fill(1 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val table = Array.tabulate(64)(b => (b % 13) / 10.0 - 0.6)
+    for (fam <- Seq(graft.operators.HashFamily.Md5, graft.operators.HashFamily.XxHash64);
+         n <- Seq(1, 2, 3)) {
+      val both = df.select(
+        Selection.hashedGramFold(col("text"), n, 64, table, fam).as("native"),
+        graft.operators.Selection
+          .hashedGramFoldComposed(col("text"), n, 64, table, fam)
+          .as("composed")
+      ).collect()
+      both.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getDouble(0) == r.getDouble(1),
+          s"family=$fam n=$n text[$i]=${texts(i).take(40)}: ${r.getDouble(0)} vs ${r.getDouble(1)}")
+      }
+    }
+  }
+
   test("gumbel top-k selects mostly high-weight rows and is deterministic") {
     val weights = Selection.dsirScore(corpus, "doc_id", "text", col("is_target"), 512, 2)
     val sel = Selection.gumbelTopK(weights, "doc_id", "dsir_weight", k = 60, temperature = 1.0)
