@@ -1,6 +1,6 @@
 package graft.examples
 
-import graft.operators.{Curation, Dedup, Similarity, TextAnalysis, Tokenizer}
+import graft.operators.{Classifier, Curation, Dedup, HashFamily, Selection, Similarity, TextAnalysis, Tokenizer}
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -18,6 +18,13 @@ import java.util.concurrent.atomic.AtomicLong
   *   3. MinHash near-dup removal (band join → verify → components);
   *   4. semantic dedup over the embedding sidecar (IVF-cell blocking);
   *   5. fuzzy decontamination against a synthesized eval set;
+  *   5b. (SPARK_GRAFT_SELECT=1) model-based selection — the
+  *      LLaMA-pipeline stage: a trained hashed classifier gates on a
+  *      quality proxy, then DSIR importance resampling keeps the 80%
+  *      most target-like survivors (xxhash64 production family,
+  *      Gumbel-threshold form — no global top-k). Opt-in so the
+  *      standing 9-stage growth tables stay comparable; its own walls
+  *      are recorded in BASELINE.md;
   *   6. unigram-LM tokenizer: corpus-bounded train + scan-local encode;
   *   7. sequence packing to a fixed context;
   *   8. corpus mixing to per-source token budgets (epoch repeats);
@@ -186,11 +193,43 @@ object ProductionPipeline {
         .select("doc_id", "text", "source")
     }
 
+    // 5b (opt-in): model-based selection. The quality proxy splits the
+    // survivors at a fixed heuristic-score bar (percentile-derived so
+    // it tracks the corpus, approx sketch — bounded); the classifier
+    // LEARNS the bar from a 25% fit slice and gates, then DSIR keeps
+    // the 80% most target-like of the gated set. Everything runs the
+    // xxhash64 production family; selection is the Gumbel-THRESHOLD
+    // form (broadcast 1-row cutoff + scan filter — nothing corpus-
+    // sized funnels anywhere).
+    val d5b =
+      if (!sys.env.get("SPARK_GRAFT_SELECT").contains("1")) d5
+      else stage("s5b_model_select") {
+        val qBar = d5
+          .agg(percentile_approx(TextAnalysis.qualityScore(col("text")), lit(0.4), lit(10000)))
+          .head().getDouble(0)
+        val labeled = d5.withColumn(
+          "label", (TextAnalysis.qualityScore(col("text")) >= qBar).cast("int"))
+        val clf = Classifier.train(
+          labeled.filter(Curation.sampleByHash("doc_id", 25)),
+          "doc_id", "text", "label",
+          buckets = 256, epochs = 8, family = HashFamily.XxHash64)
+        val gated = d5.filter(Classifier.score(col("text"), clf) >= 0.5)
+        val weights = Selection.dsirScore(
+          gated, "doc_id", "text",
+          TextAnalysis.qualityScore(col("text")) >= qBar,
+          buckets = 1024, n = 2, family = HashFamily.XxHash64)
+        Selection
+          .gumbelTopFrac(weights, "doc_id", "dsir_weight", frac = 0.8, seed = "sel15")
+          .select("doc_id")
+          .join(gated, "doc_id")
+          .select("doc_id", "text", "source")
+      }
+
     // 6. unigram tokenizer: bounded corpus train (driver EM on the
     // vocabCap word list) + scan-local DP encode
-    val model = Tokenizer.trainUnigram(d5, "text", vocabSize = 512)
+    val model = Tokenizer.trainUnigram(d5b, "text", vocabSize = 512)
     val d6 = stage("s6_tokenize") {
-      Tokenizer.tokenizeUnigram(d5, "text", model)
+      Tokenizer.tokenizeUnigram(d5b, "text", model)
         .select(col("doc_id"), col("source"), col("text"), col("tokens"), col("n_tokens"))
     }
 
@@ -234,7 +273,10 @@ object ProductionPipeline {
     // DAG shares the scan (audit with SPARK_GRAFT_EXPLAIN=1)
     metrics.reset()
     val tf0 = System.nanoTime()
-    val curated = spark.read.parquet(s"$work/s5_decontaminate.parquet")
+    val curatedStage =
+      if (sys.env.get("SPARK_GRAFT_SELECT").contains("1")) "s5b_model_select"
+      else "s5_decontaminate"
+    val curated = spark.read.parquet(s"$work/$curatedStage.parquet")
     val toks = Tokenizer.tokenizeUnigram(curated, "text", model)
       .select(col("doc_id"), col("source"), col("text"), col("tokens"), col("n_tokens"))
     val packed = Curation.packSequences(toks, "doc_id", "source", "n_tokens", ctxTokens = 2048)

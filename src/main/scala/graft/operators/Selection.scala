@@ -270,6 +270,40 @@ object Selection {
       .limit(k)
   }
 
+  /** The keep-a-FRACTION face of [[gumbelTopK]]: retain ~`frac` of the
+    * rows, selection probability ∝ exp(weight/temperature), by
+    * thresholding the same deterministic Gumbel keys at their
+    * (1 − frac) approximate quantile instead of ranking. Top-k is the
+    * wrong op when k is corpus-proportional (a global limit funnels k
+    * rows through one partition); this form is a bounded
+    * `percentile_approx` sketch + a broadcast 1-row cutoff + a
+    * scan-local filter — zero corpus shuffle at any scale. The cutoff
+    * is approximate, so the kept fraction is ~frac (sketch accuracy),
+    * but WHICH rows survive at a given cutoff is exact and
+    * reproducible (the keys are deterministic).
+    */
+  def gumbelTopFrac(
+      weighted: DataFrame,
+      idCol: String,
+      weightCol: String,
+      frac: Double,
+      temperature: Double = 1.0,
+      seed: String = "s42"
+  ): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"frac in (0,1], got $frac")
+    require(temperature > 0.0, s"temperature must be > 0, got $temperature")
+    val keyed = weighted.withColumn(
+      "sel_key",
+      col(weightCol) / lit(temperature) - log(-log(hashUniform(col(idCol), seed)))
+    )
+    val cutoff = keyed.agg(
+      percentile_approx(col("sel_key"), lit(1.0 - frac), lit(10000)).as("__cut"))
+    keyed
+      .crossJoin(broadcast(cutoff))
+      .filter(col("sel_key") >= col("__cut"))
+      .drop("__cut", "sel_key")
+  }
+
   /** Per-domain temperature sampling rates: rate_d =
     * (n_d/N)^alpha normalized so the largest domain keeps rate 1 —
     * alpha < 1 flattens the mixture toward the small domains (mT5 uses

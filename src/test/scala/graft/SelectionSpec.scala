@@ -128,6 +128,23 @@ class SelectionSpec extends SparkSpec {
     assert(again == selected, "same seed must select the same set")
   }
 
+  test("gumbel top-frac keeps ~frac of rows, overrepresents high weights, deterministic") {
+    val weights = Selection.dsirScore(corpus, "doc_id", "text", col("is_target"), 512, 2)
+    val kept = Selection.gumbelTopFrac(weights, "doc_id", "dsir_weight", frac = 0.4)
+    val n = kept.count()
+    assert(math.abs(n - 120L) <= 12, s"kept $n of 300, expected ~120")
+    val targetShare = kept
+      .join(corpus.select("doc_id", "is_target"), "doc_id")
+      .filter(col("is_target"))
+      .count()
+      .toDouble / n
+    // targets are 1/3 of the corpus but carry a >5-nat weight edge
+    assert(targetShare > 0.6, s"target share $targetShare should exceed the 1/3 base rate")
+    val again = Selection.gumbelTopFrac(weights, "doc_id", "dsir_weight", frac = 0.4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == kept.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("temperature rates: alpha=1 is the natural mixture, alpha→0 flattens") {
     val df = (0 until 400)
       .map(i => (i.toLong, if (i % 4 == 0) "small" else "large"))
