@@ -2,7 +2,7 @@ package graft.examples
 
 import graft.core.Period
 import graft.sources.Tables
-import graft.streaming.{BarCascade, DriftMonitor, GapFill, IncrementalDedup, IncrementalSketches, StreamAsOf, StreamingFunnel}
+import graft.streaming.{BarCascade, DriftMonitor, GapFill, IncrementalDedup, IncrementalSelection, IncrementalSketches, StreamAsOf, StreamingFunnel}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -256,6 +256,28 @@ object StreamingScale {
       .agg(count(lit(1)), sum(when(col("alert"), 1).otherwise(0))).head()
     println(s"#   drift log: ${alerts.getLong(0)} batch rows, ${alerts.getLong(1)} alerts " +
       "(self-replay: expected 0 — every slice shares the reference distribution)")
+
+    // ---- H. DSIR count-store maintenance (foreachBatch, stamped) ---------
+    // attach-without-seed: the first stamped micro-batch bootstraps the
+    // store; per batch = ONE GramBucketCounts aggregate → one ~16 KB row
+    val dsirStore = s"$root/dsir_store"
+    val dsirQ = IncrementalSelection.attach(
+      spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(docReplay),
+      dsirStore, "text", array_contains(split(col("text"), " "), "spark"),
+      buckets = 1024,
+      checkpointLocation = Some(s"$root/_chk/dsir"))
+    try {
+      dsirQ.processAllAvailable()
+      println(statOf("dsir count store", dsirQ, rowsOverride = Some(nDocs - per)).row)
+    } finally dsirQ.stop()
+    val dsirBytes = Option(new java.io.File(dsirStore).listFiles())
+      .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val dsirRows = spark.read.parquet(dsirStore).count()
+    val tRefresh = System.nanoTime()
+    val nRatios = IncrementalSelection.ratios(spark, dsirStore, buckets = 1024).count()
+    println(f"#   dsir store after replay: $dsirRows vector rows / ${dsirBytes / 1024}%d KB; " +
+      f"ratio refresh to $nRatios buckets in ${(System.nanoTime() - tRefresh) / 1e9}%.2f s")
 
     println(f"# cadence check: live-equivalent event density = " +
       f"${nEvents / (30.0 * 86400)}%.2f rows/sec; every operator above absorbs 1000x+ that")

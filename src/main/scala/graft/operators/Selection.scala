@@ -90,11 +90,29 @@ object Selection {
       buckets: Int = 1024,
       n: Int = 2,
       family: HashFamily = HashFamily.Md5
-  ): DataFrame = {
-    val countsAgg = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+  ): DataFrame =
+    ratiosFromCountsRow(
+      df.agg(gramCountsAgg(col(textCol), isTarget, buckets, n, family).as("__v")),
+      buckets)
+
+  /** The [[graft.functions.GramBucketCounts]] typed aggregate as a
+    * Column: one 2·buckets long buffer per partition on the exchange
+    * (raw counts in cells [0, buckets), target counts in
+    * [buckets, 2·buckets)). Shared by the batch fit above and the
+    * [[graft.streaming.IncrementalSelection]] per-batch ingest — the
+    * store identity rests on both sides counting with the SAME kernel.
+    */
+  private[graft] def gramCountsAgg(
+      textCol: Column,
+      isTarget: Column,
+      buckets: Int,
+      n: Int,
+      family: HashFamily
+  ): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
       graft.functions
         .GramBucketCounts(
-          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col(textCol)),
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(textCol),
           org.apache.spark.sql.graftbridge.ColumnBridge.expression(isTarget),
           n,
           buckets,
@@ -102,8 +120,17 @@ object Selection {
         )
         .toAggregateExpression()
     )
+
+  /** Count vector → smoothed log-ratio table: `countsRow` is ONE row
+    * with column `__v` (the 2·buckets [[gramCountsAgg]] layout); both
+    * grand totals derive from the vector itself, so an incrementally
+    * summed vector yields ratios IDENTICAL to a from-scratch fit —
+    * integer count addition is exact (the incremental store's identity
+    * contract, StreamingSelectionSpec).
+    */
+  private[graft] def ratiosFromCountsRow(countsRow: DataFrame, buckets: Int): DataFrame = {
     val bD = lit(buckets.toDouble)
-    df.agg(countsAgg.as("__v"))
+    countsRow
       .select(
         col("__v"),
         aggregate(slice(col("__v"), 1, buckets), lit(0L), _ + _).as("__rt"),
