@@ -158,6 +158,112 @@ object Classifier {
     lit(1.0) / (lit(1.0) + exp(-(lit(model.bias) + dot)))
   }
 
+  /** Exact ROC AUC of a scored frame — the Mann-Whitney pair count
+    * with tie-averaging, in INTEGER arithmetic until the final
+    * division, so the value is bit-deterministic at any partitioning
+    * (2·AUC·P·N = Σ_v pos(v)·(2·negBelow(v) + neg(v)) over distinct
+    * score values v). Returns one row (auc, n_pos, n_neg); auc is null
+    * when either class is empty.
+    *
+    * Scale shape — no global rank, no partition-less window:
+    *   1. collapse the corpus to distinct score values (ONE map-side-
+    *      combinable hash agg; 6-dp scores in [0,1] bound this at ~1M
+    *      rows whatever the corpus size);
+    *   2. the cross-bucket negative prefix comes from a COARSE score
+    *      bucketing: ≤`coarseBuckets` rows collapse to a single
+    *      collect_list row whose running sum is an array fold
+    *      (the [[graft.streaming.IncrementalSelection]] merge shape —
+    *      O(coarseBuckets²) once, driver-free), re-exploded and
+    *      broadcast back;
+    *   3. the within-bucket prefix is a window PARTITIONED BY the
+    *      coarse bucket (≤ distinctScores/coarseBuckets rows per
+    *      partition — tiny sorts, never a corpus sort).
+    *
+    * Scores are expected in [0, 1] (a sigmoid output); values outside
+    * clamp into the end buckets, which only coarsens step 2's split —
+    * correctness needs just monotone bucketing, which clamping keeps.
+    */
+  def auc(
+      scored: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      coarseBuckets: Int = 4096
+  ): DataFrame = {
+    require(coarseBuckets >= 1, s"coarseBuckets must be >= 1, got $coarseBuckets")
+    val per = scored
+      .groupBy(col(scoreCol).as("__s"))
+      .agg(
+        sum(col(labelCol).cast("long")).as("__pos"),
+        (count(lit(1)) - sum(col(labelCol).cast("long"))).as("__neg")
+      )
+      .select(col("__s"), col("__pos"), col("__neg"),
+        least(
+          greatest(floor(col("__s") * lit(coarseBuckets)), lit(0.0)),
+          lit((coarseBuckets - 1).toDouble)
+        ).cast("long").as("__c"))
+    // coarse negative totals → one row → running sum by array fold
+    val below = per
+      .groupBy(col("__c")).agg(sum(col("__neg")).as("__negc"))
+      .agg(collect_list(struct(col("__c"), col("__negc"))).as("__pc"))
+      .select(array_sort(col("__pc")).as("__pc"))
+      .select(posexplode(transform(
+        col("__pc"),
+        (x, i) => struct(
+          x.getField("__c").as("__c"),
+          aggregate(slice(col("__pc"), lit(1), i), lit(0L), (acc, e) => acc + e.getField("__negc"))
+            .as("__below")))))
+      .select(col("col.__c").as("__c"), col("col.__below").as("__below"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__c")).orderBy(col("__s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    per
+      .join(broadcast(below), "__c")
+      .withColumn("__within", coalesce(sum(col("__neg")).over(w), lit(0L)))
+      .agg(
+        sum(col("__pos") * (lit(2L) * (col("__below") + col("__within")) + col("__neg")))
+          .as("__num2"),
+        sum(col("__pos")).as("n_pos"),
+        sum(col("__neg")).as("n_neg")
+      )
+      .select(
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(col("__num2").cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg")), 6)).as("auc"),
+        col("n_pos"),
+        col("n_neg")
+      )
+  }
+
+  /** Reliability diagram: `bins` equal-width score buckets, each with
+    * its document count, decimal-summed mean score (confidence) and
+    * positive fraction (accuracy) — the calibration evidence next to
+    * [[auc]]'s ranking evidence. One hash agg; bucket count bounds the
+    * output whatever the corpus size.
+    */
+  def calibrationBins(
+      scored: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      bins: Int = 20
+  ): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val dec = org.apache.spark.sql.types.DecimalType(28, 18)
+    scored
+      .groupBy(
+        least(
+          greatest(floor(col(scoreCol) * lit(bins)), lit(0.0)),
+          lit((bins - 1).toDouble)
+        ).cast("long").as("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(sum(col(scoreCol).cast(dec)).cast("double") / count(lit(1)), 6)
+          .as("mean_score"),
+        round((sum(col(labelCol).cast("long")).cast("double") / count(lit(1))), 6)
+          .as("frac_pos")
+      )
+      .orderBy(col("bin"))
+  }
+
   /** The pre-kernel composed twin of [[score]] (interpreted
     * aggregate-lambda fold) — retained as the identity oracle for the
     * native kernel's spec pin.

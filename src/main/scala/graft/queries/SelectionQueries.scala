@@ -107,8 +107,23 @@ object SelectionQueries extends QueryPack {
           round(Classifier.score(col("text"), closedFormModel), 6).as("clf_score")
         )
         .orderBy(col("doc_id"))
+    },
+    // exact tie-averaged ROC AUC of the closed-form scorer against the
+    // target label — integer pair-count math (Classifier.auc), so the
+    // single output double is engine-exact
+    "q_classifier_auc" -> { (s, dir) =>
+      Classifier.auc(scoredClosedForm(s, dir), "clf_score", "label")
+    },
+    // reliability diagram: 20 equal-width bins, decimal-summed means
+    "q_classifier_calibration" -> { (s, dir) =>
+      Classifier.calibrationBins(scoredClosedForm(s, dir), "clf_score", "label", bins = 20)
     }
   )
+
+  private def scoredClosedForm(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      round(Classifier.score(col("text"), closedFormModel), 6).as("clf_score"),
+      isTarget.cast("int").as("label"))
 
   override def benchDefs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // full train-then-score loop: fit on the 25% hash slice, score the
@@ -142,6 +157,17 @@ object SelectionQueries extends QueryPack {
           round(Classifier.score(col("text"), m), 6).as("clf_score")
         )
         .orderBy(col("doc_id"))
+    },
+    // AUC of the TRAINED model — the fit is float GD (no DuckDB
+    // mirror); ClassifierSpec pins that this lands >0.95 on separable
+    // data while the closed-form row above sits near 0.5
+    "q_classifier_auc_trained" -> { (s, dir) =>
+      val model = trainedModel(s, dir)
+      Classifier.auc(
+        docs(s, dir).select(
+          round(Classifier.score(col("text"), model), 6).as("clf_score"),
+          isTarget.cast("int").as("label")),
+        "clf_score", "label")
     }
   )
 
@@ -204,7 +230,40 @@ object SelectionQueries extends QueryPack {
           |                  SUM(((CAST('0x' || SUBSTRING(MD5(tok),1,8) AS BIGINT) % 256) % 101) / 100.0 - 0.5) AS sw
           |           FROM tw GROUP BY doc_id)
           |SELECT doc_id, ROUND(1.0 / (1.0 + EXP(-(0.1 + sw / n))), 6) AS clf_score
-          |FROM scored ORDER BY doc_id""".stripMargin
+          |FROM scored ORDER BY doc_id""".stripMargin,
+      // tie-averaged pair-count AUC over DISTINCT 6-dp score values —
+      // the window's ORDER BY key is unique by construction (the
+      // per-distinct-score grouping), satisfying the tie-break rule
+      "q_classifier_auc" ->
+        s"""$scoredLabeledCte,
+           |per AS (SELECT s, SUM(y) AS pos, COUNT(*) - SUM(y) AS neg FROM sc GROUP BY s),
+           |k AS (SELECT s, pos, neg,
+           |             COALESCE(SUM(neg) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+           |      FROM per)
+           |SELECT ROUND(SUM(pos * (2*below + neg)) / (2.0 * (SELECT SUM(pos) FROM per) * (SELECT SUM(neg) FROM per)), 6) AS auc,
+           |       CAST((SELECT SUM(pos) FROM per) AS BIGINT) AS n_pos,
+           |       CAST((SELECT SUM(neg) FROM per) AS BIGINT) AS n_neg
+           |FROM k""".stripMargin,
+      "q_classifier_calibration" ->
+        s"""$scoredLabeledCte
+           |SELECT CAST(LEAST(GREATEST(FLOOR(s*20),0), 19) AS BIGINT) AS bin,
+           |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |       ROUND(CAST(SUM(CAST(s AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*), 6) AS mean_score,
+           |       ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS frac_pos
+           |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
     )
   }
+
+  /** Shared oracle CTE: the closed-form classifier score joined with
+    * the target label (mirrors [[scoredClosedForm]]).
+    */
+  private def scoredLabeledCte: String =
+    """WITH toks AS (SELECT doc_id, STRING_SPLIT(text,' ') AS t FROM documents),
+      |tw AS (SELECT doc_id, LEN(t) AS n, UNNEST(t) AS tok FROM toks),
+      |scored AS (SELECT doc_id, ANY_VALUE(n) AS n,
+      |                  SUM(((CAST('0x' || SUBSTRING(MD5(tok),1,8) AS BIGINT) % 256) % 101) / 100.0 - 0.5) AS sw
+      |           FROM tw GROUP BY doc_id),
+      |lab AS (SELECT doc_id, CASE WHEN LIST_CONTAINS(STRING_SPLIT(text,' '), 'spark') THEN 1 ELSE 0 END AS y FROM documents),
+      |sc AS (SELECT s.doc_id, ROUND(1.0 / (1.0 + EXP(-(0.1 + sw / n))), 6) AS s, lab.y
+      |       FROM scored s JOIN lab USING(doc_id))""".stripMargin
 }

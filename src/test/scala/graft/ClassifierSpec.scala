@@ -87,4 +87,71 @@ class ClassifierSpec extends SparkSpec {
       assert(model.weights(bucketOf(t)) < 0.0, s"weight for '$t' not negative")
     }
   }
+
+  // ---- evaluation: exact AUC + calibration bins -------------------------
+
+  private def aucOf(rows: Seq[(Double, Int)], coarse: Int = 4096): (Option[Double], Long, Long) = {
+    val df = rows.toDF("s", "y")
+    val r = Classifier.auc(df, "s", "y", coarseBuckets = coarse).head()
+    (if (r.isNullAt(0)) None else Some(r.getDouble(0)), r.getLong(1), r.getLong(2))
+  }
+
+  test("auc: hand-computed tie case (Mann-Whitney with average ranks)") {
+    // scores: pos at {0.8, 0.4}, neg at {0.4, 0.2}
+    // pairs: (0.8 vs 0.4)=1, (0.8 vs 0.2)=1, (0.4 vs 0.4)=0.5, (0.4 vs 0.2)=1
+    // AUC = 3.5 / 4 = 0.875
+    val (auc, p, n) = aucOf(Seq((0.8, 1), (0.4, 1), (0.4, 0), (0.2, 0)))
+    assert(auc.contains(0.875) && p == 2 && n == 2, s"got $auc $p/$n")
+  }
+
+  test("auc: perfect separation is 1, reversed is 0, constant scores are 0.5") {
+    assert(aucOf(Seq((0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)))._1.contains(1.0))
+    assert(aucOf(Seq((0.1, 1), (0.2, 1), (0.8, 0), (0.9, 0)))._1.contains(0.0))
+    assert(aucOf(Seq((0.5, 1), (0.5, 0), (0.5, 1), (0.5, 0)))._1.contains(0.5))
+  }
+
+  test("auc: single-class input returns null with honest counts") {
+    val (auc, p, n) = aucOf(Seq((0.9, 1), (0.4, 1)))
+    assert(auc.isEmpty && p == 2 && n == 0)
+  }
+
+  test("auc is invariant to the coarse bucketing (including one bucket) and matches a driver reference") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 500).map { _ =>
+      val y = rnd.nextInt(2)
+      // overlapping but shifted distributions + heavy ties via 2-dp rounding
+      val s = math.rint((rnd.nextDouble() * 0.8 + y * 0.2) * 100) / 100.0
+      (s, y)
+    }
+    // driver reference: pairwise count
+    val pos = rows.filter(_._2 == 1).map(_._1)
+    val neg = rows.filter(_._2 == 0).map(_._1)
+    val wins = (for (a <- pos; b <- neg)
+      yield if (a > b) 1.0 else if (a == b) 0.5 else 0.0).sum
+    val ref = math.rint(wins / (pos.size * neg.size) * 1e6) / 1e6
+    for (c <- Seq(1, 7, 4096)) {
+      val (auc, _, _) = aucOf(rows, coarse = c)
+      assert(auc.contains(ref), s"coarse=$c: ${auc} vs driver $ref")
+    }
+  }
+
+  test("trained model AUC beats 0.95 on the separable fixture (q_classifier_auc_trained's pin)") {
+    // PlanGuardSpec sweeps the gated/benched auc plans for the
+    // partition-less-window and sort-aggregate prohibitions
+    val scored = labeled.select(
+      round(Classifier.score(col("text"), model), 6).as("s"), col("label"))
+    val auc = Classifier.auc(scored, "s", "label").head().getDouble(0)
+    assert(auc > 0.95, s"trained AUC $auc")
+  }
+
+  test("calibration bins: counts, decimal-exact means, clamped edge bins") {
+    val rows = Seq((0.05, 0), (0.12, 0), (0.18, 1), (1.0, 1), (-0.2, 0))
+    val out = Classifier.calibrationBins(rows.toDF("s", "y"), "s", "y", bins = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // bin 0: {0.05, -0.2} (clamp below); bin 1: {0.12, 0.18}; bin 9: {1.0} (clamp above)
+    assert(out.toSeq == Seq(
+      (0L, 2L, math.rint((0.05 - 0.2) / 2 * 1e6) / 1e6, 0.0),
+      (1L, 2L, 0.15, 0.5),
+      (9L, 1L, 1.0, 1.0)), s"got ${out.toSeq}")
+  }
 }
