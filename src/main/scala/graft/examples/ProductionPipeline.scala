@@ -203,7 +203,7 @@ object ProductionPipeline {
     // sized funnels anywhere).
     val d5b =
       if (!sys.env.get("SPARK_GRAFT_SELECT").contains("1")) d5
-      else stage("s5b_model_select") {
+      else {
         val qBar = d5
           .agg(percentile_approx(TextAnalysis.qualityScore(col("text")), lit(0.4), lit(10000)))
           .head().getDouble(0)
@@ -213,16 +213,28 @@ object ProductionPipeline {
           labeled.filter(Curation.sampleByHash("doc_id", 25)),
           "doc_id", "text", "label",
           buckets = 256, epochs = 8, family = HashFamily.XxHash64)
-        val gated = d5.filter(Classifier.score(col("text"), clf) >= 0.5)
-        val weights = Selection.dsirScore(
-          gated, "doc_id", "text",
-          TextAnalysis.qualityScore(col("text")) >= qBar,
-          buckets = 1024, n = 2, family = HashFamily.XxHash64)
-        Selection
-          .gumbelTopFrac(weights, "doc_id", "dsir_weight", frac = 0.8, seed = "sel15")
-          .select("doc_id")
-          .join(gated, "doc_id")
-          .select("doc_id", "text", "source")
+        val sel = stage("s5b_model_select") {
+          val gated = d5.filter(Classifier.score(col("text"), clf) >= 0.5)
+          val weights = Selection.dsirScore(
+            gated, "doc_id", "text",
+            TextAnalysis.qualityScore(col("text")) >= qBar,
+            buckets = 1024, n = 2, family = HashFamily.XxHash64)
+          Selection
+            .gumbelTopFrac(weights, "doc_id", "dsir_weight", frac = 0.8, seed = "sel15")
+            .select("doc_id")
+            .join(gated, "doc_id")
+            .select("doc_id", "text", "source")
+        }
+        // held-out evaluation: the 75% hash-complement never saw the
+        // fit — the production sanity check that the learned gate
+        // actually ranks the quality label before it filters the crawl
+        val ev = Classifier.auc(
+          labeled.filter(not(Curation.sampleByHash("doc_id", 25)))
+            .select(round(Classifier.score(col("text"), clf), 6).as("s"), col("label")),
+          "s", "label").head()
+        println(f"[eval ] s5b held-out AUC ${ev.getDouble(0)}%.4f " +
+          f"(${ev.getLong(1)}%d pos / ${ev.getLong(2)}%d neg held-out docs)")
+        sel
       }
 
     // 6. unigram tokenizer: bounded corpus train (driver EM on the

@@ -168,6 +168,16 @@ object SelectionQueries extends QueryPack {
           round(Classifier.score(col("text"), model), 6).as("clf_score"),
           isTarget.cast("int").as("label")),
         "clf_score", "label")
+    },
+    // production-hash AUC twin (xxhash64 scoring — the md5 gated row
+    // prices the oracle form; this is what a deployment runs)
+    "q_classifier_auc_xx" -> { (s, dir) =>
+      val m = closedFormModel.copy(family = HashFamily.XxHash64)
+      Classifier.auc(
+        docs(s, dir).select(
+          round(Classifier.score(col("text"), m), 6).as("clf_score"),
+          isTarget.cast("int").as("label")),
+        "clf_score", "label")
     }
   )
 
