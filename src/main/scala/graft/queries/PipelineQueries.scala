@@ -107,6 +107,17 @@ object PipelineQueries extends QueryPack {
           bits))
       o.select(col("o_orderkey"), zc.as("z")).orderBy(col("o_orderkey"))
     },
+    // the training-shard manifest (Lake.shardManifest): deterministic
+    // md5 shard assignment, per-shard example/token counts and an
+    // order-independent bit_xor content checksum — the loader-side
+    // artifact of Lake.writeTrainingShards, gate-checked cell-for-cell
+    "q_shard_manifest" -> { (s, dir) =>
+      graft.sources.Lake.shardManifest(
+        Tables.load(s, dir, "documents")
+          .withColumn("n_tok", size(split(col("text"), " ")).cast("long")),
+        "doc_id", Seq("doc_id", "text"), nShards = 64, seed = "sh15",
+        tokenCol = Some("n_tok"))
+    },
     // the persisted-sketch loop gated end-to-end: WRITE per-(source ×
     // shard) KLL cells, READ them back to per-source quantiles with the
     // binary-merge aggregate — still inside the exactness window, so
@@ -1513,6 +1524,17 @@ object PipelineQueries extends QueryPack {
                     Seq("(o_orderkey % 256)", "(o_custkey % 256)"), 8)}) AS z
          |FROM orders
          |ORDER BY o_orderkey""".stripMargin,
+    "q_shard_manifest" ->
+      """WITH sh AS (SELECT
+        |  CAST('0x' || SUBSTRING(MD5('sh15-' || CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 64 AS shard,
+        |  LEN(STRING_SPLIT(text,' ')) AS n_tok,
+        |  CAST('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR) || CHR(1) || text),1,8) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT shard,
+        |       CAST(COUNT(*) AS BIGINT) AS n_examples,
+        |       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |       BIT_XOR(h) AS checksum
+        |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
     "q_quantile_sketch" ->
       """SELECT lang,
         |       CAST(quantile_disc(n_chars, 0.50) AS DOUBLE) AS p50,

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Date-partitioned storage layout — the second storage axis (with
   * [[Bucketing]]) a 100 TB corpus needs: data lands in day shards, and
@@ -177,5 +177,96 @@ object Lake {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .mode("overwrite")
       .parquet(path)
+  }
+
+  // ---- training-shard layout: the FOURTH storage axis ------------------
+
+  /** Deterministic shard id in [0, nShards): the
+    * [[graft.operators.Curation.sampleByHash]] id-hash convention at
+    * shard granularity — md5 (oracle-mirrorable) or xxhash64
+    * (production). A pure function of the id: stable across runs,
+    * engines, partitionings, and re-executions, and size-balanced in
+    * expectation, so shard layout never needs a global rank — the
+    * row_number-per-shard alternative is a corpus sort at 100 TB.
+    */
+  def shardAssign(
+      idCol: Column,
+      nShards: Int,
+      seed: String,
+      family: graft.operators.HashFamily = graft.operators.HashFamily.Md5
+  ): Column = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val tagged = concat(lit(seed + "-"), idCol.cast("string"))
+    family match {
+      case graft.operators.HashFamily.Md5 =>
+        conv(substring(md5(tagged.cast("binary")), 1, 8), 16, 10).cast("long") %
+          nShards.toLong
+      case graft.operators.HashFamily.XxHash64 =>
+        pmod(xxhash64(tagged), lit(nShards.toLong))
+    }
+  }
+
+  /** KB-scale shard manifest — the artifact a training loader consumes:
+    * one row per shard with example count, token mass, and an
+    * ORDER-INDEPENDENT content checksum (bit_xor of per-row hashes over
+    * `contentCols`, joined on the \u0001 separator — order independence is what lets the
+    * read-back of a distributed write verify against a manifest
+    * computed before it, with no ordering contract between the two).
+    * One map-side-combinable hash aggregate; output is nShards rows
+    * whatever the corpus size.
+    */
+  def shardManifest(
+      df: DataFrame,
+      idCol: String,
+      contentCols: Seq[String],
+      nShards: Int,
+      seed: String,
+      tokenCol: Option[String] = None,
+      family: graft.operators.HashFamily = graft.operators.HashFamily.Md5
+  ): DataFrame = {
+    require(contentCols.nonEmpty, "shardManifest needs at least one content column")
+    val joined = concat_ws("\u0001", contentCols.map(col(_).cast("string")): _*)
+    val rowHash = family match {
+      case graft.operators.HashFamily.Md5 =>
+        conv(substring(md5(joined.cast("binary")), 1, 8), 16, 10).cast("long")
+      case graft.operators.HashFamily.XxHash64 => xxhash64(joined)
+    }
+    val toks = tokenCol.map(t => sum(col(t).cast("long"))).getOrElse(lit(null).cast("long"))
+    df.withColumn("shard", shardAssign(col(idCol), nShards, seed, family))
+      .withColumn("__h", rowHash)
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_examples"),
+        toks.as("n_tokens"),
+        expr("bit_xor(__h)").as("checksum")
+      )
+      .orderBy(col("shard"))
+  }
+
+  /** Write the corpus as `nShards` hash-assigned shard directories
+    * (`shard=K/`) with a deterministic in-shard order (the id), and
+    * return the manifest computed from the INPUT frame — re-run
+    * [[shardManifest]] on the read-back to verify write fidelity
+    * (LakeSpec does; the checksums are order-independent, so the
+    * verification needs no ordering contract from parquet).
+    */
+  def writeTrainingShards(
+      df: DataFrame,
+      idCol: String,
+      contentCols: Seq[String],
+      dir: String,
+      nShards: Int,
+      seed: String = "shard17",
+      tokenCol: Option[String] = None,
+      family: graft.operators.HashFamily = graft.operators.HashFamily.Md5
+  ): DataFrame = {
+    df.withColumn("shard", shardAssign(col(idCol), nShards, seed, family))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col(idCol))
+      .write
+      .partitionBy("shard")
+      .mode("overwrite")
+      .parquet(dir)
+    shardManifest(df, idCol, contentCols, nShards, seed, tokenCol, family)
   }
 }

@@ -137,4 +137,77 @@ class LakeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val third = Lake.compact(spark, dir, targetBytes = bytes / 3)
     assert(third == again && parquetFiles == again.toInt)
   }
+
+  // ---- training shards + manifest ---------------------------------------
+
+  private def md5First8(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16)
+  }
+
+  test("shard manifest matches a driver reference cell-for-cell") {
+    import spark.implicits._
+    val rows = (0 until 400).map(i => (i.toLong, s"doc $i " + ("w " * (i % 7)).trim, (i % 7 + 2).toLong))
+    val df = rows.toDF("id", "text", "n_tok")
+    val got = Lake
+      .shardManifest(df, "id", Seq("id", "text"), nShards = 16, seed = "t1", tokenCol = Some("n_tok"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val ref = rows
+      .groupBy { case (id, _, _) => md5First8(s"t1-$id") % 16 }
+      .view.mapValues { g =>
+        (g.size.toLong,
+          g.map(_._3).sum,
+          g.map { case (id, t, _) => md5First8(s"${id}\u0001${t}") }.reduce(_ ^ _))
+      }.toMap
+    assert(got == ref, s"manifest diverges from driver reference")
+    // expectation-balance on hash assignment: no shard empty, none > 3x mean
+    val counts = got.values.map(_._1)
+    assert(counts.min > 0 && counts.max <= 3 * 400 / 16, s"imbalanced: $counts")
+  }
+
+  test("writeTrainingShards: read-back re-manifests identically and the layout matches the assignment") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val df = (0 until 500)
+      .map(i => (i.toLong, s"body $i ${"x" * (i % 5)}", (i % 5 + 1).toLong))
+      .toDF("id", "text", "n_tok")
+    val pre = Lake
+      .writeTrainingShards(df, "id", Seq("id", "text"), dir, nShards = 8, seed = "sh", tokenCol = Some("n_tok"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val back = spark.read.parquet(dir)
+    // the physical shard= directory of every row IS its hash assignment
+    val misplaced = back
+      .filter(col("shard").cast("long") =!= Lake.shardAssign(col("id"), 8, "sh"))
+      .count()
+    assert(misplaced == 0, s"$misplaced rows in the wrong shard directory")
+    // order-independent checksums: re-manifest of the read-back (no
+    // ordering contract) equals the pre-write manifest
+    val post = Lake
+      .shardManifest(back.drop("shard"), "id", Seq("id", "text"), nShards = 8, seed = "sh", tokenCol = Some("n_tok"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(post == pre, "read-back manifest diverges from the pre-write manifest")
+    // one parquet file per shard directory (the repartition contract)
+    val shardDirs = Option(new java.io.File(dir).listFiles()).get
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(shardDirs.length == 8)
+    shardDirs.foreach { d =>
+      val files = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files == 1, s"${d.getName} has $files parquet files")
+    }
+  }
+
+  test("xx shard family keeps the balance and write/read identity") {
+    import spark.implicits._
+    val df = (0 until 600).map(i => (i.toLong, s"t $i")).toDF("id", "text")
+    val m = Lake
+      .shardManifest(df, "id", Seq("id", "text"), nShards = 12, seed = "p",
+        family = graft.operators.HashFamily.XxHash64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(m.length == 12 && m.map(_._2).sum == 600)
+    assert(m.map(_._2).min > 0 && m.map(_._2).max <= 3 * 600 / 12)
+    // n_tokens column is an honest null when no token column is given
+    val row = Lake.shardManifest(df, "id", Seq("text"), 4, "p").head()
+    assert(row.isNullAt(2))
+  }
 }
