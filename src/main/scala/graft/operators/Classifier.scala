@@ -165,22 +165,30 @@ object Classifier {
     * score values v). Returns one row (auc, n_pos, n_neg); auc is null
     * when either class is empty.
     *
-    * Scale shape — no global rank, no partition-less window:
+    * Scale shape — ONE scoring scan, no global rank, no partition-less
+    * window. The pair count decomposes by coarse score bucket c:
+    *
+    *   num2 = Σ_c [Σ_{v∈c} pos(v)·(2·negBelowWithin(v) + neg(v))]   (A)
+    *        + 2·Σ_c posTot(c)·negTotBelow(c)                        (B)
+    *
+    * so the plan is a straight chain that references the scored frame
+    * exactly once (an earlier cut joined a coarse-prefix frame back
+    * onto the distinct-score frame — Catalyst duplicates a twice-
+    * referenced subtree, so the expensive scoring scan ran TWICE;
+    * BASELINE.md round 15):
     *   1. collapse the corpus to distinct score values (ONE map-side-
     *      combinable hash agg; 6-dp scores in [0,1] bound this at ~1M
     *      rows whatever the corpus size);
-    *   2. the cross-bucket negative prefix comes from a COARSE score
-    *      bucketing: ≤`coarseBuckets` rows collapse to a single
-    *      collect_list row whose running sum is an array fold
-    *      (the [[graft.streaming.IncrementalSelection]] merge shape —
-    *      O(coarseBuckets²) once, driver-free), re-exploded and
-    *      broadcast back;
-    *   3. the within-bucket prefix is a window PARTITIONED BY the
-    *      coarse bucket (≤ distinctScores/coarseBuckets rows per
-    *      partition — tiny sorts, never a corpus sort).
+    *   2. within-bucket prefix via a window PARTITIONED BY the coarse
+    *      bucket (≤ distinctScores/coarseBuckets rows per partition —
+    *      tiny sorts, never a corpus sort), folded immediately into
+    *      per-bucket partials (A) and totals;
+    *   3. the ≤`coarseBuckets` partial rows collapse to one
+    *      collect_list row whose sorted array fold adds the cross-
+    *      bucket term (B) — driver-free, KB-scale.
     *
     * Scores are expected in [0, 1] (a sigmoid output); values outside
-    * clamp into the end buckets, which only coarsens step 2's split —
+    * clamp into the end buckets, which only coarsens the bucket split —
     * correctness needs just monotone bucketing, which clamping keeps.
     */
   def auc(
@@ -201,29 +209,32 @@ object Classifier {
           greatest(floor(col("__s") * lit(coarseBuckets)), lit(0.0)),
           lit((coarseBuckets - 1).toDouble)
         ).cast("long").as("__c"))
-    // coarse negative totals → one row → running sum by array fold
-    val below = per
-      .groupBy(col("__c")).agg(sum(col("__neg")).as("__negc"))
-      .agg(collect_list(struct(col("__c"), col("__negc"))).as("__pc"))
-      .select(array_sort(col("__pc")).as("__pc"))
-      .select(posexplode(transform(
-        col("__pc"),
-        (x, i) => struct(
-          x.getField("__c").as("__c"),
-          aggregate(slice(col("__pc"), lit(1), i), lit(0L), (acc, e) => acc + e.getField("__negc"))
-            .as("__below")))))
-      .select(col("col.__c").as("__c"), col("col.__below").as("__below"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__c")).orderBy(col("__s"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    per
-      .join(broadcast(below), "__c")
+    val perBucket = per
       .withColumn("__within", coalesce(sum(col("__neg")).over(w), lit(0L)))
+      .groupBy(col("__c"))
       .agg(
-        sum(col("__pos") * (lit(2L) * (col("__below") + col("__within")) + col("__neg")))
-          .as("__num2"),
-        sum(col("__pos")).as("n_pos"),
-        sum(col("__neg")).as("n_neg")
+        sum(col("__pos") * (lit(2L) * col("__within") + col("__neg"))).as("__partial"),
+        sum(col("__pos")).as("__p"),
+        sum(col("__neg")).as("__n")
+      )
+    val zero = struct(lit(0L).as("num2"), lit(0L).as("negBelow"))
+    perBucket
+      .agg(collect_list(struct(col("__c"), col("__partial"), col("__p"), col("__n"))).as("__b"))
+      .select(array_sort(col("__b")).as("__b"))
+      .select(
+        aggregate(
+          col("__b"),
+          zero,
+          (st, e) => struct(
+            (st.getField("num2") + e.getField("__partial") +
+              lit(2L) * e.getField("__p") * st.getField("negBelow")).as("num2"),
+            (st.getField("negBelow") + e.getField("__n")).as("negBelow"))
+        ).getField("num2").as("__num2"),
+        aggregate(col("__b"), lit(0L), (acc, e) => acc + e.getField("__p")).as("n_pos"),
+        aggregate(col("__b"), lit(0L), (acc, e) => acc + e.getField("__n")).as("n_neg")
       )
       .select(
         when(col("n_pos") > 0 && col("n_neg") > 0,
