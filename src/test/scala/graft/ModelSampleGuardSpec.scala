@@ -104,6 +104,8 @@ class ModelSampleGuardSpec extends SparkSpec {
       // per-batch key sets bounded by the batch, all feeding printed
       // evidence tables, not operator plans
       "examples/AnnIngestionScale.scala" -> 2,
+      // nShards-bounded manifest pulls (pre-write + read-back verify)
+      "examples/ShardWriteScale.scala" -> 2,
       "examples/Scd2IngestionScale.scala" -> 3,
       "examples/RuntimeEvents.scala" -> 1,
       "examples/HoppingPull.scala" -> 1,
