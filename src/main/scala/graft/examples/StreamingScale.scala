@@ -2,7 +2,7 @@ package graft.examples
 
 import graft.core.Period
 import graft.sources.Tables
-import graft.streaming.{BarCascade, DriftMonitor, GapFill, IncrementalDedup, IncrementalSelection, IncrementalSketches, StreamAsOf, StreamingFunnel}
+import graft.streaming.{BarCascade, DriftMonitor, GapFill, IncrementalDedup, IncrementalManifest, IncrementalSelection, IncrementalSketches, StreamAsOf, StreamingFunnel}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -278,6 +278,24 @@ object StreamingScale {
     val nRatios = IncrementalSelection.ratios(spark, dsirStore, buckets = 1024).count()
     println(f"#   dsir store after replay: $dsirRows vector rows / ${dsirBytes / 1024}%d KB; " +
       f"ratio refresh to $nRatios buckets in ${(System.nanoTime() - tRefresh) / 1e9}%.2f s")
+
+    // ---- I. shard-manifest maintenance (foreachBatch, stamped) -----------
+    val manStore = s"$root/manifest_store"
+    val manQ = IncrementalManifest.attach(
+      spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(docReplay),
+      manStore, "doc_id", Seq("doc_id", "text"), nShards = 256, seed = "ms15",
+      family = graft.operators.HashFamily.XxHash64,
+      checkpointLocation = Some(s"$root/_chk/manifest"))
+    try {
+      manQ.processAllAvailable()
+      println(statOf("shard manifest store", manQ, rowsOverride = Some(nDocs - per)).row)
+    } finally manQ.stop()
+    val manRows = spark.read.parquet(manStore).count()
+    val tMan = System.nanoTime()
+    val liveShards = IncrementalManifest.manifest(spark, manStore).count()
+    println(f"#   manifest store after replay: $manRows per-batch rows; " +
+      f"live rollup to $liveShards shards in ${(System.nanoTime() - tMan) / 1e9}%.2f s")
 
     println(f"# cadence check: live-equivalent event density = " +
       f"${nEvents / (30.0 * 86400)}%.2f rows/sec; every operator above absorbs 1000x+ that")
