@@ -232,8 +232,14 @@ object ProductionPipeline {
           labeled.filter(not(Curation.sampleByHash("doc_id", 25)))
             .select(round(Classifier.score(col("text"), clf), 6).as("s"), col("label")),
           "s", "label").head()
-        println(f"[eval ] s5b held-out AUC ${ev.getDouble(0)}%.4f " +
-          f"(${ev.getLong(1)}%d pos / ${ev.getLong(2)}%d neg held-out docs)")
+        // auc is NULL when the held-out slice is single-class — report
+        // that instead of letting getDouble throw on a degenerate split
+        if (ev.isNullAt(0))
+          println(s"[eval ] s5b held-out AUC undefined (single class: " +
+            s"${ev.getLong(1)} pos / ${ev.getLong(2)} neg held-out docs)")
+        else
+          println(f"[eval ] s5b held-out AUC ${ev.getDouble(0)}%.4f " +
+            f"(${ev.getLong(1)}%d pos / ${ev.getLong(2)}%d neg held-out docs)")
         sel
       }
 

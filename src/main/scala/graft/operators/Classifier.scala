@@ -159,8 +159,10 @@ object Classifier {
   }
 
   /** Exact ROC AUC of a scored frame — the Mann-Whitney pair count
-    * with tie-averaging, in INTEGER arithmetic until the final
-    * division, so the value is bit-deterministic at any partitioning
+    * with tie-averaging, in exact integer arithmetic (decimal(38,0)
+    * for the pair products, whose 2·P·N bound exceeds Long range past
+    * ~2.1e9 rows per class) until the final division, so the value is
+    * bit-deterministic at any partitioning
     * (2·AUC·P·N = Σ_v pos(v)·(2·negBelow(v) + neg(v)) over distinct
     * score values v). Returns one row (auc, n_pos, n_neg); auc is null
     * when either class is empty.
@@ -198,6 +200,11 @@ object Classifier {
       coarseBuckets: Int = 4096
   ): DataFrame = {
     require(coarseBuckets >= 1, s"coarseBuckets must be >= 1, got $coarseBuckets")
+    // num2 is bounded by 2·P·N — past ~2.1e9 rows PER CLASS that
+    // exceeds Long range, so every pair-count product is carried as
+    // decimal(38,0) (exact integers to 1e38) until the final division;
+    // the count sums (__pos/__neg/negBelow ≤ total rows) stay long
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val per = scored
       .groupBy(col(scoreCol).as("__s"))
       .agg(
@@ -216,11 +223,12 @@ object Classifier {
       .withColumn("__within", coalesce(sum(col("__neg")).over(w), lit(0L)))
       .groupBy(col("__c"))
       .agg(
-        sum(col("__pos") * (lit(2L) * col("__within") + col("__neg"))).as("__partial"),
+        sum(col("__pos").cast(d38) * (lit(2L) * col("__within") + col("__neg")).cast(d38))
+          .cast(d38).as("__partial"),
         sum(col("__pos")).as("__p"),
         sum(col("__neg")).as("__n")
       )
-    val zero = struct(lit(0L).as("num2"), lit(0L).as("negBelow"))
+    val zero = struct(lit(java.math.BigDecimal.ZERO).cast(d38).as("num2"), lit(0L).as("negBelow"))
     perBucket
       .agg(collect_list(struct(col("__c"), col("__partial"), col("__p"), col("__n"))).as("__b"))
       .select(array_sort(col("__b")).as("__b"))
@@ -230,7 +238,8 @@ object Classifier {
           zero,
           (st, e) => struct(
             (st.getField("num2") + e.getField("__partial") +
-              lit(2L) * e.getField("__p") * st.getField("negBelow")).as("num2"),
+              (lit(2L) * e.getField("__p")).cast(d38) * st.getField("negBelow").cast(d38))
+              .cast(d38).as("num2"),
             (st.getField("negBelow") + e.getField("__n")).as("negBelow"))
         ).getField("num2").as("__num2"),
         aggregate(col("__b"), lit(0L), (acc, e) => acc + e.getField("__p")).as("n_pos"),

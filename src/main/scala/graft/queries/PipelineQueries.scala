@@ -1528,7 +1528,7 @@ object PipelineQueries extends QueryPack {
       """WITH sh AS (SELECT
         |  CAST('0x' || SUBSTRING(MD5('sh15-' || CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 64 AS shard,
         |  LEN(STRING_SPLIT(text,' ')) AS n_tok,
-        |  CAST('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR) || CHR(1) || text),1,8) AS BIGINT) AS h
+        |  CAST('0x' || SUBSTRING(MD5(COALESCE(CAST(doc_id AS VARCHAR), CHR(2)) || CHR(1) || COALESCE(text, CHR(2))),1,8) AS BIGINT) AS h
         |  FROM documents)
         |SELECT shard,
         |       CAST(COUNT(*) AS BIGINT) AS n_examples,

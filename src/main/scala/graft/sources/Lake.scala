@@ -225,7 +225,16 @@ object Lake {
       family: graft.operators.HashFamily = graft.operators.HashFamily.Md5
   ): DataFrame = {
     require(contentCols.nonEmpty, "shardManifest needs at least one content column")
-    val joined = concat_ws("\u0001", contentCols.map(col(_).cast("string")): _*)
+    // NULLs are encoded, not skipped: concat_ws drops null arguments, so
+    // ('a', NULL, 'b') and ('a', 'b', NULL) would hash identically -- a
+    // blind spot in an integrity checksum. Coalescing each column to a
+    // \u0002 sentinel keeps every position in the joined string (a
+    // literal \u0002 inside a value can still alias a NULL -- acceptable
+    // for a checksum over ordinary text; the DuckDB oracle mirrors the
+    // same COALESCE(..., CHR(2)) so both engines hash the same bytes).
+    val joined = concat_ws(
+      "\u0001",
+      contentCols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*)
     val rowHash = family match {
       case graft.operators.HashFamily.Md5 =>
         conv(substring(md5(joined.cast("binary")), 1, 8), 16, 10).cast("long")

@@ -40,6 +40,59 @@ object IncrementalSelection {
 
   private[graft] val BatchCol = "ingest_batch"
 
+  /** The store's hash-parameter metadata lives in a one-row parquet
+    * UNDER the store dir. The `_` prefix makes Spark's file index skip
+    * it when `spark.read.parquet(storeDir)` reads the count rows, so
+    * the data path never sees it; every write stamps it and every read
+    * validates it, because a buckets/n/family mismatch between writer
+    * and reader does not FAIL — it silently lands grams on the wrong
+    * cells and produces confidently wrong ratios. Making the mismatch
+    * loud is the whole point (the fit-vs-score family rule that
+    * [[graft.operators.Classifier.HashedLogReg]] solves with a model
+    * field, applied to a store that outlives any one process).
+    */
+  private def metaDir(storeDir: String): String =
+    storeDir.stripSuffix("/") + "/_graft_meta"
+
+  private def writeMeta(
+      spark: SparkSession,
+      storeDir: String,
+      buckets: Int,
+      n: Int,
+      family: HashFamily
+  ): Unit = {
+    import spark.implicits._
+    Seq((buckets, n, family.toString))
+      .toDF("buckets", "n", "family")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(metaDir(storeDir))
+  }
+
+  /** Require the persisted metadata (when present — a pre-metadata
+    * store validates nothing rather than failing reads of old data) to
+    * match the caller's parameters. `n`/`family` are optional because
+    * [[ratios]] is family-agnostic: summing count vectors only needs
+    * the right `buckets`.
+    */
+  private def checkMeta(
+      spark: SparkSession,
+      storeDir: String,
+      buckets: Int,
+      n: Option[Int],
+      family: Option[HashFamily]
+  ): Unit =
+    StoreGuard.readStore(spark, metaDir(storeDir)).foreach { m =>
+      val r = m.select(col("buckets"), col("n"), col("family")).head()
+      require(r.getInt(0) == buckets,
+        s"DSIR count store $storeDir was written with buckets=${r.getInt(0)}; " +
+          s"caller passed buckets=$buckets — the slice windows would land on the wrong cells")
+      n.foreach(v => require(r.getInt(1) == v,
+        s"DSIR count store $storeDir was written with n=${r.getInt(1)}; caller passed n=$v"))
+      family.foreach(f => require(r.getString(2) == f.toString,
+        s"DSIR count store $storeDir was written with family=${r.getString(2)}; " +
+          s"caller passed family=$f"))
+    }
+
   private def countsRow(
       batch: DataFrame,
       textCol: String,
@@ -64,10 +117,14 @@ object IncrementalSelection {
       buckets: Int = 1024,
       n: Int = 2,
       family: HashFamily = HashFamily.Md5
-  ): Unit =
+  ): Unit = {
+    // counts first, meta second: the overwrite deletes the whole store
+    // dir (including a prior _graft_meta), so the stamp must follow it
     countsRow(df, textCol, isTarget, buckets, n, family)
       .withColumn(BatchCol, lit(-1L))
       .write.mode("overwrite").parquet(storeDir)
+    writeMeta(df.sparkSession, storeDir, buckets, n, family)
+  }
 
   /** Count one micro-batch and append its single vector row. With
     * `batchId` set, a replay is a no-op.
@@ -83,6 +140,7 @@ object IncrementalSelection {
       family: HashFamily = HashFamily.Md5,
       batchId: Option[Long] = None
   ): Unit = {
+    checkMeta(spark, storeDir, buckets, Some(n), Some(family))
     batchId match {
       // StoreGuard tolerates a missing/partial store: attach-without-seed
       // bootstraps on the first micro-batch (see StoreGuard scaladoc)
@@ -92,6 +150,10 @@ object IncrementalSelection {
     countsRow(batch, textCol, isTarget, buckets, n, family)
       .withColumn(BatchCol, lit(batchId.getOrElse(-1L)))
       .write.mode("append").parquet(storeDir)
+    // bootstrap path (attach without seed): the first successful append
+    // stamps the parameters it used
+    if (StoreGuard.readStore(spark, metaDir(storeDir)).isEmpty)
+      writeMeta(spark, storeDir, buckets, n, family)
   }
 
   /** The maintained model: element-wise-sum the store's count vectors
@@ -101,6 +163,7 @@ object IncrementalSelection {
     * from-scratch fit of everything ingested.
     */
   def ratios(spark: SparkSession, storeDir: String, buckets: Int = 1024): DataFrame = {
+    checkMeta(spark, storeDir, buckets, None, None)
     val merged = spark.read.parquet(storeDir)
       .select(posexplode(col("counts")))
       .groupBy(col("pos")).agg(sum(col("col")).as("c"))
@@ -122,11 +185,13 @@ object IncrementalSelection {
       buckets: Int = 1024,
       n: Int = 2,
       family: HashFamily = HashFamily.Md5
-  ): DataFrame =
+  ): DataFrame = {
+    checkMeta(df.sparkSession, storeDir, buckets, Some(n), Some(family))
     Selection.dsirWeights(
       df, idCol, textCol,
       ratios(df.sparkSession, storeDir, buckets),
       buckets, n, family)
+  }
 
   /** Attach the count-store maintenance loop to a stream. */
   def attach(

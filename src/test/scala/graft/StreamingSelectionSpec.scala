@@ -91,4 +91,35 @@ class StreamingSelectionSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(ratios1 == ratios2)
   }
+
+  test("a buckets/n/family mismatch against the persisted store metadata fails loudly") {
+    import graft.operators.HashFamily
+    val root = java.nio.file.Files.createTempDirectory("graft_dsir_meta").toString
+    val store = s"$root/dsir"
+    IncrementalSelection.seed(
+      docs(0 until 30).toDF("doc_id", "text"), store, "text", isTarget, buckets = B)
+
+    // wrong buckets at merge: the slice windows would land on the wrong
+    // cells — must fail loudly instead of returning wrong ratios
+    val e1 = intercept[IllegalArgumentException] {
+      IncrementalSelection.ratios(spark, store, buckets = B * 2)
+    }
+    assert(e1.getMessage.contains("buckets"))
+    // wrong hash family at score: bucket assignments differ per family
+    val e2 = intercept[IllegalArgumentException] {
+      IncrementalSelection.score(
+        docs(0 until 5).toDF("doc_id", "text"), "doc_id", "text", store,
+        buckets = B, family = HashFamily.XxHash64)
+    }
+    assert(e2.getMessage.contains("family"))
+    // wrong n-gram order at ingest: would mix 2-gram and 3-gram counts
+    val e3 = intercept[IllegalArgumentException] {
+      IncrementalSelection.ingestBatch(
+        spark, docs(30 until 40).toDF("doc_id", "text"), store, "text", isTarget,
+        buckets = B, n = 3, batchId = Some(1L))
+    }
+    assert(e3.getMessage.contains("n="))
+    // matching parameters still work, and the data read skips _graft_meta
+    assert(IncrementalSelection.ratios(spark, store, buckets = B).count() == B)
+  }
 }
