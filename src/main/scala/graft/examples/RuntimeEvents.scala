@@ -1,6 +1,6 @@
 package graft.examples
 
-import graft.streaming.Supervisor
+import graft.streaming.{RuntimeEvent, RuntimeEventBus, RuntimeEventSink, Supervisor}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
@@ -17,6 +17,14 @@ import java.util.concurrent.atomic.AtomicInteger
   * Streaming's checkpoint replays the failed batch, so the restart is
   * exactly-once (the demo counts processed records to prove no
   * duplicates).
+  *
+  * Every lifecycle step is OBSERVED, not polled: the supervisor emits
+  * `query.started` / `query.failed` / `query.restarted` through
+  * [[graft.streaming.RuntimeEventBus]] (the reference's
+  * `RuntimeEventBus.SetSink` + `LoggerIncidentSink` surface —
+  * `src/Events/RuntimeEventBus.cs:12-19`,
+  * `src/Incidents/LoggerIncidentSink.cs:9-20`), and this demo registers
+  * both the out-of-the-box stderr logger and its own collecting sink.
   *
   * Run: `sbt "runMain graft.examples.RuntimeEvents"`
   */
@@ -35,6 +43,15 @@ object RuntimeEvents {
 
     val mem = MemoryStream[Int]
     mem.addData(1, 2, 3)
+
+    // sink incidents to your own logger instead of polling restartCount:
+    // the bus fans out to every registered sink (logger + this collector)
+    val seen = new java.util.concurrent.CopyOnWriteArrayList[RuntimeEvent]()
+    val collector = new RuntimeEventSink {
+      override def publish(e: RuntimeEvent): Unit = seen.add(e)
+    }
+    RuntimeEventBus.addSink(RuntimeEventBus.loggerSink)
+    RuntimeEventBus.addSink(collector)
 
     val sup = new Supervisor(spark, maxRestarts = 3, backoffMs = 100)
     try {
@@ -58,6 +75,12 @@ object RuntimeEvents {
 
       println(s"restarts: ${sup.restartCount("flaky_job")}")
       println(s"processed after self-heal: ${processed.get()} records (checkpoint replay, no duplicates)")
-    } finally { sup.close(); spark.stop() }
+      import scala.jdk.CollectionConverters._
+      println(s"observed lifecycle: ${seen.asScala.map(_.name).mkString(" -> ")}")
+    } finally {
+      RuntimeEventBus.removeSink(collector)
+      RuntimeEventBus.removeSink(RuntimeEventBus.loggerSink)
+      sup.close(); spark.stop()
+    }
   }
 }

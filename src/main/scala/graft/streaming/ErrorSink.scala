@@ -51,7 +51,12 @@ object ErrorSink {
   /** foreachBatch wrapper applying the entity's ErrorAction: Retry
     * re-attempts the write `maxRetries` times with backoff; on
     * exhaustion (or immediately for Dlq), failed batches become
-    * envelope rows in `dlqPath`; Skip drops them.
+    * envelope rows in `dlqPath`; Skip drops them. Each terminal
+    * incident (`dlq.enqueue` / `batch.skip` — the reference's
+    * `dlq.enqueue` event name, `src/Messaging/Producers/DlqProducer.cs`)
+    * is emitted through `onEvent` (default: the process-wide
+    * [[RuntimeEventBus]]), so the envelope write is observable without
+    * scanning the DLQ table; emission failures are contained.
     */
   def guardedForeachBatch(
       spark: SparkSession,
@@ -60,7 +65,8 @@ object ErrorSink {
       dlqPath: String,
       maxRetries: Int = 3,
       initialDelayMs: Long = 100,
-      retryWhen: Throwable => Boolean = _ => true
+      retryWhen: Throwable => Boolean = _ => true,
+      onEvent: RuntimeEvent => Unit = RuntimeEventBus.publish
   )(write: DataFrame => Unit): (DataFrame, Long) => Unit = { (batch, batchId) =>
     val attempts = action match {
       case ErrorAction.Retry => maxRetries
@@ -82,12 +88,23 @@ object ErrorSink {
       }
     }
     if (!done) {
+      def emit(name: String): Unit =
+        try onEvent(RuntimeEvent(
+          name, sourceName, System.currentTimeMillis(),
+          success = Some(false), attempt = Some(attempt), batchId = Some(batchId),
+          message = lastError.map(e => String.valueOf(e.getMessage))))
+        catch {
+          case t: Throwable =>
+            System.err.println(s"[graft-errorsink] onEvent threw: $t")
+        }
       action match {
-        case ErrorAction.Skip => // drop (reference Skip policy)
+        case ErrorAction.Skip =>
+          emit("batch.skip") // drop (reference Skip policy)
         case _ =>
           envelope(batch, sourceName, lastError.get).write
             .mode("append")
             .parquet(dlqPath)
+          emit("dlq.enqueue")
       }
     }
   }

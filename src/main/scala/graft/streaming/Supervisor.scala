@@ -14,10 +14,18 @@ import scala.jdk.CollectionConverters._
   * supervisor does with bounded retries + backoff (the reference's
   * `KsqlDdlRetryCount` / `KsqlDdlRetryInitialDelayMs` semantics).
   */
+  /** Lifecycle events (`query.started` / `query.terminated` /
+  * `query.failed` / `query.restarted` / `query.gave_up`) are emitted
+  * through `onEvent` — default the process-wide [[RuntimeEventBus]] —
+  * so callers observe the self-healing loop through their own sink
+  * (the reference's `RuntimeEventBus`/`IncidentBus` surface) instead
+  * of polling [[restartCount]].
+  */
 final class Supervisor(
     spark: SparkSession,
     maxRestarts: Int = 3,
-    backoffMs: Long = 1000
+    backoffMs: Long = 1000,
+    onEvent: RuntimeEvent => Unit = RuntimeEventBus.publish
 ) extends AutoCloseable {
 
   final case class Managed(name: String, start: () => StreamingQuery)
@@ -35,6 +43,26 @@ final class Supervisor(
   }
   @volatile private var closed = false
 
+  // emission must never break supervision: a user callback that throws
+  // on the listener/scheduler thread would kill the self-healing loop
+  private def emit(e: RuntimeEvent): Unit =
+    try onEvent(e)
+    catch {
+      case t: Throwable =>
+        System.err.println(s"[graft-supervisor] onEvent threw: $t")
+    }
+
+  private def event(
+      name: String,
+      entity: String,
+      queryId: Option[String] = None,
+      success: Option[Boolean] = None,
+      attempt: Option[Int] = None,
+      message: Option[String] = None
+  ): RuntimeEvent =
+    RuntimeEvent(name, entity, System.currentTimeMillis(), queryId, success, attempt,
+      batchId = None, message = message)
+
   private val listener = new StreamingQueryListener {
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
     override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = ()
@@ -44,13 +72,30 @@ final class Supervisor(
         managed.asScala.values
           .find(m => Option(active.get(m.name)).exists(_.id == e.id))
           .foreach { m =>
+            emit(event("query.failed", m.name, queryId = Some(e.id.toString),
+              success = Some(false), message = e.exception))
             val n = restarts.merge(m.name, 1, (a, b) => a + b)
             if (n <= maxRestarts)
               scheduler.schedule(new Runnable {
                 override def run(): Unit =
-                  if (!closed) active.put(m.name, m.start())
+                  if (!closed) {
+                    val q = m.start()
+                    active.put(m.name, q)
+                    emit(event("query.restarted", m.name,
+                      queryId = Some(q.id.toString), attempt = Some(n)))
+                  }
               }, backoffMs * n, TimeUnit.MILLISECONDS)
+            else
+              emit(event("query.gave_up", m.name, success = Some(false),
+                attempt = Some(n - 1),
+                message = Some(s"restarts exhausted (maxRestarts=$maxRestarts)")))
           }
+      } else {
+        // clean stop of a supervised query
+        managed.asScala.values
+          .find(m => Option(active.get(m.name)).exists(_.id == e.id))
+          .foreach(m => emit(event("query.terminated", m.name,
+            queryId = Some(e.id.toString), success = Some(true))))
       }
     }
   }
@@ -61,6 +106,7 @@ final class Supervisor(
     managed.put(name, Managed(name, start))
     val q = start()
     active.put(name, q)
+    emit(event("query.started", name, queryId = Some(q.id.toString)))
     q
   }
 
