@@ -132,10 +132,17 @@ object StreamingScale {
     def eventStream() = spark.readStream.schema(evSchema)
       .option("maxFilesPerTrigger", "1").parquet(replay)
 
+    // SPARK_GRAFT_SECTIONS=EH runs only the named sections (letters
+    // below) — the A/B re-measure dial; B implies A (it consumes A's
+    // live sink). Default: everything.
+    val sections = sys.env.get("SPARK_GRAFT_SECTIONS").map(_.toUpperCase.filter(_.isLetter).toSet)
+    def want(c: Char): Boolean = sections.forall(_.contains(c))
+
     println(s"# StreamingScale sf=$sfDir rows=$nEvents chunks=$chunks")
     println("| operator               | bat |      rows |  rows/sec | avg ms | max ms | state rows (curve)           | state KB |")
     println("|------------------------|-----|-----------|-----------|--------|--------|------------------------------|----------|")
 
+    if (want('A') || want('B')) {
     // ---- A. BarCascade: ticks → 1s hub → 1m live → 5m live ---------------
     val plan = BarCascade.start(
       spark, eventStream(), "ev", Seq("event_type"), "ts", "value", "event_id",
@@ -148,6 +155,7 @@ object StreamingScale {
       println(statOf("cascade 5m live", plan.queries(2)).row)
     } finally plan.queries.foreach(_.stop())
 
+    if (want('B')) {
     // ---- B. GapFill over the 1m live bars (transformWithState) -----------
     val liveDir = plan.livePaths("1m")
     val liveSchema = spark.read.parquet(liveDir).schema
@@ -168,7 +176,10 @@ object StreamingScale {
       .option("checkpointLocation", s"$root/_chk/gap").outputMode("append").start()
     try { gapQ.processAllAvailable(); println(statOf("gap_fill 1m", gapQ).row) }
     finally gapQ.stop()
+    }
+    }
 
+    if (want('C')) {
     // ---- C. StreamingFunnel (view → click → purchase) ---------------------
     val funnelIn = eventStream()
       .select(col("user_id").as("user"), col("ts"),
@@ -184,7 +195,9 @@ object StreamingScale {
       .option("checkpointLocation", s"$root/_chk/funnel").outputMode("append").start()
     try { funQ.processAllAvailable(); println(statOf("funnel 3-step", funQ).row) }
     finally funQ.stop()
+    }
 
+    if (want('D')) {
     // ---- D. StreamAsOf enrichment (purchase events against view prices) --
     val asofIn = eventStream()
       .select(col("event_type").cast("string").as("key"), col("ts"),
@@ -197,31 +210,51 @@ object StreamingScale {
       .option("checkpointLocation", s"$root/_chk/asof").outputMode("append").start()
     try { asofQ.processAllAvailable(); println(statOf("stream_asof", asofQ).row) }
     finally asofQ.stop()
+    }
 
     // ---- E. IncrementalDedup ingestion loop (documents) -------------------
+    // the doc replay files also feed sections H and I
     val docs = Tables.load(spark, sfDir, "documents").select(col("doc_id"), col("text"))
     val nDocs = docs.count()
-    val docChunks = math.min(chunks, 10)
+    // SPARK_GRAFT_DOC_CHUNKS raises the micro-batch count (smaller
+    // batches = higher corpus/batch ratio — the regime where the
+    // stream-static band join's corpus term can dominate the trigger)
+    val docChunks = sys.env.get("SPARK_GRAFT_DOC_CHUNKS")
+      .map(_.toInt).getOrElse(math.min(chunks, 10))
     val per = math.max(1L, nDocs / docChunks)
     val docReplay = s"$root/doc_replay"
-    // seed with the first slice, stream the rest in doc_id order
-    IncrementalDedup.seed(docs.filter(col("doc_id") < per), s"$root/corpus", s"$root/bands")
+    // seed with the first slice, stream the rest in doc_id order.
+    // SPARK_GRAFT_DEDUP_BUCKETED=<n> stores the band table bucketed on
+    // (band_idx, band_hash) with n buckets — the zero-corpus-exchange
+    // join path (IncrementalDedup.BandTable) — for the A/B against the
+    // plain-parquet store's per-batch re-shuffle.
     (1 until docChunks).foreach { i =>
       docs.filter(col("doc_id") >= per * i &&
           (col("doc_id") < per * (i + 1) || lit(i == docChunks - 1)))
         .coalesce(1).write.mode(if (i == 1) "overwrite" else "append").parquet(docReplay)
       Thread.sleep(5)
     }
+
+    if (want('E')) {
+    val bandTable = sys.env.get("SPARK_GRAFT_DEDUP_BUCKETED")
+      .map(n => IncrementalDedup.BandTable("graft_scale_bands", n.toInt))
+    IncrementalDedup.seed(docs.filter(col("doc_id") < per), s"$root/corpus", s"$root/bands",
+      bandTable = bandTable)
     val docStream = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(docReplay)
     val dedupQ = IncrementalDedup.attach(
       docStream, s"$root/corpus", s"$root/bands",
-      checkpointLocation = Some(s"$root/_chk/dedup"))
+      checkpointLocation = Some(s"$root/_chk/dedup"),
+      bandTable = bandTable)
     try {
       dedupQ.processAllAvailable()
-      println(statOf("dedup ingest loop", dedupQ, rowsOverride = Some(nDocs - per)).row)
+      println(statOf(
+        bandTable.fold("dedup ingest loop")(_ => "dedup ingest loop (bucketed bands)"),
+        dedupQ, rowsOverride = Some(nDocs - per)).row)
     } finally dedupQ.stop()
+    }
 
+    if (want('F')) {
     // ---- F. KLL quantile store maintenance (foreachBatch, stamped) -------
     val kllQ = IncrementalSketches.attachQuantiles(
       eventStream().select(col("event_type"), col("value")),
@@ -240,7 +273,9 @@ object StreamingScale {
       .count()
     println(f"#   kll store after replay: $storeCells cells / ${storeBytes / 1024}%d KB; " +
       f"rollup to $qGroups per-type quantile rows in ${(System.nanoTime() - tRoll) / 1e9}%.2f s")
+    }
 
+    if (want('G')) {
     // ---- G. PSI drift monitor (reference binned once, batch-local score) --
     val edges = Seq(25.0, 50.0, 100.0, 200.0, 400.0) // q_psi_drift convention
     DriftMonitor.seedReference(events, "value", edges, s"$root/drift_ref")
@@ -256,7 +291,9 @@ object StreamingScale {
       .agg(count(lit(1)), sum(when(col("alert"), 1).otherwise(0))).head()
     println(s"#   drift log: ${alerts.getLong(0)} batch rows, ${alerts.getLong(1)} alerts " +
       "(self-replay: expected 0 — every slice shares the reference distribution)")
+    }
 
+    if (want('H')) {
     // ---- H. DSIR count-store maintenance (foreachBatch, stamped) ---------
     // attach-without-seed: the first stamped micro-batch bootstraps the
     // store; per batch = ONE GramBucketCounts aggregate → one ~16 KB row
@@ -278,7 +315,9 @@ object StreamingScale {
     val nRatios = IncrementalSelection.ratios(spark, dsirStore, buckets = 1024).count()
     println(f"#   dsir store after replay: $dsirRows vector rows / ${dsirBytes / 1024}%d KB; " +
       f"ratio refresh to $nRatios buckets in ${(System.nanoTime() - tRefresh) / 1e9}%.2f s")
+    }
 
+    if (want('I')) {
     // ---- I. shard-manifest maintenance (foreachBatch, stamped) -----------
     val manStore = s"$root/manifest_store"
     val manQ = IncrementalManifest.attach(
@@ -296,6 +335,7 @@ object StreamingScale {
     val liveShards = IncrementalManifest.manifest(spark, manStore).count()
     println(f"#   manifest store after replay: $manRows per-batch rows; " +
       f"live rollup to $liveShards shards in ${(System.nanoTime() - tMan) / 1e9}%.2f s")
+    }
 
     println(f"# cadence check: live-equivalent event density = " +
       f"${nEvents / (30.0 * 86400)}%.2f rows/sec; every operator above absorbs 1000x+ that")

@@ -76,7 +76,12 @@ case class MinByObject(
 
   override def serialize(buf: Array[Any]): Array[Byte] =
     if (buf(0) == null) Array.emptyByteArray
-    else serializer(InternalRow(buf(0), buf(1))).getBytes
+    // .copy() defensively: for an all-fixed-width schema the reused
+    // projection row's getBytes returns its SHARED backing array (see
+    // the TopKByObject.serialize note); the single-row-per-call shape
+    // here happens to be consumed before the next projection, but that
+    // is a caller-timing assumption serialize has no right to make
+    else serializer(InternalRow(buf(0), buf(1))).copy().getBytes
 
   override def deserialize(bytes: Array[Byte]): Array[Any] = {
     val buf = createAggregationBuffer()

@@ -93,7 +93,15 @@ case class TopKByObject(
 
   override def serialize(heap: java.util.PriorityQueue[Array[Any]]): Array[Byte] = {
     val rows = new scala.collection.mutable.ArrayBuffer[Array[Byte]](heap.size())
-    heap.forEach(p => rows += serializer(InternalRow(p(0), p(1))).getBytes)
+    // .copy() before .getBytes, NOT .getBytes alone: the projection
+    // reuses ONE output row, and for an all-fixed-width (ord, value)
+    // schema that row's buffer is exactly sizeInBytes, so getBytes
+    // returns the SHARED backing array — every element of `rows` would
+    // alias the last projected element (variable-width schemas like the
+    // struct keys most callers pass get copied incidentally, which is
+    // why this only ever bit the scalar-scalar case). copy() allocates
+    // a fresh exact-size array per element.
+    heap.forEach(p => rows += serializer(InternalRow(p(0), p(1))).copy().getBytes)
     val total = 4 + rows.map(4 + _.length).sum
     val bb = java.nio.ByteBuffer.allocate(total)
     bb.putInt(rows.length)

@@ -230,13 +230,29 @@ object Dedup {
     // members that similar share a content hash anyway). What was dropped
     // is never silent: [[minhashDroppedBuckets]] reports the excluded
     // buckets + sizes for the same parameters.
+    //
+    // SINGLE CHAIN, deliberately: the obvious form — a bucket-size
+    // aggregate left-semi-joined back onto the banded rows — references
+    // the banded subtree TWICE, and the two copies are canonically
+    // different (one carries the count partial), so Catalyst re-runs
+    // the whole shingle→minhash kernel for the second reference (the
+    // Classifier.auc diamond; the r16 plan audit measured the capped
+    // operators paying 2× their banding cost). Instead ONE aggregate
+    // carries the bucket size AND its membership: the bounded
+    // [[graft.functions.TopKByObject]] collect keeps at most cap+1 ids
+    // per bucket — complete for every bucket that survives the size
+    // filter, and O(cap) memory for the over-cap boilerplate buckets
+    // that get dropped anyway — then explodes the kept buckets back to
+    // rows. One banding pass, no self-join, no sort.
     maxBucketSize.fold(banded0) { cap =>
-      val sizes = banded0
+      require(cap > 0 && cap < Int.MaxValue, s"maxBucketSize must be in (0, 2^31), got $cap")
+      banded0
         .groupBy(col("band_idx"), col("band_hash"))
-        .agg(count(lit(1)).as("__bsize"))
+        .agg(
+          count(lit(1)).as("__bsize"),
+          graft.functions.TopKByObject.topKBy(col(idCol), col(idCol), cap + 1).as("__members"))
         .filter(col("__bsize") <= cap)
-        .drop("__bsize")
-      banded0.join(sizes, Seq("band_idx", "band_hash"), "left_semi")
+        .select(explode(col("__members")).as(idCol), col("band_idx"), col("band_hash"))
     }
   }
 
@@ -338,6 +354,42 @@ object Dedup {
       hashFamily: HashFamily = HashFamily.Md5
   ): DataFrame =
     bandedKeys(docs, idCol, textCol, numHashes, bands, shingleSize, maxBucketSize, hashFamily)
+
+  /** [[candidatesAgainstBanded]] for a corpus band table whose STORAGE
+    * is already distributed on the band key (a `bucketBy(n, band_idx,
+    * band_hash)` catalog table — [[graft.sources.Bucketing]]): no
+    * repartition is pinned on either side, so the bucketed scan's
+    * hash-partitioning satisfies the join's distribution requirement
+    * and the corpus side joins with ZERO exchange — the batch side
+    * alone shuffles (to the bucket count). The shuffle-hash hint makes
+    * the BATCH the build side, so nothing is ever sorted: per-batch
+    * cost is one streaming probe over the stored buckets, not a
+    * re-shuffle of an ever-growing table (the r15 sf10 residual —
+    * per-batch wall grew with BOTH batch size and corpus size because
+    * every trigger re-exchanged the whole band table).
+    */
+  def candidatesAgainstBandedColocated(
+      newDocs: DataFrame,
+      bandedCorpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = DefaultNumHashes,
+      bands: Int = DefaultBands,
+      shingleSize: Int = DefaultShingleSize,
+      maxBucketSize: Option[Int] = None,
+      hashFamily: HashFamily = HashFamily.Md5
+  ): DataFrame = {
+    val bn =
+      bandedKeys(newDocs, idCol, textCol, numHashes, bands, shingleSize, maxBucketSize, hashFamily)
+    bn.hint("shuffle_hash")
+      .alias("n")
+      .join(
+        bandedCorpus.alias("c"),
+        col("n.band_idx") === col("c.band_idx") &&
+          col("n.band_hash") === col("c.band_hash"))
+      .select(col(s"n.$idCol").as("new_id"), col(s"c.$idCol").as("corpus_id"))
+      .distinct()
+  }
 
   /** [[minhashCandidates]]' self-join over a precomputed (possibly
     * persisted) band table from [[bandedSignatures]] — for the recurring

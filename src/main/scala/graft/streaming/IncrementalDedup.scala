@@ -60,6 +60,22 @@ object IncrementalDedup {
 
   private[graft] val BatchCol = "ingest_batch"
 
+  /** Bucketed band store: (catalog table name, bucket count). With this
+    * set, the band table is a `bucketBy(n, band_idx, band_hash)` table
+    * (the [[graft.sources.Bucketing]] co-location discipline applied to
+    * the ingest loop's hot join): the per-batch candidate join then
+    * reads the stored buckets IN PLACE — zero corpus-side exchange,
+    * zero sort (shuffle-hash build on the batch side) — where the plain
+    * parquet path re-shuffles the ENTIRE ever-growing band table every
+    * trigger. That re-shuffle was the r15 sf10 finding: per-batch wall
+    * grew with batch size × corpus size; bucketing makes it
+    * O(batch + stored-bucket probe). The table is registered in the
+    * session catalog (a production deployment points the session at a
+    * persistent metastore so the registration survives restarts; the
+    * PATH always holds the data either way).
+    */
+  final case class BandTable(name: String, buckets: Int)
+
   /** Write the initial (already-deduplicated) corpus and its UNCAPPED
     * band table, stamped with `ingest_batch = -1` so subsequent
     * [[ingestBatch]] appends keep a uniform schema. Band parameters are
@@ -71,12 +87,22 @@ object IncrementalDedup {
       corpusDir: String,
       bandsDir: String,
       idCol: String = "doc_id",
-      textCol: String = "text"
+      textCol: String = "text",
+      bandTable: Option[BandTable] = None
   ): Unit = {
     clusterById(docs.select(col(idCol), col(textCol)).withColumn(BatchCol, lit(-1L)), idCol)
       .write.mode("overwrite").parquet(corpusDir)
-    Dedup.bandedSignatures(docs, idCol, textCol).withColumn(BatchCol, lit(-1L))
-      .write.mode("overwrite").parquet(bandsDir)
+    val bands = Dedup.bandedSignatures(docs, idCol, textCol).withColumn(BatchCol, lit(-1L))
+    bandTable match {
+      case Some(BandTable(name, n)) =>
+        docs.sparkSession.sql(s"DROP TABLE IF EXISTS $name")
+        bands.write.mode("overwrite")
+          .option("path", bandsDir)
+          .bucketBy(n, "band_idx", "band_hash")
+          .saveAsTable(name)
+      case None =>
+        bands.write.mode("overwrite").parquet(bandsDir)
+    }
   }
 
   /** Range-cluster a corpus append on the id so every written file (and
@@ -119,10 +145,13 @@ object IncrementalDedup {
       minJaccard: Double = 0.4,
       maxBucketSize: Option[Int] = None,
       batchId: Option[Long] = None,
-      idPushdownCap: Int = 100000
+      idPushdownCap: Int = 100000,
+      bandTable: Option[BandTable] = None
   ): Unit = {
     val corpusRaw = spark.read.parquet(corpusDir)
-    val bandsRaw = spark.read.parquet(bandsDir)
+    // bucketed mode reads through the CATALOG — a path read would drop
+    // the bucket spec and the join would re-shuffle the whole table
+    val bandsRaw = bandTable.fold(spark.read.parquet(bandsDir))(t => spark.table(t.name))
     val (doneBands, doneCorpus) = batchId match {
       case Some(b) => (hasBatch(bandsRaw, b), hasBatch(corpusRaw, b))
       case None    => (false, false)
@@ -130,9 +159,16 @@ object IncrementalDedup {
     if (doneBands && doneCorpus) return // replayed batch: full no-op
 
     val corpus = withoutBatch(corpusRaw, batchId)
-    val cands = Dedup
-      .candidatesAgainstBanded(batch, withoutBatch(bandsRaw, batchId), idCol, textCol,
-        maxBucketSize = maxBucketSize)
+    val candsRaw = bandTable match {
+      case Some(_) =>
+        Dedup.candidatesAgainstBandedColocated(
+          batch, withoutBatch(bandsRaw, batchId), idCol, textCol,
+          maxBucketSize = maxBucketSize)
+      case None =>
+        Dedup.candidatesAgainstBanded(batch, withoutBatch(bandsRaw, batchId), idCol, textCol,
+          maxBucketSize = maxBucketSize)
+    }
+    val cands = candsRaw
       .select(col("new_id").as("doc1"), col("corpus_id").as("doc2"))
       .persist()
     // Candidate-id pushdown: fetch corpus text ONLY for docs some batch
@@ -174,9 +210,20 @@ object IncrementalDedup {
     // match themselves)
     survivors.count()
     val stamp = (df: DataFrame) => batchId.fold(df)(b => df.withColumn(BatchCol, lit(b)))
-    if (!doneBands)
-      stamp(Dedup.bandedSignatures(survivors, idCol, textCol))
-        .write.mode("append").parquet(bandsDir)
+    if (!doneBands) {
+      val newBands = stamp(Dedup.bandedSignatures(survivors, idCol, textCol))
+      bandTable match {
+        case Some(BandTable(name, n)) =>
+          // append with the SAME bucket spec: each batch adds one file
+          // set per bucket; the bucketed scan unions a bucket's files,
+          // so the exchange-free join property survives every append
+          newBands.write.mode("append")
+            .bucketBy(n, "band_idx", "band_hash")
+            .saveAsTable(name)
+        case None =>
+          newBands.write.mode("append").parquet(bandsDir)
+      }
+    }
     if (!doneCorpus)
       clusterById(stamp(survivors), idCol).write.mode("append").parquet(corpusDir)
     cands.unpersist()
@@ -198,14 +245,15 @@ object IncrementalDedup {
       textCol: String = "text",
       minJaccard: Double = 0.4,
       maxBucketSize: Option[Int] = None,
-      checkpointLocation: Option[String] = None
+      checkpointLocation: Option[String] = None,
+      bandTable: Option[BandTable] = None
   ): StreamingQuery = {
     val spark = arriving.sparkSession
     val writer = arriving.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         ingestBatch(spark, batch, corpusDir, bandsDir, idCol, textCol,
-          minJaccard, maxBucketSize, batchId = Some(bid))
+          minJaccard, maxBucketSize, batchId = Some(bid), bandTable = bandTable)
       }
     checkpointLocation
       .fold(writer)(c => writer.option("checkpointLocation", c))

@@ -160,4 +160,55 @@ class IncrementalIngestionSpec extends SparkSpec {
     // and the near-dups of corpus docs were actually dropped in both
     assert(!pruned.contains(100L) && !pruned.contains(101L))
   }
+
+  test("bucketed band table: same results as plain parquet, zero corpus-side exchange") {
+    import graft.streaming.IncrementalDedup.BandTable
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest_bucketed").toString
+    val seed = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the quiet river bank today"),
+      (101L, "completely different content about distributed query engines and storage layers"))
+      .toDF("doc_id", "text")
+    val batch1 = Seq(
+      (200L, "the quick brown fox jumps over the lazy dog near the quiet river bank now"),
+      (201L, "entirely new material about adaptive query execution in modern spark engines"))
+      .toDF("doc_id", "text")
+    val batch2 = Seq(
+      (400L, "entirely new material about adaptive query execution in modern spark engines overall"),
+      (402L, "unrelated fresh text about columnar shuffle formats and spill behavior limits"))
+      .toDF("doc_id", "text")
+
+    // plain-path reference
+    val (pc, pb) = (s"$root/plain/corpus", s"$root/plain/bands")
+    IncrementalDedup.seed(seed, pc, pb)
+    IncrementalDedup.ingestBatch(spark, batch1, pc, pb, batchId = Some(1L))
+    IncrementalDedup.ingestBatch(spark, batch2, pc, pb, batchId = Some(2L))
+    val plain = spark.read.parquet(pc).select($"doc_id").as[Long].collect().sorted
+
+    // bucketed band store, same ingestion
+    val bt = BandTable("graft_test_bands", 8)
+    val (bc, bb) = (s"$root/bucketed/corpus", s"$root/bucketed/bands")
+    IncrementalDedup.seed(seed, bc, bb, bandTable = Some(bt))
+    IncrementalDedup.ingestBatch(spark, batch1, bc, bb, batchId = Some(1L), bandTable = Some(bt))
+    IncrementalDedup.ingestBatch(spark, batch2, bc, bb, batchId = Some(2L), bandTable = Some(bt))
+    val bucketed = spark.read.parquet(bc).select($"doc_id").as[Long].collect().sorted
+    assert(bucketed.sameElements(plain),
+      s"bucketed store changed results: ${bucketed.mkString(",")} vs ${plain.mkString(",")}")
+    // replay idempotence holds through the catalog path too
+    IncrementalDedup.ingestBatch(spark, batch2, bc, bb, batchId = Some(2L), bandTable = Some(bt))
+    assert(spark.table(bt.name).groupBy($"doc_id").count()
+      .select($"count").as[Long].collect().forall(_ == 4))
+
+    // THE plan contract: the per-batch candidate join consumes the
+    // stored buckets in place — the only hashpartitioning exchange on
+    // the band key belongs to the (small) batch side, and the build is
+    // a shuffled-hash, never a sort of the stored table
+    val probe = Dedup.candidatesAgainstBandedColocated(
+      batch2, spark.table(bt.name), "doc_id", "text")
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    val bandExchanges = "Exchange hashpartitioning\\(band_idx".r.findAllIn(plan).size
+    assert(bandExchanges == 1,
+      s"expected exactly the batch-side band exchange, found $bandExchanges:\n$plan")
+    assert("Bucketed: true".r.findAllIn(plan).nonEmpty, plan)
+  }
 }

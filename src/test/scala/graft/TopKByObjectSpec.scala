@@ -46,6 +46,26 @@ class TopKByObjectSpec extends SparkSpec {
     assert(run(32) == run(1))
   }
 
+  test("all-fixed-width (value, ord) survives the partial serialize round trip") {
+    // regression: serialize projected each heap element through a REUSED
+    // UnsafeProjection row, and for an all-fixed-width schema getBytes
+    // returns the projection's shared backing array — every shipped
+    // element aliased the last one, so a scalar-scalar topKBy collapsed
+    // to n copies of one value ([1,1,1,1] instead of [1,2,3,4]). Struct
+    // keys/values take the variable-width buffer path and were copied
+    // incidentally, which is why every earlier caller was safe. The
+    // inner aggregate forces a partial/final split with real serialized
+    // partials on the exchange.
+    val df = Seq((1L, "x y"), (2L, "x y"), (3L, "x y"), (4L, "x y")).toDF("id", "t")
+    val sig = df.select($"id", explode(split($"t", " ")).as("w"))
+      .groupBy($"id").agg(min(length($"w")).as("h1"))
+    val got = sig.select($"id", $"h1")
+      .groupBy($"h1")
+      .agg(TopKByObject.topKBy($"id", $"id", 10).as("m"))
+      .select(explode($"m").as("id")).as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 3L, 4L), s"scalar-scalar round trip lost members: $got")
+  }
+
   test("plans as a two-phase hash aggregate — no sort, no window") {
     val df = spark.range(1000).select(($"id" % 13).as("g"), $"id", rand(7).as("s"))
     val plan = df.groupBy($"g")
