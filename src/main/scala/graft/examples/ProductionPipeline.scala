@@ -277,6 +277,48 @@ object ProductionPipeline {
         "example_id", seed = 17L)
     }
 
+    // 10. training shards + loader manifest of the SELECTED corpus —
+    // the hand-off artifact (Lake.writeTrainingShards), fed by the
+    // model-selection gate when SPARK_GRAFT_SELECT=1 (d6 descends from
+    // s5b's survivors), so the shard layout ships what the pipeline
+    // actually chose, not the raw crawl. Verified THREE ways in-run:
+    // the pre-write manifest (computed from the input frame), the
+    // read-back manifest (recomputed from the shard files), and the
+    // IncrementalManifest store rollup must agree cell-for-cell —
+    // order-independent bit_xor checksums make that a set equality.
+    {
+      metrics.reset()
+      val t10 = System.nanoTime()
+      val nShards = sys.env.getOrElse("SPARK_GRAFT_SHARDS", "256").toInt
+      val shardsDir = s"$work/shards"
+      val manStore = s"$work/manifest_store"
+      val shardSrc = d6.select(col("doc_id"), col("text"), col("source"), col("n_tokens"))
+      val pre = graft.sources.Lake.writeTrainingShards(
+        shardSrc, "doc_id", Seq("doc_id", "text"), shardsDir, nShards,
+        seed = "pp16", tokenCol = Some("n_tokens"), family = HashFamily.XxHash64)
+        .collect().map(_.toString).sorted
+      graft.streaming.IncrementalManifest.seed(
+        shardSrc, manStore, "doc_id", Seq("doc_id", "text"), nShards,
+        seed = "pp16", tokenCol = Some("n_tokens"), family = HashFamily.XxHash64)
+      val secs10 = (System.nanoTime() - t10) / 1e9
+      val readBack = graft.sources.Lake.shardManifest(
+        spark.read.parquet(shardsDir).drop("shard"),
+        "doc_id", Seq("doc_id", "text"), nShards,
+        seed = "pp16", tokenCol = Some("n_tokens"), family = HashFamily.XxHash64)
+        .collect().map(_.toString).sorted
+      val live = graft.streaming.IncrementalManifest.manifest(spark, manStore)
+        .drop(graft.streaming.IncrementalManifest.BatchCol)
+        .collect().map(_.toString).sorted
+      val verified = pre.sameElements(readBack) && pre.sameElements(live)
+      val nDocs10 = spark.read.parquet(shardsDir).count()
+      rows += (("s10_shards", secs10, nDocs10, metrics.shuffleWrite.get,
+        metrics.shuffleRead.get, metrics.input.get, metrics.spilled.get))
+      println(f"[stage] s10_shards          $secs10%8.2f s  $nDocs10%9d rows  " +
+        f"$nShards shards; manifest pre==read-back==store: " +
+        (if (verified) "IDENTICAL" else "MISMATCH"))
+      assert(verified, "shard manifest verification failed")
+    }
+
     val wallStaged = (System.nanoTime() - tWall0) / 1e9
     println("\nstage | wall s | rows | shufW MB | shufR MB | scan MB | spill MB")
     rows.foreach { case (n, s, r, w, rd, in, sp) =>

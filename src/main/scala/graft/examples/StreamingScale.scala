@@ -242,15 +242,21 @@ object StreamingScale {
       bandTable = bandTable)
     val docStream = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(docReplay)
+    // SPARK_GRAFT_DEDUP_COMPACT=<n> compacts both stores every n batches
+    // (range-clustered corpus, band-key-sorted bands)
+    val compactEvery = sys.env.get("SPARK_GRAFT_DEDUP_COMPACT").map(_.toInt)
     val dedupQ = IncrementalDedup.attach(
       docStream, s"$root/corpus", s"$root/bands",
       checkpointLocation = Some(s"$root/_chk/dedup"),
-      bandTable = bandTable)
+      bandTable = bandTable, compactEvery = compactEvery)
     try {
       dedupQ.processAllAvailable()
-      println(statOf(
-        bandTable.fold("dedup ingest loop")(_ => "dedup ingest loop (bucketed bands)"),
-        dedupQ, rowsOverride = Some(nDocs - per)).row)
+      val label = (bandTable, compactEvery) match {
+        case (Some(_), _) => "dedup ingest loop (bucketed bands)"
+        case (_, Some(n)) => s"dedup ingest loop (compact/$n)"
+        case _            => "dedup ingest loop"
+      }
+      println(statOf(label, dedupQ, rowsOverride = Some(nDocs - per)).row)
     } finally dedupQ.stop()
     }
 

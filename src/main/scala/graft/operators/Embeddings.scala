@@ -140,8 +140,30 @@ object Embeddings {
 
   /** Fit a whitening/PCA model on `vecCol`: `k` output dims (k = dim
     * for pure whitening, k < dim adds PCA rank reduction). `whiten =
-    * true` scales each principal axis by 1/√(λ+eps) so the transformed
-    * training covariance is I_k; `false` keeps plain PCA projection.
+    * true` scales each principal axis by 1/√(λ_r+shrinkage+eps) so the
+    * transformed training covariance is I_k at `shrinkage = 0`;
+    * `false` keeps plain PCA projection.
+    *
+    * `shrinkage` is the (Σ + λI)^(-1/2) dial, in VARIANCE units of the
+    * input space. WHEN TO USE WHICH (measured — EmbeddingsSpec's
+    * shrinkage sweep; BASELINE.md r15-16):
+    *   - λ = 0 (full whitening) when the anisotropy is a CORRUPTION of
+    *     a meaningful isotropic space — the sentence-embedding shape
+    *     (Ethayarajh 2019; Su et al. 2021): a dominant common component
+    *     plus a skewed map saturate cosine, and full whitening is the
+    *     estimator that inverts it (recall 0.2→0.9-class recoveries).
+    *   - λ in the order of the BULK eigenvalue (≈ trace/dim) when the
+    *     scale structure is MEANINGFUL and you only want conditioning —
+    *     full whitening amplifies the small-variance (mostly-noise)
+    *     axes to parity with the signal axes, which is exactly how it
+    *     HURT recall on the merely scale-anisotropic fixture (r15's
+    *     honest negative). λ damps the amplification of axes with
+    *     λ_r ≪ λ while barely touching axes with λ_r ≫ λ — the larger
+    *     the λ, the closer to an isotropic (rotation-only) transform.
+    *   - If you cannot say which regime the space is in, fit both arms
+    *     on a slice and A/B recall against exact search on the raw
+    *     vectors (the EmbeddingsSpec harness shape) — the two regimes
+    *     answer oppositely, so the slice decides.
     */
   def fitWhitening(
       df: DataFrame,
@@ -149,13 +171,16 @@ object Embeddings {
       dim: Int,
       k: Int,
       whiten: Boolean = true,
-      eps: Double = 1e-9
+      eps: Double = 1e-9,
+      shrinkage: Double = 0.0
   ): WhiteningModel = {
     require(k >= 1 && k <= dim, s"k must be in [1, $dim], got $k")
+    require(shrinkage >= 0.0, s"shrinkage must be >= 0, got $shrinkage")
     val (_, mean, cov) = covariance(df, vecCol, dim)
     val (eigvals, eigrows) = jacobiEigen(cov)
     val basis = Array.tabulate(k) { r =>
-      val scale = if (whiten) 1.0 / math.sqrt(math.max(eigvals(r), 0.0) + eps) else 1.0
+      val scale =
+        if (whiten) 1.0 / math.sqrt(math.max(eigvals(r), 0.0) + shrinkage + eps) else 1.0
       eigrows(r).map(_ * scale)
     }
     WhiteningModel(mean, basis, eigvals)

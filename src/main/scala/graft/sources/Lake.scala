@@ -110,7 +110,8 @@ object Lake {
       spark: SparkSession,
       path: String,
       targetBytes: Long = 128L * 1024 * 1024,
-      sortCols: Seq[String] = Nil
+      sortCols: Seq[String] = Nil,
+      rangeCols: Seq[String] = Nil
   ): Long = {
     require(targetBytes > 0, "targetBytes must be positive")
     val dir = new java.io.File(path)
@@ -122,8 +123,16 @@ object Lake {
 
     val df = spark.read.parquet(path)
     val repacked = {
-      val r = df.repartition(n)
-      if (sortCols.isEmpty) r else r.sortWithinPartitions(sortCols.map(col): _*)
+      // rangeCols preserves (re-establishes) a range-clustered layout
+      // through compaction — a round-robin repack of an id-clustered
+      // store would give every output file the full id range and kill
+      // the min/max file skipping the clustering exists for (the
+      // IncrementalDedup corpus fetch)
+      val r =
+        if (rangeCols.nonEmpty) df.repartitionByRange(n, rangeCols.map(col): _*)
+        else df.repartition(n)
+      val sorts = if (sortCols.nonEmpty) sortCols else rangeCols
+      if (sorts.isEmpty) r else r.sortWithinPartitions(sorts.map(col): _*)
     }
     val tmp = s"$path.__compact_tmp"
     val old = s"$path.__compact_old"

@@ -63,16 +63,25 @@ object IncrementalDedup {
   /** Bucketed band store: (catalog table name, bucket count). With this
     * set, the band table is a `bucketBy(n, band_idx, band_hash)` table
     * (the [[graft.sources.Bucketing]] co-location discipline applied to
-    * the ingest loop's hot join): the per-batch candidate join then
-    * reads the stored buckets IN PLACE — zero corpus-side exchange,
-    * zero sort (shuffle-hash build on the batch side) — where the plain
-    * parquet path re-shuffles the ENTIRE ever-growing band table every
-    * trigger. That re-shuffle was the r15 sf10 finding: per-batch wall
-    * grew with batch size × corpus size; bucketing makes it
-    * O(batch + stored-bucket probe). The table is registered in the
-    * session catalog (a production deployment points the session at a
-    * persistent metastore so the registration survives restarts; the
-    * PATH always holds the data either way).
+    * the ingest loop's hot join): the per-batch candidate join reads
+    * the stored buckets IN PLACE — zero corpus-side exchange, zero sort
+    * (shuffle-hash build on the batch side) — where the plain parquet
+    * path re-shuffles the whole band table every trigger. The table is
+    * registered in the session catalog (a production deployment points
+    * the session at a persistent metastore so the registration survives
+    * restarts; the PATH always holds the data either way).
+    *
+    * MEASURED HONESTLY (BASELINE.md r16): at the sf10 replay shapes this
+    * is a NET LOSS for the STREAMING loop — 1,852 vs 1,955 docs/s at
+    * 50k-doc batches and 455 vs 920 at 10k-doc batches — because every
+    * bucketed APPEND writes one file per (task × bucket): 49 appends ×
+    * 32 buckets left ~2,400 band files whose per-file open/footer cost
+    * exceeds the one exchange the layout saves (the plain path's shuffle
+    * of a few-million-row band table is cheap). Use the bucketed layout
+    * where it actually pays: a band table written ONCE (or compacted on
+    * a cadence — [[graft.sources.Lake.compact]]) and probed MANY times,
+    * i.e. the recurring-audit [[graft.operators.Dedup.candidatesFromBanded]]
+    * path, not a high-frequency append loop.
     */
   final case class BandTable(name: String, buckets: Int)
 
@@ -246,14 +255,33 @@ object IncrementalDedup {
       minJaccard: Double = 0.4,
       maxBucketSize: Option[Int] = None,
       checkpointLocation: Option[String] = None,
-      bandTable: Option[BandTable] = None
+      bandTable: Option[BandTable] = None,
+      compactEvery: Option[Int] = None
   ): StreamingQuery = {
+    require(compactEvery.forall(_ > 0), "compactEvery must be positive")
     val spark = arriving.sparkSession
     val writer = arriving.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         ingestBatch(spark, batch, corpusDir, bandsDir, idCol, textCol,
           minJaccard, maxBucketSize, batchId = Some(bid), bandTable = bandTable)
+        // file-count maintenance (the IncrementalScd2 compactEvery
+        // discipline): each append adds a file set to both stores, and
+        // the measured small-batch growth term tracks store FILE COUNTS,
+        // not join shuffles (BASELINE.md r16). The corpus repacks
+        // RANGE-clustered on the id so the candidate-id min/max file
+        // skipping survives compaction; the band store repacks sorted on
+        // the band key. Content-identical, so a replay around a
+        // compaction is still a no-op. Plain-parquet stores only — a
+        // bucketed catalog table's layout is owned by the catalog.
+        compactEvery.foreach { n =>
+          if ((bid + 1) % n == 0) {
+            if (bandTable.isEmpty)
+              graft.sources.Lake.compact(spark, bandsDir,
+                sortCols = Seq("band_idx", "band_hash"))
+            graft.sources.Lake.compact(spark, corpusDir, rangeCols = Seq(idCol))
+          }
+        }
       }
     checkpointLocation
       .fold(writer)(c => writer.option("checkpointLocation", c))

@@ -179,4 +179,77 @@ class EmbeddingsSpec extends SparkSpec {
     assert(whiteIvf >= rawIvf,
       s"whitened ANN should not trail raw ANN: raw $rawIvf, whitened $whiteIvf")
   }
+
+  test("shrinkage sweep: λ=0 wins on corrupted-isotropic, λ>0 wins on meaningful-scale spaces") {
+    // The two regimes the fitWhitening scaladoc distinguishes, measured
+    // side by side at λ ∈ {0, 0.1, 1} ((Σ+λI)^(-1/2)):
+    //   A. anisotropy = CORRUPTION (r15's positive): clean isotropic z
+    //      observed through a skewed map + common shift; truth lives in
+    //      the clean space; full whitening (λ=0) is the inverse
+    //      estimator and any λ>0 under-corrects.
+    //   B. anisotropy = SIGNAL (r15's honest negative): the observed
+    //      scales ARE the structure (8 signal dims at high variance, 56
+    //      independent noise dims at low variance); truth = exact cosine
+    //      on the raw vectors. Full whitening amplifies the noise axes
+    //      to parity (recall collapses); λ around the bulk eigenvalue
+    //      damps exactly those axes and recall recovers.
+    import graft.operators.Similarity
+    val dim = 64
+    val lambdas = Seq(0.0, 0.1, 1.0)
+    def rows(seedMul: Int): IndexedSeq[Array[Float]] = (0 until 400).map { i =>
+      Array.tabulate(dim) { j =>
+        (((i.toLong * (48271 + seedMul * j) + 7 * j) % 1009).toDouble / 1009.0 - 0.5).toFloat
+      }
+    }
+    def df(vs: IndexedSeq[Array[Float]]) =
+      vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+    def topSet(d: org.apache.spark.sql.DataFrame) =
+      d.select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(data: org.apache.spark.sql.DataFrame, truth: Set[(Long, Long)]): Double =
+      topSet(Similarity.bruteForceTopK(
+        data.filter(col("vec_id") % 20 === 0), data, "vec_id", "embedding", 5))
+        .intersect(truth).size.toDouble / truth.size
+    def whitenedArm(observed: org.apache.spark.sql.DataFrame, lambda: Double) = {
+      val m = Embeddings.fitWhitening(observed, "embedding", dim, dim, shrinkage = lambda)
+      Embeddings.transform(observed, "embedding", m, "w")
+        .select(col("vec_id"), transform(col("w"), x => x.cast("float")).as("embedding"))
+    }
+
+    // regime A: corrupted isotropic (the earlier test's fixture shape)
+    val clean = rows(101)
+    def corrupt(v: Array[Float]): Array[Float] = Array.tabulate(dim) { j =>
+      v(j) * (if (j < 8) 8.0f else 0.5f) + (if (j < 4) 3.0f else 0.0f)
+    }
+    val truthA = topSet(Similarity.bruteForceTopK(
+      df(clean).filter(col("vec_id") % 20 === 0), df(clean), "vec_id", "embedding", 5))
+    val observedA = df(clean.map(corrupt))
+    val recallA = lambdas.map(l => l -> recall(whitenedArm(observedA, l), truthA)).toMap
+    info(s"regime A (corrupted-isotropic) recall@5 by λ: " +
+      lambdas.map(l => f"λ=$l%.1f ${recallA(l)}%.3f").mkString(", "))
+
+    // regime B: meaningful scale — raw IS the truth; noise dims are
+    // INDEPENDENT streams, not a corruption of anything recoverable
+    val signal = rows(101)
+    val noise = rows(977)
+    val observedBVecs = signal.indices.map { i =>
+      Array.tabulate(dim) { j =>
+        if (j < 8) signal(i)(j) * 8.0f else noise(i)(j) * 0.5f
+      }
+    }
+    val observedB = df(observedBVecs)
+    val truthB = topSet(Similarity.bruteForceTopK(
+      observedB.filter(col("vec_id") % 20 === 0), observedB, "vec_id", "embedding", 5))
+    val recallB = lambdas.map(l => l -> recall(whitenedArm(observedB, l), truthB)).toMap
+    info(s"regime B (meaningful-scale) recall@5 by λ: " +
+      lambdas.map(l => f"λ=$l%.1f ${recallB(l)}%.3f").mkString(", "))
+
+    // the two regimes answer oppositely — that is the when-to-use rule
+    assert(recallA(0.0) >= recallA(1.0),
+      s"corrupted-isotropic: full whitening must beat heavy shrinkage — $recallA")
+    assert(recallA(0.0) >= 0.6, s"corrupted-isotropic: λ=0 should recover truth — $recallA")
+    assert(recallB(1.0) >= recallB(0.0) + 0.15,
+      s"meaningful-scale: shrinkage must beat full whitening — $recallB")
+    assert(recallB(0.1) >= recallB(0.0),
+      s"meaningful-scale: even mild shrinkage must not trail λ=0 — $recallB")
+  }
 }

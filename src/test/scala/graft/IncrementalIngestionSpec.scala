@@ -161,6 +161,55 @@ class IncrementalIngestionSpec extends SparkSpec {
     assert(!pruned.contains(100L) && !pruned.contains(101L))
   }
 
+  test("compaction cadence preserves results and the id-range clustering of the corpus") {
+    // drive enough single-row batches that both stores accrete files,
+    // compact every 2 batches, and check (a) results identical to the
+    // uncompacted run, (b) corpus files keep TIGHT disjoint id ranges
+    // (the min/max skipping contract), (c) file counts actually drop
+    import graft.streaming.IncrementalDedup
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest_compact").toString
+    val seedDf = Seq(
+      (0L, "seeded corpus text about storage engines and columnar formats today"))
+      .toDF("doc_id", "text")
+    def batchDf(i: Long) = Seq(
+      (i, s"unique content number $i about subject${i * 3} and topic${i * 3 + 1} today"))
+      .toDF("doc_id", "text")
+
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val results = Seq(None, Some(2)).map { cadence =>
+      val tag = cadence.fold("plain")(n => s"compact$n")
+      val (c, b) = (s"$root/$tag/corpus", s"$root/$tag/bands")
+      IncrementalDedup.seed(seedDf, c, b)
+      val mem = MemoryStream[(Long, String)]
+      val q = IncrementalDedup.attach(
+        mem.toDF().toDF("doc_id", "text"), c, b,
+        checkpointLocation = Some(s"$root/$tag/chk"), compactEvery = cadence)
+      try {
+        (1L to 6L).foreach { i => mem.addData((i, batchDf(i).head().getString(1))); q.processAllAvailable() }
+      } finally q.stop()
+      val ids = spark.read.parquet(c).select($"doc_id").as[Long].collect().sorted
+      val files = Option(new java.io.File(c).listFiles()).getOrElse(Array.empty)
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+      (ids.toSeq, files)
+    }
+    val (plainIds, plainFiles) = results(0)
+    val (compIds, compFiles) = results(1)
+    assert(compIds == plainIds, s"compaction changed results: $compIds vs $plainIds")
+    assert(compFiles < plainFiles,
+      s"compaction must reduce corpus files: $compFiles vs $plainFiles")
+    // clustering contract: per-file id ranges are disjoint after compaction
+    val perFile = spark.read.parquet(s"$root/compact2/corpus")
+      .select(input_file_name().as("f"), $"doc_id")
+      .groupBy($"f").agg(min($"doc_id").as("lo"), max($"doc_id").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    perFile.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 < lo2, s"file id ranges overlap after compaction: ${perFile.mkString(",")}")
+      case _ => ()
+    }
+  }
+
   test("bucketed band table: same results as plain parquet, zero corpus-side exchange") {
     import graft.streaming.IncrementalDedup.BandTable
     val root = java.nio.file.Files.createTempDirectory("graft_ingest_bucketed").toString
