@@ -76,11 +76,19 @@ object Bench {
         else {
           val from = txt.indexOf("\"queries\":")
           if (from < 0) Map.empty
-          else
+          else {
+            // bound the scan at the queries object's closing brace — the
+            // file now carries a trailing "settled" object whose numeric
+            // fields would otherwise parse as phantom query entries
+            // (r16 ADVICE). The queries object is flat, so the first '}'
+            // after the key closes it.
+            val end = txt.indexOf('}', from)
+            val span = if (end < 0) txt.substring(from) else txt.substring(from, end + 1)
             "\"([A-Za-z0-9_]+)\":([0-9]+\\.[0-9]+)".r
-              .findAllMatchIn(txt.substring(from))
+              .findAllMatchIn(span)
               .map(m => m.group(1) -> m.group(2).toDouble)
               .toMap
+          }
         }
       } catch { case scala.util.control.NonFatal(_) => Map.empty }
     val selected = SparkEntry.benchQueries.toSeq
@@ -133,16 +141,31 @@ object Bench {
             times.minOption.map(solo => (name, inSuite, solo, ref))
         }.flatten
       }
+    // Verdict per settled mover (r16 VERDICT Next #5): "interference"
+    // when the warm-solo minimum lands at-or-below the reference
+    // (suite neighbors — GC, codegen cache — caused the in-suite blip),
+    // "regression" when even solo stays above it. Tolerance 1.15×: the
+    // warm-solo min still jitters a few percent run-to-run, while a
+    // genuine plan regression — the thing this must catch — shows up at
+    // ≥1.5× (the trigger criterion). A regression verdict is a FAILURE:
+    // the query joins "failed" in both JSON lines so a real mover can
+    // never hide in prose again.
+    def verdict(solo: Double, ref: Double): String =
+      if (solo <= ref * 1.15) "interference" else "regression"
+    val regressed = settled.collect {
+      case (k, _, solo, ref) if verdict(solo, ref) == "regression" => k
+    }
     val settledJson = settled
       .map { case (k, inSuite, solo, ref) =>
         "\"" + k + "\":" +
-          f"""{"in_suite":$inSuite%.3f,"solo":$solo%.3f,"ref":$ref%.3f}"""
+          f"""{"in_suite":$inSuite%.3f,"solo":$solo%.3f,"ref":$ref%.3f,"verdict":"${verdict(solo, ref)}"}"""
       }
       .mkString("{", ",", "}")
     val qs = ok
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedJson = (failed ++ regressed.map(_ + ":regressed"))
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2).sum
     // stdout gets a SHORT summary line only: downstream captures keep a
     // bounded tail of stdout, and an 87-query map (~2 KB) overflows it.

@@ -87,7 +87,11 @@ object PlanAudit {
         // final adaptive plan of the same logical plan: execute through
         // one QueryExecution so stage reuse is visible in its rendering
         val qe = SparkEntry.benchQueries(name)(spark, sfDir).queryExecution
-        qe.executedPlan.executeCollect()
+        // materialize distributed (nothing pulled to the driver — a
+        // row-heavy candidate-pair query would OOM a full executeCollect,
+        // r16 ADVICE); toRdd.foreach finalizes the adaptive plan the same
+        // way, so the rendering below shows the runtime-reused stages
+        qe.toRdd.foreach(_ => ())
         val fin = qe.executedPlan.toString
         val finScans = "Scan parquet".r.findAllIn(fin).size
         val reused = "Reused".r.findAllIn(fin).size
@@ -99,7 +103,7 @@ object PlanAudit {
         println(f"$name%-28s $stat%6d $finScans%6d $reused%6d $mb%8.1f $sec%7.2f")
       } catch {
         case e: Throwable =>
-          println(f"$name%-28s FAILED: ${e.getMessage.take(80)}")
+          println(f"$name%-28s FAILED: ${String.valueOf(e.getMessage).take(80)}")
       }
     }
     spark.stop()

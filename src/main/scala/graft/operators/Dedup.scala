@@ -184,6 +184,20 @@ object Dedup {
     * minhash signature → bands, with the optional hot-bucket cap.
     * Consumed by the corpus self-join ([[minhashCandidates]]) and the
     * incremental cross-join ([[minhashCandidatesAgainst]]).
+    *
+    * Capped-path requirements (r16 ADVICE):
+    *  - ids must be NON-NULL on the capped path: the size count and the
+    *    [[graft.functions.TopKByObject]] membership both skip null ids
+    *    (deliberately the SAME predicate, so size and membership always
+    *    agree — a null-id row can neither inflate a bucket past the cap
+    *    nor silently vanish from a kept bucket).
+    *  - the cap's TopKByObject is a TypedImperativeAggregate grouped by
+    *    the very-high-cardinality band key; any session running it MUST
+    *    raise `spark.sql.execution.objectHashAggregate.sortBased.
+    *    fallbackThreshold` (default 128 distinct groups per task!) or
+    *    ObjectHashAggregate silently degrades to a per-task sort pass.
+    *    Both graft mains pin 16M; external session builders must too
+    *    (SCALE.md, CLAUDE.md invariant).
     */
   private def bandedKeys(
       df: DataFrame,
@@ -249,7 +263,11 @@ object Dedup {
       banded0
         .groupBy(col("band_idx"), col("band_hash"))
         .agg(
-          count(lit(1)).as("__bsize"),
+          // count(idCol), not count(*): TopKByObject skips null ordering
+          // keys, so size and membership must use the same null predicate
+          // or null-id rows would count toward the cap yet vanish from
+          // the kept members (r16 ADVICE)
+          count(col(idCol)).as("__bsize"),
           graft.functions.TopKByObject.topKBy(col(idCol), col(idCol), cap + 1).as("__members"))
         .filter(col("__bsize") <= cap)
         .select(explode(col("__members")).as(idCol), col("band_idx"), col("band_hash"))

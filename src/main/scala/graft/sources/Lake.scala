@@ -106,6 +106,42 @@ object Lake {
     * `partitionBy` layout, compact each partition directory on its own
     * so partition pruning survives.
     */
+  /** Crash recovery for [[compact]]'s two-rename swap (r16 ADVICE): a
+    * kill between `renameTo(old)` and `renameTo(path)` leaves the live
+    * store only at `path.__compact_old` — every subsequent read fails
+    * until repaired. Idempotent and cheap (existence checks); called at
+    * the top of every [[compact]] and by the unattended ingest loops
+    * before each trigger. Recovery cases:
+    *   - live path MISSING, tmp present  → the rewrite finished, the
+    *     swap half-completed: COMPLETE it (tmp → path, drop old);
+    *   - live path MISSING, tmp absent   → ROLL BACK (old → path);
+    *   - live path present               → a stale tmp/old from a crash
+    *     before or after the swap: drop both, the live set is intact.
+    * Returns true if anything was repaired.
+    */
+  def recoverCompact(path: String): Boolean = {
+    val p = new java.io.File(path)
+    val t = new java.io.File(s"$path.__compact_tmp")
+    val o = new java.io.File(s"$path.__compact_old")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    if (!p.exists() && (t.exists() || o.exists())) {
+      if (t.exists()) { // rewrite completed before the crash: finish the swap
+        require(t.renameTo(p), s"recoverCompact: could not complete swap of $path")
+        if (o.exists()) rm(o)
+      } else { // no rewrite to install: restore the set-aside live store
+        require(o.renameTo(p), s"recoverCompact: could not roll back $path")
+      }
+      true
+    } else if (t.exists() || o.exists()) {
+      if (t.exists()) rm(t)
+      if (o.exists()) rm(o)
+      true
+    } else false
+  }
+
   def compact(
       spark: SparkSession,
       path: String,
@@ -114,6 +150,7 @@ object Lake {
       rangeCols: Seq[String] = Nil
   ): Long = {
     require(targetBytes > 0, "targetBytes must be positive")
+    recoverCompact(path)
     val dir = new java.io.File(path)
     val files = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))

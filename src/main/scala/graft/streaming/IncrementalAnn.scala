@@ -71,9 +71,10 @@ object IncrementalAnn {
       case Some(b) if StoreGuard.hasBatch(spark, storeDir, BatchCol, b) => return
       case _ => ()
     }
-    assigned(batch, centroids, idCol, vecCol, assignPlanes)
+    val rows = assigned(batch, centroids, idCol, vecCol, assignPlanes)
       .withColumn(BatchCol, lit(batchId.getOrElse(-1L)))
-      .write.mode("append").parquet(storeDir)
+    rows.write.mode("append").parquet(storeDir)
+    RuntimeEventBus.ingested(storeDir, batchId, rows.count())
   }
 
   /** Top-k cosine neighbors for `queries` against the persisted index —
@@ -118,8 +119,9 @@ object IncrementalAnn {
           batchId = Some(bid), assignPlanes = assignPlanes)
         compactEvery.foreach { n =>
           if (bid > 0 && bid % n == 0)
-            graft.sources.Lake.compact(
-              spark, storeDir, compactTargetBytes, sortCols = Seq("cell"))
+            RuntimeEventBus.compacted(storeDir, Some(bid),
+              graft.sources.Lake.compact(
+                spark, storeDir, compactTargetBytes, sortCols = Seq("cell")))
         }
       }
     checkpointLocation

@@ -63,9 +63,12 @@ object IncrementalBm25 {
       case Some(b) if StoreGuard.hasBatch(spark, storeDir, BatchCol, b) => return
       case _ => ()
     }
-    tfOf(batch, idCol, textCol)
+    val tf = tfOf(batch, idCol, textCol)
       .withColumn(BatchCol, lit(batchId.getOrElse(-1L)))
-      .write.mode("append").parquet(storeDir)
+    tf.write.mode("append").parquet(storeDir)
+    // rows = (doc, term) tf rows appended; the count re-runs the
+    // batch-sized tokenize only when a bus sink is registered
+    RuntimeEventBus.ingested(storeDir, batchId, tf.count())
   }
 
   /** Load the store as a servable [[Bm25Index]]: df and corpus stats

@@ -157,6 +157,11 @@ object IncrementalDedup {
       idPushdownCap: Int = 100000,
       bandTable: Option[BandTable] = None
   ): Unit = {
+    // a crash inside a previous trigger's compaction can leave the live
+    // directory set aside at <dir>.__compact_old — repair before reading
+    // (two existence checks when healthy; see Lake.recoverCompact)
+    graft.sources.Lake.recoverCompact(corpusDir)
+    if (bandTable.isEmpty) graft.sources.Lake.recoverCompact(bandsDir)
     val corpusRaw = spark.read.parquet(corpusDir)
     // bucketed mode reads through the CATALOG — a path read would drop
     // the bucket spec and the join would re-shuffle the whole table
@@ -217,7 +222,7 @@ object IncrementalDedup {
     // first write just changed (correct only while Spark's cached
     // file-index snapshot holds; any relisting would make survivors
     // match themselves)
-    survivors.count()
+    val nSurvivors = survivors.count()
     val stamp = (df: DataFrame) => batchId.fold(df)(b => df.withColumn(BatchCol, lit(b)))
     if (!doneBands) {
       val newBands = stamp(Dedup.bandedSignatures(survivors, idCol, textCol))
@@ -235,6 +240,9 @@ object IncrementalDedup {
     }
     if (!doneCorpus)
       clusterById(stamp(survivors), idCol).write.mode("append").parquet(corpusDir)
+    // loop-health ride-along: rows = survivors appended (the count is
+    // already materialized above, so this costs nothing either way)
+    RuntimeEventBus.ingested(corpusDir, batchId, nSurvivors)
     cands.unpersist()
     survivors.unpersist()
     } finally if (pruned) spark.conf.set(inThresholdKey, prevInThreshold)
@@ -277,9 +285,11 @@ object IncrementalDedup {
         compactEvery.foreach { n =>
           if ((bid + 1) % n == 0) {
             if (bandTable.isEmpty)
-              graft.sources.Lake.compact(spark, bandsDir,
-                sortCols = Seq("band_idx", "band_hash"))
-            graft.sources.Lake.compact(spark, corpusDir, rangeCols = Seq(idCol))
+              RuntimeEventBus.compacted(bandsDir, Some(bid),
+                graft.sources.Lake.compact(spark, bandsDir,
+                  sortCols = Seq("band_idx", "band_hash")))
+            RuntimeEventBus.compacted(corpusDir, Some(bid),
+              graft.sources.Lake.compact(spark, corpusDir, rangeCols = Seq(idCol)))
           }
         }
       }

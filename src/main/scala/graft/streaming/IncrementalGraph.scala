@@ -59,10 +59,11 @@ object IncrementalGraph {
       case Some(b) if StoreGuard.hasBatch(spark, storeDir, BatchCol, b) => return
       case _ => ()
     }
-    batch
+    val rows = batch
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .withColumn(BatchCol, lit(batchId.getOrElse(-1L)))
-      .write.mode("append").parquet(storeDir)
+    rows.write.mode("append").parquet(storeDir)
+    RuntimeEventBus.ingested(storeDir, batchId, rows.count())
   }
 
   /** The accumulated edge SET (duplicates across observations/batches

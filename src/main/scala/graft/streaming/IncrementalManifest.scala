@@ -67,9 +67,11 @@ object IncrementalManifest {
       case Some(b) if StoreGuard.hasBatch(spark, storeDir, BatchCol, b) => return
       case _ => ()
     }
-    Lake.shardManifest(batch, idCol, contentCols, nShards, seed, tokenCol, family)
+    val rows = Lake.shardManifest(batch, idCol, contentCols, nShards, seed, tokenCol, family)
       .withColumn(BatchCol, lit(batchId.getOrElse(-1L)))
-      .write.mode("append").parquet(storeDir)
+    rows.write.mode("append").parquet(storeDir)
+    // rows ≤ nShards per batch by construction
+    RuntimeEventBus.ingested(storeDir, batchId, rows.count())
   }
 
   /** The live manifest: roll the per-batch rows up per shard — counts

@@ -164,6 +164,8 @@ object IncrementalScd2 {
     stamped.write.mode("append").parquet(openDir(storeDir))
     stamped.write.mode("append").parquet(storeDir)
     foldOpen(spark, storeDir, keyCols, tsCol, attrCols, tieBreak)
+    // rows = collapsed change rows committed to the version log
+    RuntimeEventBus.ingested(storeDir, batchId, stamped.count())
   }
 
   /** Fold the head store back to one row per key (latest by ts, tie) —
@@ -266,7 +268,8 @@ object IncrementalScd2 {
           batchId = Some(bid))
         compactEvery.foreach { n =>
           if (bid > 0 && bid % n == 0)
-            graft.sources.Lake.compact(spark, storeDir, compactTargetBytes)
+            RuntimeEventBus.compacted(storeDir, Some(bid),
+              graft.sources.Lake.compact(spark, storeDir, compactTargetBytes))
         }
       }
     checkpointLocation

@@ -147,13 +147,26 @@ object IncrementalSelection {
       case Some(b) if StoreGuard.hasBatch(spark, storeDir, BatchCol, b) => return
       case _ => ()
     }
+    // Bootstrap-stamp eligibility must be decided BEFORE the append: a
+    // legacy pre-metadata store that already holds count rows must NOT
+    // get the first post-upgrade caller's parameters stamped as canonical
+    // (they may differ from what the legacy rows were written with —
+    // r16 ADVICE). Only a truly NEW store (no meta AND no data rows)
+    // bootstraps; legacy stores stay unstamped, with a one-line notice
+    // that their parameters are unverifiable.
+    val metaAbsent = StoreGuard.readStore(spark, metaDir(storeDir)).isEmpty
+    val storeWasEmpty = StoreGuard.readStore(spark, storeDir).isEmpty
     countsRow(batch, textCol, isTarget, buckets, n, family)
       .withColumn(BatchCol, lit(batchId.getOrElse(-1L)))
       .write.mode("append").parquet(storeDir)
-    // bootstrap path (attach without seed): the first successful append
-    // stamps the parameters it used
-    if (StoreGuard.readStore(spark, metaDir(storeDir)).isEmpty)
-      writeMeta(spark, storeDir, buckets, n, family)
+    // the count-store append is exactly one vector row per batch
+    RuntimeEventBus.ingested(storeDir, batchId, 1L)
+    if (metaAbsent) {
+      if (storeWasEmpty) writeMeta(spark, storeDir, buckets, n, family)
+      else System.err.println(
+        s"[graft] $storeDir: legacy store without _graft_meta — existing rows' " +
+          "(buckets, n, family) unverifiable; not stamping caller parameters")
+    }
   }
 
   /** The maintained model: element-wise-sum the store's count vectors

@@ -63,10 +63,11 @@ object IncrementalSketches {
       case Some(b) if StoreGuard.hasBatch(spark, storeDir, BatchCol, b) => return
       case _ => ()
     }
-    Sketches
+    val rows = Sketches
       .hllShardSketches(batch, shardCols, valueCol, lgK)
       .withColumn(BatchCol, lit(batchId.getOrElse(-1L)))
-      .write.mode("append").parquet(storeDir)
+    rows.write.mode("append").parquet(storeDir)
+    RuntimeEventBus.ingested(storeDir, batchId, rows.count())
   }
 
   /** Roll the persisted store up to `groupCols` (empty = global) and

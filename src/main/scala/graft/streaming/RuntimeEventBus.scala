@@ -53,6 +53,12 @@ object RuntimeEventBus extends RuntimeEventSink {
   def removeSink(sink: RuntimeEventSink): Unit = sinks.remove(sink)
   def clearSinks(): Unit = sinks.clear()
 
+  /** True iff anyone is listening — emitters whose payload costs real
+    * work (a row count is one extra pass over the micro-batch) guard on
+    * this so an UNOBSERVED loop pays nothing.
+    */
+  def hasSinks: Boolean = !sinks.isEmpty
+
   /** Deliver to every registered sink; a sink failure is contained
     * (stderr note, delivery continues) — the TryPublish contract.
     */
@@ -64,6 +70,26 @@ object RuntimeEventBus extends RuntimeEventSink {
           System.err.println(s"[graft-events] sink ${s.getClass.getSimpleName} threw: $t")
       }
     }
+
+  /** Ingest-loop ride-along emitters (completes the Supervisor/ErrorSink
+    * surface): every incremental store loop reports `batch.ingested`
+    * (rows appended this trigger) and `batch.compacted` (output file
+    * count of a maintenance rewrite) through the bus, so loop health is
+    * sinkable without parsing stdout. `entity` is the store directory —
+    * the one name a multi-loop deployment can always correlate on. The
+    * `rows` payload is BY-NAME and only evaluated when [[hasSinks]]:
+    * counting an appended frame costs one batch-sized pass, which an
+    * unobserved loop must not pay.
+    */
+  def ingested(entity: String, batchId: Option[Long], rows: => Long): Unit =
+    if (hasSinks)
+      publish(RuntimeEvent("batch.ingested", entity, System.currentTimeMillis(),
+        batchId = batchId, success = Some(true), message = Some(s"rows=$rows")))
+
+  def compacted(entity: String, batchId: Option[Long], files: Long): Unit =
+    if (hasSinks)
+      publish(RuntimeEvent("batch.compacted", entity, System.currentTimeMillis(),
+        batchId = batchId, success = Some(true), message = Some(s"files=$files")))
 
   /** One-line stderr logger — `LoggerIncidentSink.cs:9-20` parity; the
     * out-of-the-box sink for `RuntimeEventBus.addSink(loggerSink)`.

@@ -110,7 +110,10 @@ class ModelSampleGuardSpec extends SparkSpec {
       "examples/RuntimeEvents.scala" -> 1,
       "examples/HoppingPull.scala" -> 1,
       "examples/IncrementalIngestion.scala" -> 1,
-      "examples/IngestionScale.scala" -> 4
+      "examples/IngestionScale.scala" -> 4,
+      // manifest-verification pulls in the crawl→shards pipeline stage:
+      // each is ≤ #shards rows (1024 manifest lines), never the corpus
+      "examples/ProductionPipeline.scala" -> 3
     )
     val root = java.nio.file.Paths.get("src/main/scala/graft")
     val offenders = scala.collection.mutable.ListBuffer.empty[String]

@@ -139,4 +139,93 @@ class RuntimeEventBusSpec extends SparkSpec {
       RuntimeEventBus.removeSink(sink)
     }
   }
+
+  test("every ingest-loop family emits batch.ingested with the appended row count") {
+    import graft.streaming._
+    import org.apache.spark.sql.functions.col
+    val sink = new Collecting
+    RuntimeEventBus.addSink(sink)
+    val root = Files.createTempDirectory("evt-loops").toString
+    try {
+      IncrementalBm25.ingestBatch(spark,
+        Seq((1L, "alpha beta gamma"), (2L, "beta delta")).toDF("doc_id", "text"),
+        s"$root/bm25", batchId = Some(0L))
+      val centroids =
+        Seq((0, Seq(1f, 0f)), (1, Seq(0f, 1f))).toDF("centroid_id", "centroid_vec")
+      IncrementalAnn.ingestBatch(spark,
+        Seq((1L, Seq(0.9f, 0.1f)), (2L, Seq(0.1f, 0.8f))).toDF("vec_id", "embedding"),
+        s"$root/ann", centroids, "vec_id", "embedding", batchId = Some(0L))
+      IncrementalScd2.ingestBatch(spark,
+        Seq(("A", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 0L, "s"))
+          .toDF("k", "ts", "id", "attr"),
+        s"$root/scd2", Seq("k"), "ts", Seq("attr"), Seq("id"), batchId = Some(0L))
+      IncrementalManifest.ingestBatch(spark,
+        Seq((1L, "x"), (2L, "y")).toDF("id", "text"),
+        s"$root/manifest", "id", Seq("id", "text"), nShards = 4, seed = "s",
+        batchId = Some(0L))
+      IncrementalSelection.ingestBatch(spark,
+        Seq((1L, "target text here"), (2L, "raw text there")).toDF("doc_id", "text"),
+        s"$root/dsir", "text", col("doc_id") === 1L, buckets = 32, batchId = Some(0L))
+      IncrementalSketches.ingestBatch(spark,
+        Seq(("s1", "tok1"), ("s1", "tok2")).toDF("source", "token"),
+        s"$root/hll", Seq("source"), "token", batchId = Some(0L))
+      IncrementalGraph.ingestBatch(spark,
+        Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"), s"$root/graph", batchId = Some(0L))
+      IncrementalDedup.seed(
+        Seq((100L, "some seed document text with enough distinct words to shingle properly"))
+          .toDF("doc_id", "text"),
+        s"$root/corpus", s"$root/bands")
+      IncrementalDedup.ingestBatch(spark,
+        Seq((200L, "a completely novel arriving document with many different interesting words"))
+          .toDF("doc_id", "text"),
+        s"$root/corpus", s"$root/bands", batchId = Some(0L))
+
+      val byEntity = sink.events.asScala
+        .filter(_.name == "batch.ingested").map(e => e.entity -> e).toMap
+      for (store <- Seq("bm25", "ann", "scd2", "manifest", "dsir", "hll", "graph", "corpus")) {
+        val e = byEntity.getOrElse(s"$root/$store",
+          fail(s"no batch.ingested for $store; got ${byEntity.keys}"))
+        assert(e.batchId.contains(0L) && e.success.contains(true), s"$store: $e")
+        val rows = e.message.get.stripPrefix("rows=").toLong
+        val inStore = spark.read.parquet(s"$root/$store")
+          .filter(col("ingest_batch") === 0L).count()
+        assert(rows == inStore, s"$store event says rows=$rows, store holds $inStore")
+      }
+    } finally RuntimeEventBus.removeSink(sink)
+  }
+
+  test("compaction maintenance emits batch.compacted; unobserved loops pay no count") {
+    import graft.streaming._
+    // zero-overhead contract: the by-name rows payload must not be
+    // evaluated when no sink is registered
+    RuntimeEventBus.clearSinks()
+    var evaluated = false
+    RuntimeEventBus.ingested("nobody-listening", None, { evaluated = true; 1L })
+    assert(!evaluated, "rows payload was computed with no sinks registered")
+
+    val sink = new Collecting
+    RuntimeEventBus.addSink(sink)
+    val root = Files.createTempDirectory("evt-compact").toString
+    try {
+      IncrementalDedup.seed(
+        Seq((100L, "seed corpus document with a healthy number of distinct shingle words"))
+          .toDF("doc_id", "text"),
+        s"$root/corpus", s"$root/bands")
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(Long, String)]
+      val q = IncrementalDedup.attach(
+        mem.toDF().toDF("doc_id", "text"), s"$root/corpus", s"$root/bands",
+        compactEvery = Some(1))
+      try {
+        mem.addData((200L, "fresh arriving text that is nothing like the seeded corpus entry"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val compacted = sink.events.asScala.filter(_.name == "batch.compacted").toSeq
+      assert(compacted.exists(_.entity == s"$root/corpus"), s"events: ${sink.names}")
+      assert(compacted.exists(_.entity == s"$root/bands"), s"events: ${sink.names}")
+      compacted.foreach { e =>
+        assert(e.message.exists(_.matches("files=\\d+")) && e.batchId.contains(0L), s"$e")
+      }
+    } finally RuntimeEventBus.removeSink(sink)
+  }
 }
