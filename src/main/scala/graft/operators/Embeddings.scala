@@ -175,8 +175,26 @@ object Embeddings {
       shrinkage: Double = 0.0
   ): WhiteningModel = {
     require(k >= 1 && k <= dim, s"k must be in [1, $dim], got $k")
-    require(shrinkage >= 0.0, s"shrinkage must be >= 0, got $shrinkage")
     val (_, mean, cov) = covariance(df, vecCol, dim)
+    modelFromCovariance(mean, cov, k, whiten, eps, shrinkage)
+  }
+
+  /** The driver half of [[fitWhitening]] — eigendecompose a given
+    * mean + covariance and scale the leading-k basis by the
+    * (Σ + λI)^(-1/2) rule. Exposed so the oracle gate can ride the exact
+    * production scaling code under a FIXED covariance (the
+    * lloydCodebooks export-as-literals discipline).
+    */
+  def modelFromCovariance(
+      mean: Array[Double],
+      cov: Array[Array[Double]],
+      k: Int,
+      whiten: Boolean = true,
+      eps: Double = 1e-9,
+      shrinkage: Double = 0.0
+  ): WhiteningModel = {
+    require(k >= 1 && k <= cov.length, s"k must be in [1, ${cov.length}], got $k")
+    require(shrinkage >= 0.0, s"shrinkage must be >= 0, got $shrinkage")
     val (eigvals, eigrows) = jacobiEigen(cov)
     val basis = Array.tabulate(k) { r =>
       val scale =

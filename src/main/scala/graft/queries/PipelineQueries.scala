@@ -41,6 +41,24 @@ object PipelineQueries extends QueryPack {
         zip_with(col("embedding"), col("centroid_vec"),
           (x, c) => (x.cast("double") - c.cast("double")).cast("float")).as("res"))
 
+  /** Fixed mean + covariance for q_embed_whiten_gated: the model must be
+    * byte-identical at query-build and oracle-build time, so it derives
+    * from CONSTANTS (never the sf dir) through the production
+    * Embeddings.modelFromCovariance path. The covariance is symmetric
+    * and strongly diagonally dominant (positive definite by
+    * construction), so the eigenbasis is well-separated and Jacobi
+    * converges to the same bits on every run.
+    */
+  private val WhitenGateDim = 8
+  private val WhitenGateK = 4
+  private def whitenGateModel(shrinkage: Double): Embeddings.WhiteningModel = {
+    val mean = Array.tabulate(WhitenGateDim)(i => 0.5 * (i + 1))
+    val cov = Array.tabulate(WhitenGateDim, WhitenGateDim) { (i, j) =>
+      if (i == j) 4.0 / (i + 1) else 0.3 / ((i + 1.0) * (j + 1.0))
+    }
+    Embeddings.modelFromCovariance(mean, cov, WhitenGateK, shrinkage = shrinkage)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> { (s, dir) =>
       Dedup
@@ -88,6 +106,23 @@ object PipelineQueries extends QueryPack {
         yield sum((x(i - 1) * x(j - 1)).cast("decimal(28,18)"))
           .cast("double").as(s"m$i$j")
       e.agg(count(lit(1)).as("n"), (sumCols ++ prodCols): _*)
+    },
+    // the whitened PROJECTION gated (closes the q_embed_whiten spec-only
+    // gap): under the FIXED covariance in [[whitenGateModel]], the
+    // (Σ+λI)^(-1/2) basis the production scaling code computes
+    // (Embeddings.modelFromCovariance — the exact path fitWhitening
+    // takes after its corpus pass) is a literal matrix both engines
+    // apply as plain column math. λ ∈ {0, 1} exercises both shrinkage
+    // regimes of the r16 dial; the nonzero mean exercises the folded
+    // offset; MatVec's ascending accumulation mirrors SQL's left-assoc +
+    "q_embed_whiten_gated" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val w0 = Embeddings.transform(e, "embedding", whitenGateModel(0.0), "w0")
+      val w1 = Embeddings.transform(w0, "embedding", whitenGateModel(1.0), "w1")
+      val cols =
+        (1 to WhitenGateK).map(r => element_at(col("w0"), r).as(s"a$r")) ++
+          (1 to WhitenGateK).map(r => element_at(col("w1"), r).as(s"b$r"))
+      w1.select(col("vec_id") +: cols: _*).orderBy(col("vec_id"))
     },
     // the PRODUCTION z-order key (functions.ZValue — the expression
     // Lake.writeZOrdered sorts by) gate-checked bit-for-bit against a
@@ -1517,6 +1552,24 @@ object PipelineQueries extends QueryPack {
       val ms = for { i <- 1 to dims; j <- i to dims }
         yield s"CAST(SUM(CAST(${xd(i)} * ${xd(j)} AS DECIMAL(28,18))) AS DOUBLE) AS m$i$j"
       s"SELECT COUNT(*) AS n, ${(ss ++ ms).mkString(", ")} FROM embeddings"
+    },
+    "q_embed_whiten_gated" -> {
+      // basis/offset doubles render via Double.toString (shortest
+      // round-trip form); DuckDB's correctly-rounded parse recovers the
+      // identical bits, and the left-assoc + chain matches MatVec's
+      // ascending accumulation order
+      def proj(m: Embeddings.WhiteningModel, name: Int => String) =
+        (0 until WhitenGateK).map { r =>
+          val row = m.basis(r)
+          val terms = (0 until WhitenGateDim)
+            .map(j => s"(${row(j)}) * CAST(embedding[${j + 1}] AS DOUBLE)")
+            .mkString(" + ")
+          val off = row.indices.map(j => row(j) * m.mean(j)).sum
+          s"($terms) - ($off) AS ${name(r)}"
+        }
+      val cols = proj(whitenGateModel(0.0), r => s"a${r + 1}") ++
+        proj(whitenGateModel(1.0), r => s"b${r + 1}")
+      s"SELECT vec_id, ${cols.mkString(", ")} FROM embeddings ORDER BY vec_id"
     },
     "q_zorder_key" ->
       s"""SELECT o_orderkey,
