@@ -37,10 +37,15 @@ object PlanAudit {
       case (nums, qs) => (nums.headOption.map(_.toInt).getOrElse(5), qs)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_SHUFFLE decouples shuffle parallelism from thread
+    // count — the memory-per-task dial for the sf1000 spill A/B: more
+    // shuffle partitions = smaller per-task build/agg footprint at the
+    // same core count (exactly what a cluster would tune)
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "16777216")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -49,10 +54,15 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
 
     val bytesRead = new AtomicLong(0)
+    val memSpilled = new AtomicLong(0)
+    val diskSpilled = new AtomicLong(0)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
-        if (t.taskMetrics != null)
+        if (t.taskMetrics != null) {
           bytesRead.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+          memSpilled.addAndGet(t.taskMetrics.memoryBytesSpilled)
+          diskSpilled.addAndGet(t.taskMetrics.diskBytesSpilled)
+        }
     })
 
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("/tmp/plan_audit"))
@@ -70,37 +80,39 @@ object PlanAudit {
       else all.map(n => n -> (try staticScans(n) catch { case _: Throwable => -1 }))
         .filter(_._2 >= threshold).map(_._1)
 
-    println(f"${"query"}%-28s ${"static"}%6s ${"final"}%6s ${"reused"}%6s ${"inputMB"}%8s ${"sec"}%7s")
+    println(f"${"query"}%-28s ${"static"}%6s ${"final"}%6s ${"reused"}%6s ${"inputMB"}%8s ${"spillMB"}%8s ${"sec"}%7s")
     targets.foreach { name =>
       try {
         val df = SparkEntry.benchQueries(name)(spark, sfDir)
+        val qe = df.queryExecution
         val stat = "Scan parquet".r
-          .findAllIn(df.queryExecution.explainString(
+          .findAllIn(qe.explainString(
             org.apache.spark.sql.execution.FormattedMode)).size
-        bytesRead.set(0)
+        bytesRead.set(0); memSpilled.set(0); diskSpilled.set(0)
+        // ONE distributed materialization serves both the timing and the
+        // final-plan rendering: toRdd.foreach executes the full adaptive
+        // plan without pulling a row onto the driver (a row-heavy
+        // candidate-pair query would OOM a full executeCollect, r16
+        // ADVICE), and the SAME QueryExecution then renders with its
+        // runtime-reused stages visible. At sf1000 scale the former
+        // two-execution shape doubled a 17-minute query.
         val t0 = System.nanoTime()
-        df.write.format("noop").mode("overwrite").save()
+        qe.toRdd.foreach(_ => ())
         val sec = (System.nanoTime() - t0) / 1e9
         // a listener race can trail the action by a beat
         Thread.sleep(200)
         val mb = bytesRead.get() / 1e6
-        // final adaptive plan of the same logical plan: execute through
-        // one QueryExecution so stage reuse is visible in its rendering
-        val qe = SparkEntry.benchQueries(name)(spark, sfDir).queryExecution
-        // materialize distributed (nothing pulled to the driver — a
-        // row-heavy candidate-pair query would OOM a full executeCollect,
-        // r16 ADVICE); toRdd.foreach finalizes the adaptive plan the same
-        // way, so the rendering below shows the runtime-reused stages
-        qe.toRdd.foreach(_ => ())
+        val spillMb = diskSpilled.get() / 1e6
         val fin = qe.executedPlan.toString
         val finScans = "Scan parquet".r.findAllIn(fin).size
         val reused = "Reused".r.findAllIn(fin).size
         java.nio.file.Files.write(
           java.nio.file.Paths.get(s"/tmp/plan_audit/$name.txt"),
-          (df.queryExecution.explainString(
+          (qe.explainString(
             org.apache.spark.sql.execution.FormattedMode) + "\n\n===== FINAL =====\n" + fin)
             .getBytes("UTF-8"))
-        println(f"$name%-28s $stat%6d $finScans%6d $reused%6d $mb%8.1f $sec%7.2f")
+        println(f"$name%-28s $stat%6d $finScans%6d $reused%6d $mb%8.1f $spillMb%8.1f $sec%7.2f" +
+          (if (memSpilled.get() > 0) f"  (mem-spill ${memSpilled.get() / 1e6}%.0f MB)" else ""))
       } catch {
         case e: Throwable =>
           println(f"$name%-28s FAILED: ${String.valueOf(e.getMessage).take(80)}")

@@ -118,6 +118,9 @@ object StreamingScale {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // long-replay runs (300+ batches, the compaction-crossover A/B)
+      // need the whole progress history, not the 100-entry default tail
+      .config("spark.sql.streaming.numRecentProgressUpdates", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
@@ -228,11 +231,32 @@ object StreamingScale {
     // (band_idx, band_hash) with n buckets — the zero-corpus-exchange
     // join path (IncrementalDedup.BandTable) — for the A/B against the
     // plain-parquet store's per-batch re-shuffle.
-    (1 until docChunks).foreach { i =>
-      docs.filter(col("doc_id") >= per * i &&
-          (col("doc_id") < per * (i + 1) || lit(i == docChunks - 1)))
-        .coalesce(1).write.mode(if (i == 1) "overwrite" else "append").parquet(docReplay)
-      Thread.sleep(5)
+    // ONE partitioned write builds every slice (the former
+    // one-job-per-slice loop took minutes at 300+ chunks), then the
+    // slice files move into the flat replay dir with STAMPED ascending
+    // mtimes — FileStreamSource orders by modification time, so the
+    // replay still arrives in doc_id order, one slice per trigger
+    locally {
+      val staging = s"$root/doc_replay_staging"
+      docs.filter(col("doc_id") >= per)
+        .withColumn("__slice",
+          least(floor(col("doc_id") / per), lit(docChunks - 1L)).cast("int"))
+        .repartition(docChunks, col("__slice"))
+        .write.partitionBy("__slice").mode("overwrite").parquet(staging)
+      val replayDir = new java.io.File(docReplay)
+      replayDir.mkdirs()
+      val t0 = System.currentTimeMillis() - 3600000L
+      Option(new java.io.File(staging).listFiles()).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.startsWith("__slice="))
+        .sortBy(d => d.getName.stripPrefix("__slice=").toInt)
+        .zipWithIndex.foreach { case (d, i) =>
+          d.listFiles().filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach {
+            case (f, j) =>
+              val dst = new java.io.File(replayDir, f"slice_$i%05d_$j.parquet")
+              require(f.renameTo(dst), s"replay prep: could not move ${f.getName}")
+              dst.setLastModified(t0 + i * 1000L)
+          }
+        }
     }
 
     if (want('E')) {
@@ -245,18 +269,40 @@ object StreamingScale {
     // SPARK_GRAFT_DEDUP_COMPACT=<n> compacts both stores every n batches
     // (range-clustered corpus, band-key-sorted bands)
     val compactEvery = sys.env.get("SPARK_GRAFT_DEDUP_COMPACT").map(_.toInt)
+    // SPARK_GRAFT_DEDUP_COMPACT_ASYNC=true moves the compaction rewrite
+    // off the trigger path (Lake.AsyncCompactor) — the crossover A/B arm
+    val asyncCompact = sys.env.get("SPARK_GRAFT_DEDUP_COMPACT_ASYNC").contains("true")
     val dedupQ = IncrementalDedup.attach(
       docStream, s"$root/corpus", s"$root/bands",
       checkpointLocation = Some(s"$root/_chk/dedup"),
-      bandTable = bandTable, compactEvery = compactEvery)
+      bandTable = bandTable, compactEvery = compactEvery,
+      asyncCompact = asyncCompact)
     try {
       dedupQ.processAllAvailable()
-      val label = (bandTable, compactEvery) match {
-        case (Some(_), _) => "dedup ingest loop (bucketed bands)"
-        case (_, Some(n)) => s"dedup ingest loop (compact/$n)"
-        case _            => "dedup ingest loop"
+      val label = (bandTable, compactEvery, asyncCompact) match {
+        case (Some(_), _, _)     => "dedup ingest loop (bucketed bands)"
+        case (_, Some(n), true)  => s"dedup ingest loop (async-compact/$n)"
+        case (_, Some(n), false) => s"dedup ingest loop (compact/$n)"
+        case _                   => "dedup ingest loop"
       }
       println(statOf(label, dedupQ, rowsOverride = Some(nDocs - per)).row)
+      // crossover evidence: per-batch trigger walls by quartile of the
+      // replay — the file-count term grows WITHIN a run, so plain-vs-
+      // compacted separates at the tail, not the average
+      val trig = dedupQ.recentProgress.filter(_.numInputRows > 0)
+        .map(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(0L))
+      if (trig.length >= 8) {
+        val quarters = (0 until 4).map { qi =>
+          val slice = trig.slice(trig.length * qi / 4, trig.length * (qi + 1) / 4)
+          slice.sum / 1e3 / slice.length
+        }
+        val storeFiles = Seq("corpus", "bands").map { s =>
+          Option(new java.io.File(s"$root/$s").listFiles()).getOrElse(Array.empty)
+            .count(f => f.isFile && f.getName.endsWith(".parquet"))
+        }
+        println(f"#   per-batch wall by quartile: ${quarters.map(q => f"$q%.2f").mkString(" / ")} s; " +
+          s"final store files corpus=${storeFiles(0)} bands=${storeFiles(1)}")
+      }
     } finally dedupQ.stop()
     }
 

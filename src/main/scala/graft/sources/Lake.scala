@@ -84,6 +84,137 @@ object Lake {
     * `zCols` must be numeric/date/timestamp (rank needs an order);
     * hash a string column first if equality-only pruning is enough.
     */
+  /** Name of the snapshot manifest a rewrite leaves inside the
+    * compacted directory: the exact file names the rewrite READ.
+    * Underscore-prefixed, so parquet directory listings ignore it. The
+    * swap uses it to RESCUE files appended after the snapshot was
+    * taken (the async-compaction case) instead of deleting them with
+    * the set-aside directory.
+    */
+  private[sources] val SnapshotName = "_graft_snapshot"
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete()
+  }
+
+  private def parquetFiles(dir: java.io.File): Array[java.io.File] =
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+
+  /** Move any parquet file in `oldDir` that is NOT in `newDir`'s
+    * snapshot manifest into `newDir` — files appended between the
+    * rewrite's snapshot and the swap. Without a manifest (a legacy
+    * layout) nothing is rescued: the sync path is quiescent by
+    * contract, so the set-aside dir holds only pre-rewrite content.
+    * Idempotent (an already-moved file is no longer in `oldDir`).
+    */
+  private def rescueLateAppends(newDir: java.io.File, oldDir: java.io.File): Unit = {
+    val snapFile = new java.io.File(newDir, SnapshotName)
+    if (snapFile.exists()) {
+      val snap = java.nio.file.Files.readAllLines(snapFile.toPath)
+      val inSnap = new java.util.HashSet[String](snap)
+      parquetFiles(oldDir).foreach { f =>
+        if (!inSnap.contains(f.getName))
+          require(f.renameTo(new java.io.File(newDir, f.getName)),
+            s"compact: could not rescue late append ${f.getName}")
+      }
+    }
+  }
+
+  /** Crash recovery for [[compact]]'s two-rename swap (r16 ADVICE): a
+    * kill between `renameTo(old)` and `renameTo(path)` leaves the live
+    * store only at `path.__compact_old` — every subsequent read fails
+    * until repaired. Idempotent and cheap (existence checks); called at
+    * the top of every [[compact]] and by the unattended ingest loops
+    * before each trigger. Recovery cases:
+    *   - live path MISSING, tmp present  → the rewrite finished, the
+    *     swap half-completed: COMPLETE it (tmp → path, rescue
+    *     post-snapshot appends from old, drop old);
+    *   - live path MISSING, tmp absent   → ROLL BACK (old → path);
+    *   - live path present               → a stale tmp holds nothing
+    *     the path lacks — drop it; a leftover old may hold
+    *     post-snapshot appends — rescue, then drop.
+    * Returns true if anything was repaired.
+    */
+  def recoverCompact(path: String): Boolean = {
+    val p = new java.io.File(path)
+    val t = new java.io.File(s"$path.__compact_tmp")
+    val o = new java.io.File(s"$path.__compact_old")
+    if (!p.exists() && (t.exists() || o.exists())) {
+      if (t.exists()) { // rewrite completed before the crash: finish the swap
+        require(t.renameTo(p), s"recoverCompact: could not complete swap of $path")
+        if (o.exists()) { rescueLateAppends(p, o); rmTree(o) }
+      } else { // no rewrite to install: restore the set-aside live store
+        require(o.renameTo(p), s"recoverCompact: could not roll back $path")
+      }
+      true
+    } else if (t.exists() || o.exists()) {
+      // live path intact: a stale tmp holds nothing the path lacks (the
+      // rewrite never removes inputs before the swap) — drop it; a
+      // leftover old (crash after the swap, before cleanup) may still
+      // hold post-snapshot appends — rescue them first
+      if (t.exists()) rmTree(t)
+      if (o.exists()) { rescueLateAppends(p, o); rmTree(o) }
+      true
+    } else false
+  }
+
+  /** The rewrite half of [[compact]]: repack the CURRENT parquet file
+    * set of `path` into ~`targetBytes` files at `tmpDir`, plus the
+    * snapshot manifest. Reads the snapshot by EXPLICIT file list, never
+    * the directory — a file appended while the rewrite runs (the async
+    * path) must not leak into the rewrite output, or the swap's rescue
+    * would duplicate it. Returns None when already compact.
+    */
+  private[sources] def rewriteToTmp(
+      spark: SparkSession,
+      path: String,
+      tmpDir: String,
+      targetBytes: Long,
+      sortCols: Seq[String],
+      rangeCols: Seq[String]
+  ): Option[Long] = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val files = parquetFiles(new java.io.File(path))
+    val bytes = files.map(_.length()).sum
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    if (files.length <= n) return None
+
+    val df = spark.read.parquet(files.map(_.getAbsolutePath).toIndexedSeq: _*)
+    val repacked = {
+      // rangeCols preserves (re-establishes) a range-clustered layout
+      // through compaction — a round-robin repack of an id-clustered
+      // store would give every output file the full id range and kill
+      // the min/max file skipping the clustering exists for (the
+      // IncrementalDedup corpus fetch)
+      val r =
+        if (rangeCols.nonEmpty) df.repartitionByRange(n, rangeCols.map(col): _*)
+        else df.repartition(n)
+      val sorts = if (sortCols.nonEmpty) sortCols else rangeCols
+      if (sorts.isEmpty) r else r.sortWithinPartitions(sorts.map(col): _*)
+    }
+    repacked.write.mode("overwrite").parquet(tmpDir)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(tmpDir, SnapshotName),
+      files.map(_.getName).sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
+    Some(n)
+  }
+
+  /** The swap half: set the live dir aside, install `__compact_tmp`,
+    * rescue post-snapshot appends from the set-aside dir, drop it.
+    * MUST run quiescent w.r.t. appends (the loop thread).
+    */
+  private[sources] def swapIn(path: String): Unit = {
+    val p = new java.io.File(path)
+    val t = new java.io.File(s"$path.__compact_tmp")
+    val o = new java.io.File(s"$path.__compact_old")
+    require(p.renameTo(o), s"compact: could not set aside $path")
+    require(t.renameTo(p), s"compact: could not swap in ${t.getPath}")
+    rescueLateAppends(p, o)
+    rmTree(o)
+  }
+
   /** Small-file compaction — the lake-maintenance pass every
     * streaming/incremental append path eventually needs: micro-batch
     * appends (IncrementalDedup/IncrementalScd2, the bar cascade sinks)
@@ -99,49 +230,14 @@ object Lake {
     * re-sorted per file on `sortCols` to restore row-group locality
     * the appends destroyed. The rewrite goes through a sibling temp
     * directory and an atomic-rename swap, so a concurrent reader sees
-    * the old file set or the new one, never a mix.
+    * the old file set or the new one, never a mix. For the rewrite OFF
+    * the trigger path, see [[AsyncCompactor]].
     *
     * Operates on a FLAT store (one directory of parquet files — the
     * shape every incremental append store here uses); for a
     * `partitionBy` layout, compact each partition directory on its own
     * so partition pruning survives.
     */
-  /** Crash recovery for [[compact]]'s two-rename swap (r16 ADVICE): a
-    * kill between `renameTo(old)` and `renameTo(path)` leaves the live
-    * store only at `path.__compact_old` — every subsequent read fails
-    * until repaired. Idempotent and cheap (existence checks); called at
-    * the top of every [[compact]] and by the unattended ingest loops
-    * before each trigger. Recovery cases:
-    *   - live path MISSING, tmp present  → the rewrite finished, the
-    *     swap half-completed: COMPLETE it (tmp → path, drop old);
-    *   - live path MISSING, tmp absent   → ROLL BACK (old → path);
-    *   - live path present               → a stale tmp/old from a crash
-    *     before or after the swap: drop both, the live set is intact.
-    * Returns true if anything was repaired.
-    */
-  def recoverCompact(path: String): Boolean = {
-    val p = new java.io.File(path)
-    val t = new java.io.File(s"$path.__compact_tmp")
-    val o = new java.io.File(s"$path.__compact_old")
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete()
-    }
-    if (!p.exists() && (t.exists() || o.exists())) {
-      if (t.exists()) { // rewrite completed before the crash: finish the swap
-        require(t.renameTo(p), s"recoverCompact: could not complete swap of $path")
-        if (o.exists()) rm(o)
-      } else { // no rewrite to install: restore the set-aside live store
-        require(o.renameTo(p), s"recoverCompact: could not roll back $path")
-      }
-      true
-    } else if (t.exists() || o.exists()) {
-      if (t.exists()) rm(t)
-      if (o.exists()) rm(o)
-      true
-    } else false
-  }
-
   def compact(
       spark: SparkSession,
       path: String,
@@ -149,43 +245,11 @@ object Lake {
       sortCols: Seq[String] = Nil,
       rangeCols: Seq[String] = Nil
   ): Long = {
-    require(targetBytes > 0, "targetBytes must be positive")
     recoverCompact(path)
-    val dir = new java.io.File(path)
-    val files = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-    val bytes = files.map(_.length()).sum
-    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    if (files.length <= n) return files.length.toLong // already compact
-
-    val df = spark.read.parquet(path)
-    val repacked = {
-      // rangeCols preserves (re-establishes) a range-clustered layout
-      // through compaction — a round-robin repack of an id-clustered
-      // store would give every output file the full id range and kill
-      // the min/max file skipping the clustering exists for (the
-      // IncrementalDedup corpus fetch)
-      val r =
-        if (rangeCols.nonEmpty) df.repartitionByRange(n, rangeCols.map(col): _*)
-        else df.repartition(n)
-      val sorts = if (sortCols.nonEmpty) sortCols else rangeCols
-      if (sorts.isEmpty) r else r.sortWithinPartitions(sorts.map(col): _*)
+    rewriteToTmp(spark, path, s"$path.__compact_tmp", targetBytes, sortCols, rangeCols) match {
+      case None => parquetFiles(new java.io.File(path)).length.toLong // already compact
+      case Some(n) => swapIn(path); n
     }
-    val tmp = s"$path.__compact_tmp"
-    val old = s"$path.__compact_old"
-    repacked.write.mode("overwrite").parquet(tmp)
-    // swap: old set aside, new renamed in — two renames, no copy
-    val p = new java.io.File(path)
-    val t = new java.io.File(tmp)
-    val o = new java.io.File(old)
-    require(p.renameTo(o), s"compact: could not set aside $path")
-    require(t.renameTo(p), s"compact: could not swap in $tmp")
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete()
-    }
-    rm(o)
-    n.toLong
   }
 
   def writeZOrdered(
@@ -324,4 +388,104 @@ object Lake {
       .parquet(dir)
     shardManifest(df, idCol, contentCols, nShards, seed, tokenCol, family)
   }
+}
+
+/** Off-trigger ("async") store compaction — the maintenance shape a
+  * production ingest loop actually wants: [[Lake.compact]]'s expensive
+  * rewrite (read every file, repack, re-sort) runs on a BACKGROUND
+  * thread against a snapshot of the store's current file set, while the
+  * loop keeps ingesting; only the cheap atomic swap runs on the loop
+  * thread at a later trigger boundary ([[maybeFinish]]). Appends that
+  * land between the snapshot and the swap are reconciled by rename —
+  * the rewrite reads its snapshot by explicit file list and records it
+  * in the `_graft_snapshot` manifest, so the swap can move exactly the
+  * post-snapshot files into the new layout (content identity holds; the
+  * late files just stay uncompacted until the next cycle).
+  *
+  * Threading contract: [[start]] and [[maybeFinish]] are called from
+  * the ONE loop thread (foreachBatch guarantees triggers never
+  * overlap); only the rewrite runs concurrently, and it never mutates
+  * the live directory. The background rewrite lands at
+  * `path.__compact_async_tmp` — a name [[Lake.recoverCompact]] ignores,
+  * so the per-trigger recovery sweep cannot race a rewrite in flight;
+  * the rename to the swap's `__compact_tmp` happens on the loop thread
+  * inside [[maybeFinish]]. A crash-orphaned async tmp is deleted by the
+  * next [[start]].
+  */
+final class AsyncCompactor(
+    spark: SparkSession,
+    path: String,
+    targetBytes: Long = 128L * 1024 * 1024,
+    sortCols: Seq[String] = Nil,
+    rangeCols: Seq[String] = Nil
+) {
+  private sealed trait State
+  private case object Idle extends State
+  private case object Rewriting extends State
+  private final case class Ready(files: Long) extends State
+  private final case class Failed(e: Throwable) extends State
+  private val state =
+    new java.util.concurrent.atomic.AtomicReference[State](Idle)
+  private val asyncTmp = s"$path.__compact_async_tmp"
+
+  /** Launch a background rewrite of the current file set. No-op (false)
+    * while a rewrite is in flight or a finished one awaits its swap.
+    */
+  def start(): Boolean =
+    state.compareAndSet(Idle, Rewriting) && {
+      val th = new Thread(() => {
+        val next: State =
+          try Lake.rewriteToTmp(spark, path, asyncTmp, targetBytes, sortCols, rangeCols)
+            .map(Ready(_): State)
+            .getOrElse(Idle) // already compact: nothing to swap
+          catch { case e: Throwable => Failed(e) }
+        state.set(next)
+      }, s"graft-async-compact-${new java.io.File(path).getName}")
+      th.setDaemon(true)
+      // stale orphan from a crashed run: invisible to readers, but its
+      // bytes would confuse this rewrite's overwrite — clear first
+      val orphan = new java.io.File(asyncTmp)
+      if (orphan.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+        }
+        rm(orphan)
+      }
+      th.start()
+      true
+    }
+
+  /** Install a finished rewrite, if any — call at a trigger boundary on
+    * the loop thread, never concurrently with an append. Returns the
+    * new file count when a swap happened. A failed rewrite is reported
+    * and cleared (the live store was never touched).
+    */
+  def maybeFinish(): Option[Long] = state.get() match {
+    case Ready(n) =>
+      require(new java.io.File(asyncTmp).renameTo(new java.io.File(s"$path.__compact_tmp")),
+        s"async compact: could not stage $asyncTmp for swap")
+      Lake.swapIn(path)
+      state.set(Idle)
+      Some(n)
+    case Failed(e) =>
+      System.err.println(s"[graft] async compact of $path failed: $e")
+      state.set(Idle)
+      None
+    case _ => None
+  }
+
+  /** True while a rewrite is running or awaiting its swap (a FAILED
+    * rewrite is not pending — nothing is in flight; the next
+    * [[maybeFinish]] reports and clears it).
+    */
+  def pending: Boolean = {
+    val s = state.get()
+    s == Rewriting || s.isInstanceOf[Ready]
+  }
+
+  /** True once the background rewrite finished and only the loop-thread
+    * swap remains — the deterministic point tests append "late" files
+    * at to exercise the rescue path.
+    */
+  private[graft] def awaitingSwap: Boolean = state.get().isInstanceOf[Ready]
 }

@@ -264,13 +264,36 @@ object IncrementalDedup {
       maxBucketSize: Option[Int] = None,
       checkpointLocation: Option[String] = None,
       bandTable: Option[BandTable] = None,
-      compactEvery: Option[Int] = None
+      compactEvery: Option[Int] = None,
+      asyncCompact: Boolean = false
   ): StreamingQuery = {
     require(compactEvery.forall(_ > 0), "compactEvery must be positive")
     val spark = arriving.sparkSession
+    // asyncCompact moves the expensive REWRITE off the trigger path
+    // (Lake.AsyncCompactor): the cadenced trigger only LAUNCHES the
+    // background repack; the atomic swap + late-append rescue runs at
+    // the start of a later trigger, on the loop thread. The r16 A/B
+    // showed the in-trigger rewrite is what inflates compacting
+    // triggers (max 40.9 s at 10k-doc batches) — this caps the loop's
+    // per-trigger maintenance cost at two renames + a file-list diff.
+    val compactors: Seq[(String, graft.sources.AsyncCompactor)] =
+      if (compactEvery.isEmpty || !asyncCompact) Seq.empty
+      else {
+        val corpus = Seq(corpusDir ->
+          new graft.sources.AsyncCompactor(spark, corpusDir, rangeCols = Seq(idCol)))
+        if (bandTable.isEmpty)
+          (bandsDir -> new graft.sources.AsyncCompactor(
+            spark, bandsDir, sortCols = Seq("band_idx", "band_hash"))) +: corpus
+        else corpus
+      }
     val writer = arriving.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, bid: Long) =>
+        // install any finished background repack FIRST, before this
+        // trigger reads the stores (loop thread — no append can race)
+        compactors.foreach { case (dir, c) =>
+          c.maybeFinish().foreach(n => RuntimeEventBus.compacted(dir, Some(bid), n))
+        }
         ingestBatch(spark, batch, corpusDir, bandsDir, idCol, textCol,
           minJaccard, maxBucketSize, batchId = Some(bid), bandTable = bandTable)
         // file-count maintenance (the IncrementalScd2 compactEvery
@@ -284,12 +307,15 @@ object IncrementalDedup {
         // bucketed catalog table's layout is owned by the catalog.
         compactEvery.foreach { n =>
           if ((bid + 1) % n == 0) {
-            if (bandTable.isEmpty)
-              RuntimeEventBus.compacted(bandsDir, Some(bid),
-                graft.sources.Lake.compact(spark, bandsDir,
-                  sortCols = Seq("band_idx", "band_hash")))
-            RuntimeEventBus.compacted(corpusDir, Some(bid),
-              graft.sources.Lake.compact(spark, corpusDir, rangeCols = Seq(idCol)))
+            if (compactors.nonEmpty) compactors.foreach(_._2.start())
+            else {
+              if (bandTable.isEmpty)
+                RuntimeEventBus.compacted(bandsDir, Some(bid),
+                  graft.sources.Lake.compact(spark, bandsDir,
+                    sortCols = Seq("band_idx", "band_hash")))
+              RuntimeEventBus.compacted(corpusDir, Some(bid),
+                graft.sources.Lake.compact(spark, corpusDir, rangeCols = Seq(idCol)))
+            }
           }
         }
       }

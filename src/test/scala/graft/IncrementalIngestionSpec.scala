@@ -177,14 +177,18 @@ class IncrementalIngestionSpec extends SparkSpec {
 
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    val results = Seq(None, Some(2)).map { cadence =>
-      val tag = cadence.fold("plain")(n => s"compact$n")
+    // three arms: no maintenance, in-trigger compaction, and the
+    // off-trigger (async) variant whose rewrite overlaps ingest and
+    // whose swap lands at a later trigger boundary
+    val results = Seq(("plain", None, false), ("compact2", Some(2), false),
+      ("async2", Some(2), true)).map { case (tag, cadence, async) =>
       val (c, b) = (s"$root/$tag/corpus", s"$root/$tag/bands")
       IncrementalDedup.seed(seedDf, c, b)
       val mem = MemoryStream[(Long, String)]
       val q = IncrementalDedup.attach(
         mem.toDF().toDF("doc_id", "text"), c, b,
-        checkpointLocation = Some(s"$root/$tag/chk"), compactEvery = cadence)
+        checkpointLocation = Some(s"$root/$tag/chk"), compactEvery = cadence,
+        asyncCompact = async)
       try {
         (1L to 6L).foreach { i => mem.addData((i, batchDf(i).head().getString(1))); q.processAllAvailable() }
       } finally q.stop()
@@ -195,9 +199,18 @@ class IncrementalIngestionSpec extends SparkSpec {
     }
     val (plainIds, plainFiles) = results(0)
     val (compIds, compFiles) = results(1)
+    val (asyncIds, _) = results(2)
     assert(compIds == plainIds, s"compaction changed results: $compIds vs $plainIds")
+    assert(asyncIds == plainIds, s"async compaction changed results: $asyncIds vs $plainIds")
     assert(compFiles < plainFiles,
       s"compaction must reduce corpus files: $compFiles vs $plainFiles")
+    // async arm: the live swap dirs must never outlive the stream (a
+    // background-rewrite scratch dir MAY — it is invisible to readers
+    // and the next start() clears it)
+    val asyncSiblings = Option(new java.io.File(s"$root/async2").listFiles())
+      .getOrElse(Array.empty).map(_.getName)
+    assert(!asyncSiblings.exists(n => n.endsWith("__compact_tmp") || n.endsWith("__compact_old")),
+      asyncSiblings.mkString(","))
     // clustering contract: per-file id ranges are disjoint after compaction
     val perFile = spark.read.parquet(s"$root/compact2/corpus")
       .select(input_file_name().as("f"), $"doc_id")

@@ -138,6 +138,93 @@ class LakeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(third == again && parquetFiles == again.toInt)
   }
 
+  test("async compact: rewrite off-thread, late appends rescued at the swap, content identical") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_acompact").toString + "/store"
+    (0 until 10).foreach { b =>
+      spark.range(b * 100, (b + 1) * 100)
+        .select($"id", ($"id" * 3).as("v"))
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    def files = Option(new java.io.File(dir).listFiles()).get
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val bytes = files.map(_.length()).sum
+    val c = new graft.sources.AsyncCompactor(spark, dir, targetBytes = bytes / 2, sortCols = Seq("id"))
+
+    assert(c.start(), "first start must launch")
+    assert(!c.start(), "second start while in flight must be a no-op")
+    // wait for the background rewrite to finish; only the swap remains
+    val deadline = System.currentTimeMillis() + 60000
+    while (!c.awaitingSwap && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(c.awaitingSwap, "rewrite did not finish in time")
+
+    // a "late" append lands AFTER the snapshot, BEFORE the swap — the
+    // exact window the rescue exists for
+    spark.range(5000, 5010).select($"id", ($"id" * 3).as("v"))
+      .coalesce(1).write.mode("append").parquet(dir)
+
+    val swapped = c.maybeFinish()
+    assert(swapped.exists(_ <= 3), s"expected a compacted file count, got $swapped")
+    assert(!c.pending)
+    // content identity: 1000 compacted rows + the 10 late rows
+    val ids = spark.read.parquet(dir).select($"id").as[Long].collect().sorted
+    assert(ids.length == 1010 && ids.take(1000).sameElements(0L until 1000L) &&
+      ids.drop(1000).sameElements(5000L until 5010L))
+    // the late file rides along uncompacted until the next cycle
+    assert(files.length == swapped.get.toInt + 1, s"files: ${files.map(_.getName).mkString(",")}")
+    // no leftover swap/async dirs
+    val siblings = Option(new java.io.File(dir).getParentFile.listFiles()).get.map(_.getName)
+    assert(!siblings.exists(_.contains("__compact")), siblings.mkString(","))
+    // idempotent when idle
+    assert(c.maybeFinish().isEmpty)
+  }
+
+  test("recoverCompact rescues post-snapshot appends from a crash-left old dir") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_rcompact").toString + "/store"
+    (0 until 6).foreach { b =>
+      spark.range(b * 50, (b + 1) * 50).select($"id")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val bytes = Option(new java.io.File(dir).listFiles()).get
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length()).sum
+    Lake.compact(spark, dir, targetBytes = bytes) // leaves _graft_snapshot in dir
+    assert(new java.io.File(dir, "_graft_snapshot").exists())
+
+    // manufacture the crash window: the set-aside old dir still exists
+    // and holds one file the snapshot never saw (a post-snapshot append)
+    val old = new java.io.File(s"$dir.__compact_old")
+    assert(old.mkdirs())
+    val lateSrc = Files.createTempDirectory("graft_late").toString
+    spark.range(9000, 9005).select($"id").coalesce(1).write.mode("overwrite").parquet(lateSrc)
+    val latePart = Option(new java.io.File(lateSrc).listFiles()).get
+      .find(_.getName.endsWith(".parquet")).get
+    assert(latePart.renameTo(new java.io.File(old, latePart.getName)))
+
+    assert(Lake.recoverCompact(dir), "recovery must report a repair")
+    assert(!old.exists())
+    val ids = spark.read.parquet(dir).select($"id").as[Long].collect().sorted
+    assert(ids.length == 305 && ids.takeRight(5).sameElements(9000L until 9005L),
+      s"late append lost: ${ids.length} rows")
+  }
+
+  test("async compact failure is contained: store intact, compactor reusable") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_fcompact").toString + "/store"
+    (0 until 4).foreach { b =>
+      spark.range(b * 10, (b + 1) * 10).select($"id")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val bad = new graft.sources.AsyncCompactor(spark, dir, targetBytes = 1,
+      rangeCols = Seq("no_such_column"))
+    assert(bad.start())
+    val deadline = System.currentTimeMillis() + 60000
+    while (bad.pending && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(bad.maybeFinish().isEmpty)
+    assert(spark.read.parquet(dir).count() == 40)
+    assert(!bad.pending, "a failed rewrite must return the compactor to idle")
+  }
+
   // ---- training shards + manifest ---------------------------------------
 
   private def md5First8(s: String): Long = {
