@@ -253,6 +253,17 @@ object IncrementalDedup {
     * streaming batch id so a `foreachBatch` replay after failure cannot
     * double-append. The caller owns the returned query's lifecycle
     * (awaitTermination / stop). Seed the stores with [[seed]] first.
+    *
+    * Maintenance guidance (measured, BASELINE.md r16/r17 300-batch
+    * crossover): leave `compactEvery` off for short-lived loops — the
+    * rewrites cost more than they save below roughly 500 store files
+    * (the crossover sat at batch 75-100 of the measured replay). Past
+    * that, plain per-batch walls keep growing with file count (3× over
+    * 300 batches) while a compacting loop stays flat. `asyncCompact =
+    * true` additionally moves the rewrite onto a background thread
+    * ([[graft.sources.AsyncCompactor]]) so the trigger pays only the
+    * swap — the best average and the flattest curve of the three
+    * measured arms, at the price of rewrite CPU overlapping ingest.
     */
   def attach(
       arriving: DataFrame,

@@ -161,11 +161,14 @@ object IncrementalScd2 {
     // duplicates carry identical payloads, so the fold's latest-per-key
     // collapse is unaffected. The fold never destroys pre-batch state
     // until the batch is committed in the version log.
+    // loop-health event BEFORE the appends: the count re-executes the
+    // change plan, which reads the open store — it must see the
+    // PRE-append state or the number drifts (and after foldOpen the
+    // store it reads has been rewritten entirely)
+    RuntimeEventBus.ingested(storeDir, batchId, stamped.count())
     stamped.write.mode("append").parquet(openDir(storeDir))
     stamped.write.mode("append").parquet(storeDir)
     foldOpen(spark, storeDir, keyCols, tsCol, attrCols, tieBreak)
-    // rows = collapsed change rows committed to the version log
-    RuntimeEventBus.ingested(storeDir, batchId, stamped.count())
   }
 
   /** Fold the head store back to one row per key (latest by ts, tie) —
