@@ -67,6 +67,9 @@ object IncrementalAnn {
       batchId: Option[Long] = None,
       assignPlanes: Option[Int] = None
   ): Unit = {
+    // a crash inside a compaction swap can leave the live dir set aside
+    // (two existence checks when healthy — see Lake.recoverCompact)
+    graft.sources.Lake.recoverCompact(storeDir)
     batchId match {
       case Some(b) if StoreGuard.hasBatch(spark, storeDir, BatchCol, b) => return
       case _ => ()
@@ -97,7 +100,9 @@ object IncrementalAnn {
 
   /** Drive the loop from a stream of arriving vectors; `compactEvery`
     * folds the per-batch file accretion back, CELL-SORTED so serve-time
-    * row-group pruning keeps working (see class doc).
+    * row-group pruning keeps working (see class doc). `asyncCompact`
+    * moves the rewrite off the trigger path (the IncrementalDedup
+    * discipline — see that attach's measured guidance).
     */
   def attach(
       arriving: DataFrame,
@@ -108,20 +113,33 @@ object IncrementalAnn {
       checkpointLocation: Option[String] = None,
       assignPlanes: Option[Int] = None,
       compactEvery: Option[Int] = None,
-      compactTargetBytes: Long = 128L * 1024 * 1024
+      compactTargetBytes: Long = 128L * 1024 * 1024,
+      asyncCompact: Boolean = false
   ): StreamingQuery = {
     require(compactEvery.forall(_ > 0), "compactEvery must be positive")
     val spark = arriving.sparkSession
+    val compactor =
+      if (compactEvery.isDefined && asyncCompact)
+        Some(new graft.sources.AsyncCompactor(
+          spark, storeDir, compactTargetBytes, sortCols = Seq("cell")))
+      else None
     val writer = arriving.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, bid: Long) =>
+        compactor.foreach(_.maybeFinish()
+          .foreach(n => RuntimeEventBus.compacted(storeDir, Some(bid), n)))
         ingestBatch(spark, batch, storeDir, centroids, idCol, vecCol,
           batchId = Some(bid), assignPlanes = assignPlanes)
         compactEvery.foreach { n =>
-          if (bid > 0 && bid % n == 0)
-            RuntimeEventBus.compacted(storeDir, Some(bid),
-              graft.sources.Lake.compact(
-                spark, storeDir, compactTargetBytes, sortCols = Seq("cell")))
+          if (bid > 0 && bid % n == 0) {
+            compactor match {
+              case Some(c) => c.start()
+              case None =>
+                RuntimeEventBus.compacted(storeDir, Some(bid),
+                  graft.sources.Lake.compact(
+                    spark, storeDir, compactTargetBytes, sortCols = Seq("cell")))
+            }
+          }
         }
       }
     checkpointLocation

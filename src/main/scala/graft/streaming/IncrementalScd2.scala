@@ -95,6 +95,10 @@ object IncrementalScd2 {
       tieBreak: Seq[String],
       batchId: Option[Long]
   ): Unit = {
+    // a crash inside a version-log compaction swap can leave the live
+    // dir set aside (cheap when healthy — see Lake.recoverCompact; the
+    // open-version HEAD has its own recovery below)
+    graft.sources.Lake.recoverCompact(storeDir)
     // attach-without-seed bootstrap (the BM25/sketches/ANN StoreGuard
     // contract): a missing store is an EMPTY store, so the first
     // micro-batch creates it instead of dying inside foreachBatch.
@@ -260,19 +264,35 @@ object IncrementalScd2 {
       tieBreak: Seq[String],
       checkpointLocation: Option[String] = None,
       compactEvery: Option[Int] = None,
-      compactTargetBytes: Long = 128L * 1024 * 1024
+      compactTargetBytes: Long = 128L * 1024 * 1024,
+      asyncCompact: Boolean = false
   ): StreamingQuery = {
     require(compactEvery.forall(_ > 0), "compactEvery must be positive")
     val spark = arriving.sparkSession
+    // asyncCompact: rewrite off the trigger path, swap at a later
+    // trigger boundary (the IncrementalDedup discipline — measured
+    // guidance on that attach's scaladoc). Applies to the version LOG;
+    // the open-version HEAD is already folded in-place per batch.
+    val compactor =
+      if (compactEvery.isDefined && asyncCompact)
+        Some(new graft.sources.AsyncCompactor(spark, storeDir, compactTargetBytes))
+      else None
     val writer = arriving.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, bid: Long) =>
+        compactor.foreach(_.maybeFinish()
+          .foreach(n => RuntimeEventBus.compacted(storeDir, Some(bid), n)))
         ingestBatch(spark, batch, storeDir, keyCols, tsCol, attrCols, tieBreak,
           batchId = Some(bid))
         compactEvery.foreach { n =>
-          if (bid > 0 && bid % n == 0)
-            RuntimeEventBus.compacted(storeDir, Some(bid),
-              graft.sources.Lake.compact(spark, storeDir, compactTargetBytes))
+          if (bid > 0 && bid % n == 0) {
+            compactor match {
+              case Some(c) => c.start()
+              case None =>
+                RuntimeEventBus.compacted(storeDir, Some(bid),
+                  graft.sources.Lake.compact(spark, storeDir, compactTargetBytes))
+            }
+          }
         }
       }
     checkpointLocation

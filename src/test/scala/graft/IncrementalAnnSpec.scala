@@ -90,4 +90,34 @@ class IncrementalAnnSpec extends SparkSpec {
       queries, corpusDf, centroidsDf, "vec_id", "embedding", k = 5, nprobe = 2)
     assert(served.exceptAll(fresh).isEmpty && fresh.exceptAll(served).isEmpty)
   }
+
+  test("async compaction: serve results identical, no live swap dirs left behind") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_a").toString + "/ivf"
+    IncrementalAnn.seed(corpusDf.filter(col("vec_id") < 4), dir, centroidsDf,
+      "vec_id", "embedding")
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = IncrementalAnn.attach(
+      mem.toDF().toDF("vec_id", "embedding"), dir, centroidsDf,
+      "vec_id", "embedding", compactEvery = Some(2), compactTargetBytes = 1L << 20,
+      asyncCompact = true)
+    try {
+      (0 until 4).foreach { b =>
+        mem.addData((4 until 40).filter(_ % 4 == b).map(i =>
+          (i.toLong, vec(i % 4, 0.05 * ((i / 4) % 3)))): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(spark.read.parquet(dir).count() == 40)
+    val queries = corpusDf.filter(col("vec_id") < 2)
+    val served = IncrementalAnn.serve(
+      spark, dir, queries, centroidsDf, "vec_id", "embedding", k = 5, nprobe = 2)
+    val fresh = Similarity.ivfTopK(
+      queries, corpusDf, centroidsDf, "vec_id", "embedding", k = 5, nprobe = 2)
+    assert(served.exceptAll(fresh).isEmpty && fresh.exceptAll(served).isEmpty)
+    val siblings = Option(new java.io.File(dir).getParentFile.listFiles()).get.map(_.getName)
+    assert(!siblings.exists(n => n.endsWith("__compact_tmp") || n.endsWith("__compact_old")),
+      siblings.mkString(","))
+  }
 }
