@@ -254,7 +254,11 @@ object StreamingScale {
             case (f, j) =>
               val dst = new java.io.File(replayDir, f"slice_$i%05d_$j.parquet")
               require(f.renameTo(dst), s"replay prep: could not move ${f.getName}")
-              dst.setLastModified(t0 + i * 1000L)
+              // FileStreamSource replays in mtime order — a silently
+              // failed stamp would scramble the slice order the whole
+              // crossover measurement depends on (r17 ADVICE)
+              require(dst.setLastModified(t0 + i * 1000L),
+                s"replay prep: could not stamp mtime on ${dst.getName}")
           }
         }
     }

@@ -314,9 +314,18 @@ object Dedup {
     */
   def droppedBucketsFromBanded(banded: DataFrame, maxBucketSize: Int): DataFrame = {
     val keyCols = Seq("band_idx", banded.columns.find(_ == "band_bits").getOrElse("band_hash"))
+    // size via count(id), not count(*): the capped generator sizes each
+    // bucket with count(idCol) because TopKByObject skips null ordering
+    // keys (see bandedKeys) — the audit must apply the SAME null
+    // predicate or a null-id row makes it report a bucket as over-cap
+    // that the cap actually kept (r17 ADVICE). The id column is whatever
+    // the band table carries besides the band key and the ingest stamp.
+    val idCol = banded.columns
+      .find(c => !keyCols.contains(c) && c != "ingest_batch")
+      .map(col).getOrElse(lit(1))
     banded
       .groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("bucket_size"))
+      .agg(count(idCol).as("bucket_size"))
       .filter(col("bucket_size") > maxBucketSize)
   }
 

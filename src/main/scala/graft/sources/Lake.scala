@@ -204,6 +204,17 @@ object Lake {
   /** The swap half: set the live dir aside, install `__compact_tmp`,
     * rescue post-snapshot appends from the set-aside dir, drop it.
     * MUST run quiescent w.r.t. appends (the loop thread).
+    *
+    * Quiescence covers READERS too (r17 ADVICE): each rename is atomic,
+    * but the sequence is not — between `renameTo(old)` and
+    * `renameTo(path)` the live path does not exist (a concurrent
+    * `spark.read` fails with path-not-found), and between the tmp
+    * install and the end of [[rescueLateAppends]] a reader sees the
+    * compacted set WITHOUT already-acked late appends. The ingest loops
+    * satisfy this by swapping only at a trigger boundary on the loop
+    * thread; a deployment that SERVES from the store concurrently must
+    * either route reads through the same boundary or treat a transient
+    * path-not-found as retryable (the window is two renames long).
     */
   private[sources] def swapIn(path: String): Unit = {
     val p = new java.io.File(path)
@@ -229,9 +240,12 @@ object Lake {
     * (`repartition(n)` — no keyed shuffle, no sort), optionally
     * re-sorted per file on `sortCols` to restore row-group locality
     * the appends destroyed. The rewrite goes through a sibling temp
-    * directory and an atomic-rename swap, so a concurrent reader sees
-    * the old file set or the new one, never a mix. For the rewrite OFF
-    * the trigger path, see [[AsyncCompactor]].
+    * directory and a two-rename swap: a reader never sees a MIX of old
+    * and new files, but the swap window itself is not reader-atomic —
+    * see [[swapIn]] for the exact contract (readers share the
+    * quiescence requirement; concurrent serve paths retry on transient
+    * path-not-found). For the rewrite OFF the trigger path, see
+    * [[AsyncCompactor]].
     *
     * Operates on a FLAT store (one directory of parquet files — the
     * shape every incremental append store here uses); for a
@@ -405,7 +419,13 @@ object Lake {
   * Threading contract: [[start]] and [[maybeFinish]] are called from
   * the ONE loop thread (foreachBatch guarantees triggers never
   * overlap); only the rewrite runs concurrently, and it never mutates
-  * the live directory. The background rewrite lands at
+  * the live directory. The SWAP inside [[maybeFinish]] inherits
+  * [[Lake.swapIn]]'s reader contract: for the two renames the live
+  * path briefly does not exist, so a serve-while-ingest deployment
+  * reading the store from OTHER threads must either align reads to
+  * trigger boundaries or retry on transient path-not-found — async
+  * moves the rewrite off the trigger, not the swap's reader window
+  * (r17 ADVICE). The background rewrite lands at
   * `path.__compact_async_tmp` — a name [[Lake.recoverCompact]] ignores,
   * so the per-trigger recovery sweep cannot race a rewrite in flight;
   * the rename to the swap's `__compact_tmp` happens on the loop thread

@@ -165,13 +165,17 @@ object IncrementalScd2 {
     // duplicates carry identical payloads, so the fold's latest-per-key
     // collapse is unaffected. The fold never destroys pre-batch state
     // until the batch is committed in the version log.
-    // loop-health event BEFORE the appends: the count re-executes the
+    // loop-health COUNT before the appends (the count re-executes the
     // change plan, which reads the open store — it must see the
-    // PRE-append state or the number drifts (and after foldOpen the
-    // store it reads has been rewritten entirely)
-    RuntimeEventBus.ingested(storeDir, batchId, stamped.count())
+    // PRE-append state or the number drifts), but the success EVENT
+    // publishes only AFTER both appends commit: a failed append must not
+    // leave a success=true batch.ingested for a batch that never landed
+    // (r17 ADVICE). Guarded by hasSinks so an unobserved loop skips the
+    // extra pass entirely.
+    val nChanges = if (RuntimeEventBus.hasSinks) Some(stamped.count()) else None
     stamped.write.mode("append").parquet(openDir(storeDir))
     stamped.write.mode("append").parquet(storeDir)
+    nChanges.foreach(n => RuntimeEventBus.ingested(storeDir, batchId, n))
     foldOpen(spark, storeDir, keyCols, tsCol, attrCols, tieBreak)
   }
 

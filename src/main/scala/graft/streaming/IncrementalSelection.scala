@@ -153,7 +153,12 @@ object IncrementalSelection {
     // (they may differ from what the legacy rows were written with —
     // r16 ADVICE). Only a truly NEW store (no meta AND no data rows)
     // bootstraps; legacy stores stay unstamped, with a one-line notice
-    // that their parameters are unverifiable.
+    // that their parameters are unverifiable. Known conservative edge
+    // (r17 ADVICE): a crash between a brand-new store's first append and
+    // writeMeta permanently demotes that store to "legacy" — the replay
+    // sees rows without meta and never stamps. Correctness is unharmed
+    // (validation is skipped, not wrong); re-seed or hand-write the meta
+    // row to restore loud mismatch checking.
     val metaAbsent = StoreGuard.readStore(spark, metaDir(storeDir)).isEmpty
     val storeWasEmpty = StoreGuard.readStore(spark, storeDir).isEmpty
     countsRow(batch, textCol, isTarget, buckets, n, family)

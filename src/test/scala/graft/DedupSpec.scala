@@ -99,6 +99,26 @@ class DedupSpec extends SparkSpec {
     assert(shDropped.length == 4 && shDropped.forall(_._2 == 5L), shDropped.toSeq.toString)
   }
 
+  test("droppedBucketsFromBanded sizes buckets by non-null id, matching the cap") {
+    // the capped generator sizes buckets with count(idCol) because
+    // TopKByObject skips null ordering keys — 10 real members + 2
+    // null-id rows is a bucket of 10, not 12. The band-table audit must
+    // apply the SAME predicate (r17 ADVICE): under cap 10 this bucket
+    // was KEPT, so the audit must not report it as dropped
+    val banded = ((1L to 10L).map(i => (java.lang.Long.valueOf(i), 0, 42L)) ++
+      Seq((null.asInstanceOf[java.lang.Long], 0, 42L),
+        (null.asInstanceOf[java.lang.Long], 0, 42L)))
+      .toDF("doc_id", "band_idx", "band_hash")
+    assert(Dedup.droppedBucketsFromBanded(banded, maxBucketSize = 10).isEmpty,
+      "null-id rows must not push a kept bucket over the audit's cap")
+    // ...and 11 real members under cap 10 is still reported, size 11
+    val over = banded.union(Seq((java.lang.Long.valueOf(99L), 0, 42L))
+      .toDF("doc_id", "band_idx", "band_hash"))
+    val rep = Dedup.droppedBucketsFromBanded(over, maxBucketSize = 10)
+      .select($"bucket_size").as[Long].collect()
+    assert(rep.toSeq == Seq(11L), s"expected one size-11 bucket, got ${rep.toSeq}")
+  }
+
   test("incremental audited drop reports over-cap buckets per side") {
     // 20-clone corpus + a 10-clone batch of the same text: a cap of 8
     // suppresses the corpus buckets (size 20) AND the batch buckets
