@@ -110,6 +110,20 @@ object Lake {
     * Idempotent (an already-moved file is no longer in `oldDir`).
     */
   private def rescueLateAppends(newDir: java.io.File, oldDir: java.io.File): Unit = {
+    // sidecar DIRECTORIES ride along unconditionally (e.g. the
+    // selection store's `_graft_meta`, a checkpoint dir a caller nested
+    // under the store): the rewrite repacks only top-level parquet
+    // files, so a subdir exists solely in the set-aside dir and would
+    // otherwise be dropped with it. Spark's parquet reader ignores
+    // `_`-prefixed entries, so the ride-along never changes a read.
+    // Idempotent across a crash-retry: an already-moved dir is no
+    // longer in oldDir.
+    Option(oldDir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && !new java.io.File(newDir, f.getName).exists())
+      .foreach { d =>
+        require(d.renameTo(new java.io.File(newDir, d.getName)),
+          s"compact: could not carry sidecar dir ${d.getName} through the swap")
+      }
     val snapFile = new java.io.File(newDir, SnapshotName)
     if (snapFile.exists()) {
       val snap = java.nio.file.Files.readAllLines(snapFile.toPath)

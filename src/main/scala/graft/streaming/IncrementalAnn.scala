@@ -116,31 +116,16 @@ object IncrementalAnn {
       compactTargetBytes: Long = 128L * 1024 * 1024,
       asyncCompact: Boolean = false
   ): StreamingQuery = {
-    require(compactEvery.forall(_ > 0), "compactEvery must be positive")
     val spark = arriving.sparkSession
-    val compactor =
-      if (compactEvery.isDefined && asyncCompact)
-        Some(new graft.sources.AsyncCompactor(
-          spark, storeDir, compactTargetBytes, sortCols = Seq("cell")))
-      else None
+    val cadence = new CompactCadence(spark, storeDir, compactEvery, asyncCompact,
+      compactTargetBytes, sortCols = Seq("cell"))
     val writer = arriving.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        compactor.foreach(_.maybeFinish()
-          .foreach(n => RuntimeEventBus.compacted(storeDir, Some(bid), n)))
+        cadence.finishPending(bid)
         ingestBatch(spark, batch, storeDir, centroids, idCol, vecCol,
           batchId = Some(bid), assignPlanes = assignPlanes)
-        compactEvery.foreach { n =>
-          if (bid > 0 && bid % n == 0) {
-            compactor match {
-              case Some(c) => c.start()
-              case None =>
-                RuntimeEventBus.compacted(storeDir, Some(bid),
-                  graft.sources.Lake.compact(
-                    spark, storeDir, compactTargetBytes, sortCols = Seq("cell")))
-            }
-          }
-        }
+        cadence.maybeCompact(bid)
       }
     checkpointLocation
       .fold(writer)(c => writer.option("checkpointLocation", c))

@@ -56,6 +56,11 @@ object IncrementalBm25 {
       textCol: String = "text",
       batchId: Option[Long] = None
   ): Unit = {
+    // heal a compaction the previous run crashed mid-swap BEFORE any
+    // read of the store (two existence checks when healthy — see
+    // Lake.recoverCompact; same per-trigger discipline as the dedup
+    // and SCD2 loops)
+    graft.sources.Lake.recoverCompact(storeDir)
     // StoreGuard tolerates a missing/partial store, so `attach` without
     // a prior `seed` bootstraps it on the first micro-batch instead of
     // dying on AnalysisException inside foreachBatch
@@ -90,19 +95,39 @@ object IncrementalBm25 {
     Bm25Index(tf, dfreq, stats, idCol)
   }
 
-  /** Attach the index maintenance loop to a document stream. */
+  /** Attach the index maintenance loop to a document stream.
+    *
+    * `compactEvery` folds the per-batch file accretion back every N
+    * batches ([[CompactCadence]] — the measured ~500–700-file
+    * crossover applies to this store like any other; the tf store is
+    * the LARGEST of the incremental stores, one row per (doc, term),
+    * so a long-running loop goes footer-bound without it). The repack
+    * RANGE-clusters on `term` so a serve-time term probe can skip
+    * whole files on min/max stats — the df/stats derivation in
+    * [[load]] aggregates everything regardless, but retrieval touches
+    * only the query's terms. `asyncCompact` moves the rewrite off the
+    * trigger path (the [[IncrementalDedup]] discipline — measured
+    * guidance on that attach's scaladoc).
+    */
   def attach(
       arriving: DataFrame,
       storeDir: String,
       idCol: String = "doc_id",
       textCol: String = "text",
-      checkpointLocation: Option[String] = None
+      checkpointLocation: Option[String] = None,
+      compactEvery: Option[Int] = None,
+      compactTargetBytes: Long = 128L * 1024 * 1024,
+      asyncCompact: Boolean = false
   ): StreamingQuery = {
     val spark = arriving.sparkSession
+    val cadence = new CompactCadence(spark, storeDir, compactEvery, asyncCompact,
+      compactTargetBytes, rangeCols = Seq("term"))
     val writer = arriving.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, bid: Long) =>
+        cadence.finishPending(bid)
         ingestBatch(spark, batch, storeDir, idCol, textCol, batchId = Some(bid))
+        cadence.maybeCompact(bid)
       }
     checkpointLocation
       .fold(writer)(c => writer.option("checkpointLocation", c))

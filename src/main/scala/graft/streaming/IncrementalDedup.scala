@@ -278,7 +278,6 @@ object IncrementalDedup {
       compactEvery: Option[Int] = None,
       asyncCompact: Boolean = false
   ): StreamingQuery = {
-    require(compactEvery.forall(_ > 0), "compactEvery must be positive")
     val spark = arriving.sparkSession
     // asyncCompact moves the expensive REWRITE off the trigger path
     // (Lake.AsyncCompactor): the cadenced trigger only LAUNCHES the
@@ -287,48 +286,28 @@ object IncrementalDedup {
     // showed the in-trigger rewrite is what inflates compacting
     // triggers (max 40.9 s at 10k-doc batches) — this caps the loop's
     // per-trigger maintenance cost at two renames + a file-list diff.
-    val compactors: Seq[(String, graft.sources.AsyncCompactor)] =
-      if (compactEvery.isEmpty || !asyncCompact) Seq.empty
-      else {
-        val corpus = Seq(corpusDir ->
-          new graft.sources.AsyncCompactor(spark, corpusDir, rangeCols = Seq(idCol)))
-        if (bandTable.isEmpty)
-          (bandsDir -> new graft.sources.AsyncCompactor(
-            spark, bandsDir, sortCols = Seq("band_idx", "band_hash"))) +: corpus
-        else corpus
-      }
+    // The corpus repacks RANGE-clustered on the id so the candidate-id
+    // min/max file skipping survives compaction; the band store repacks
+    // sorted on the band key. Content-identical, so a replay around a
+    // compaction is still a no-op. Plain-parquet stores only — a
+    // bucketed catalog table's layout is owned by the catalog.
+    val cadences: Seq[CompactCadence] = {
+      val corpus = new CompactCadence(spark, corpusDir, compactEvery,
+        asyncCompact, rangeCols = Seq(idCol), offset = 1)
+      if (bandTable.isEmpty)
+        Seq(new CompactCadence(spark, bandsDir, compactEvery, asyncCompact,
+          sortCols = Seq("band_idx", "band_hash"), offset = 1), corpus)
+      else Seq(corpus)
+    }
     val writer = arriving.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         // install any finished background repack FIRST, before this
         // trigger reads the stores (loop thread — no append can race)
-        compactors.foreach { case (dir, c) =>
-          c.maybeFinish().foreach(n => RuntimeEventBus.compacted(dir, Some(bid), n))
-        }
+        cadences.foreach(_.finishPending(bid))
         ingestBatch(spark, batch, corpusDir, bandsDir, idCol, textCol,
           minJaccard, maxBucketSize, batchId = Some(bid), bandTable = bandTable)
-        // file-count maintenance (the IncrementalScd2 compactEvery
-        // discipline): each append adds a file set to both stores, and
-        // the measured small-batch growth term tracks store FILE COUNTS,
-        // not join shuffles (BASELINE.md r16). The corpus repacks
-        // RANGE-clustered on the id so the candidate-id min/max file
-        // skipping survives compaction; the band store repacks sorted on
-        // the band key. Content-identical, so a replay around a
-        // compaction is still a no-op. Plain-parquet stores only — a
-        // bucketed catalog table's layout is owned by the catalog.
-        compactEvery.foreach { n =>
-          if ((bid + 1) % n == 0) {
-            if (compactors.nonEmpty) compactors.foreach(_._2.start())
-            else {
-              if (bandTable.isEmpty)
-                RuntimeEventBus.compacted(bandsDir, Some(bid),
-                  graft.sources.Lake.compact(spark, bandsDir,
-                    sortCols = Seq("band_idx", "band_hash")))
-              RuntimeEventBus.compacted(corpusDir, Some(bid),
-                graft.sources.Lake.compact(spark, corpusDir, rangeCols = Seq(idCol)))
-            }
-          }
-        }
+        cadences.foreach(_.maybeCompact(bid))
       }
     checkpointLocation
       .fold(writer)(c => writer.option("checkpointLocation", c))

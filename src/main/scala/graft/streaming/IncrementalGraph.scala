@@ -55,6 +55,9 @@ object IncrementalGraph {
       dstCol: String = "dst",
       batchId: Option[Long] = None
   ): Unit = {
+    // heal a compaction the previous run crashed mid-swap BEFORE any
+    // read of the store (cheap when healthy — Lake.recoverCompact)
+    graft.sources.Lake.recoverCompact(storeDir)
     batchId match {
       case Some(b) if StoreGuard.hasBatch(spark, storeDir, BatchCol, b) => return
       case _ => ()
@@ -133,19 +136,30 @@ object IncrementalGraph {
       init = warmStart,
       checkpointDir = checkpointDir)
 
-  /** Attach the edge-store maintenance loop to an edge stream. */
+  /** Attach the edge-store maintenance loop to an edge stream.
+    * `compactEvery` folds the per-batch file accretion back
+    * ([[CompactCadence]]), RANGE-clustered on `src` so a neighborhood
+    * probe can skip whole files on min/max stats; `asyncCompact` moves
+    * the rewrite off the trigger path.
+    */
   def attach(
       arriving: DataFrame,
       storeDir: String,
       srcCol: String = "src",
       dstCol: String = "dst",
-      checkpointLocation: Option[String] = None
+      checkpointLocation: Option[String] = None,
+      compactEvery: Option[Int] = None,
+      asyncCompact: Boolean = false
   ): StreamingQuery = {
     val spark = arriving.sparkSession
+    val cadence = new CompactCadence(spark, storeDir, compactEvery, asyncCompact,
+      rangeCols = Seq("src"))
     val writer = arriving.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, bid: Long) =>
+        cadence.finishPending(bid)
         ingestBatch(spark, batch, storeDir, srcCol, dstCol, batchId = Some(bid))
+        cadence.maybeCompact(bid)
       }
     checkpointLocation
       .fold(writer)(c => writer.option("checkpointLocation", c))

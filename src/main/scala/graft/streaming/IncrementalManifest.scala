@@ -61,6 +61,9 @@ object IncrementalManifest {
       family: HashFamily = HashFamily.Md5,
       batchId: Option[Long] = None
   ): Unit = {
+    // heal a compaction the previous run crashed mid-swap BEFORE any
+    // read of the store (cheap when healthy — Lake.recoverCompact)
+    Lake.recoverCompact(storeDir)
     batchId match {
       // StoreGuard tolerates a missing/partial store: attach-without-seed
       // bootstraps on the first micro-batch (see StoreGuard scaladoc)
@@ -98,14 +101,22 @@ object IncrementalManifest {
       seed: String,
       tokenCol: Option[String] = None,
       family: HashFamily = HashFamily.Md5,
-      checkpointLocation: Option[String] = None
+      checkpointLocation: Option[String] = None,
+      compactEvery: Option[Int] = None,
+      asyncCompact: Boolean = false
   ): StreamingQuery = {
     val spark = arriving.sparkSession
+    // ≤nShards KB-scale rows per batch, but one FILE SET per batch:
+    // compactEvery folds the accretion back, shard-sorted
+    val cadence = new CompactCadence(spark, storeDir, compactEvery, asyncCompact,
+      sortCols = Seq("shard"))
     val writer = arriving.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, bid: Long) =>
+        cadence.finishPending(bid)
         ingestBatch(spark, batch, storeDir, idCol, contentCols, nShards, seed,
           tokenCol, family, batchId = Some(bid))
+        cadence.maybeCompact(bid)
       }
     checkpointLocation
       .fold(writer)(c => writer.option("checkpointLocation", c))

@@ -271,33 +271,20 @@ object IncrementalScd2 {
       compactTargetBytes: Long = 128L * 1024 * 1024,
       asyncCompact: Boolean = false
   ): StreamingQuery = {
-    require(compactEvery.forall(_ > 0), "compactEvery must be positive")
     val spark = arriving.sparkSession
     // asyncCompact: rewrite off the trigger path, swap at a later
     // trigger boundary (the IncrementalDedup discipline — measured
     // guidance on that attach's scaladoc). Applies to the version LOG;
     // the open-version HEAD is already folded in-place per batch.
-    val compactor =
-      if (compactEvery.isDefined && asyncCompact)
-        Some(new graft.sources.AsyncCompactor(spark, storeDir, compactTargetBytes))
-      else None
+    val cadence = new CompactCadence(
+      spark, storeDir, compactEvery, asyncCompact, compactTargetBytes)
     val writer = arriving.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        compactor.foreach(_.maybeFinish()
-          .foreach(n => RuntimeEventBus.compacted(storeDir, Some(bid), n)))
+        cadence.finishPending(bid)
         ingestBatch(spark, batch, storeDir, keyCols, tsCol, attrCols, tieBreak,
           batchId = Some(bid))
-        compactEvery.foreach { n =>
-          if (bid > 0 && bid % n == 0) {
-            compactor match {
-              case Some(c) => c.start()
-              case None =>
-                RuntimeEventBus.compacted(storeDir, Some(bid),
-                  graft.sources.Lake.compact(spark, storeDir, compactTargetBytes))
-            }
-          }
-        }
+        cadence.maybeCompact(bid)
       }
     checkpointLocation
       .fold(writer)(c => writer.option("checkpointLocation", c))

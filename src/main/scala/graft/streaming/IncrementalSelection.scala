@@ -140,6 +140,10 @@ object IncrementalSelection {
       family: HashFamily = HashFamily.Md5,
       batchId: Option[Long] = None
   ): Unit = {
+    // heal a compaction the previous run crashed mid-swap BEFORE any
+    // read (the meta sidecar rides inside storeDir, so the swap heal
+    // restores it too — Lake.rescueLateAppends carries subdirs)
+    graft.sources.Lake.recoverCompact(storeDir)
     checkMeta(spark, storeDir, buckets, Some(n), Some(family))
     batchId match {
       // StoreGuard tolerates a missing/partial store: attach-without-seed
@@ -211,7 +215,12 @@ object IncrementalSelection {
       buckets, n, family)
   }
 
-  /** Attach the count-store maintenance loop to a stream. */
+  /** Attach the count-store maintenance loop to a stream. The store
+    * grows ONE KB-scale row per batch, but one FILE SET per batch too —
+    * `compactEvery` folds the accretion back ([[CompactCadence]]); the
+    * `_graft_meta` sidecar rides through the swap untouched
+    * (Lake.rescueLateAppends carries subdirectories).
+    */
   def attach(
       arriving: DataFrame,
       storeDir: String,
@@ -220,14 +229,19 @@ object IncrementalSelection {
       buckets: Int = 1024,
       n: Int = 2,
       family: HashFamily = HashFamily.Md5,
-      checkpointLocation: Option[String] = None
+      checkpointLocation: Option[String] = None,
+      compactEvery: Option[Int] = None,
+      asyncCompact: Boolean = false
   ): StreamingQuery = {
     val spark = arriving.sparkSession
+    val cadence = new CompactCadence(spark, storeDir, compactEvery, asyncCompact)
     val writer = arriving.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, bid: Long) =>
+        cadence.finishPending(bid)
         ingestBatch(spark, batch, storeDir, textCol, isTarget, buckets, n, family,
           batchId = Some(bid))
+        cadence.maybeCompact(bid)
       }
     checkpointLocation
       .fold(writer)(c => writer.option("checkpointLocation", c))

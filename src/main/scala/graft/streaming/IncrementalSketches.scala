@@ -57,6 +57,9 @@ object IncrementalSketches {
       batchId: Option[Long] = None,
       lgK: Int = Sketches.DefaultLgK
   ): Unit = {
+    // heal a compaction the previous run crashed mid-swap BEFORE any
+    // read of the store (cheap when healthy — Lake.recoverCompact)
+    graft.sources.Lake.recoverCompact(storeDir)
     batchId match {
       // StoreGuard tolerates a missing/partial store: attach-without-seed
       // bootstraps on the first micro-batch (see StoreGuard scaladoc)
@@ -111,6 +114,7 @@ object IncrementalSketches {
       batchId: Option[Long] = None,
       k: Int = Sketches.DefaultKllK
   ): Unit = {
+    graft.sources.Lake.recoverCompact(storeDir)
     batchId match {
       case Some(b) if StoreGuard.hasBatch(spark, storeDir, BatchCol, b) => return
       case _ => ()
@@ -132,42 +136,59 @@ object IncrementalSketches {
   ): DataFrame =
     Sketches.kllMergeQuantiles(spark.read.parquet(storeDir), groupCols, probs)
 
-  /** Attach the quantile-sketch maintenance loop to a stream. */
+  /** Attach the quantile-sketch maintenance loop to a stream.
+    * `compactEvery` folds the one-file-set-per-batch accretion back
+    * ([[CompactCadence]] — KB-scale rows, so the fold is pure
+    * file-count maintenance); `asyncCompact` moves the rewrite off
+    * the trigger path.
+    */
   def attachQuantiles(
       arriving: DataFrame,
       storeDir: String,
       shardCols: Seq[String],
       valueCol: String,
       k: Int = Sketches.DefaultKllK,
-      checkpointLocation: Option[String] = None
+      checkpointLocation: Option[String] = None,
+      compactEvery: Option[Int] = None,
+      asyncCompact: Boolean = false
   ): StreamingQuery = {
     val spark = arriving.sparkSession
+    val cadence = new CompactCadence(spark, storeDir, compactEvery, asyncCompact)
     val writer = arriving.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, bid: Long) =>
+        cadence.finishPending(bid)
         ingestQuantilesBatch(spark, batch, storeDir, shardCols, valueCol,
           batchId = Some(bid), k = k)
+        cadence.maybeCompact(bid)
       }
     checkpointLocation
       .fold(writer)(c => writer.option("checkpointLocation", c))
       .start()
   }
 
-  /** Attach the sketch maintenance loop to a stream. */
+  /** Attach the sketch maintenance loop to a stream — same
+    * `compactEvery`/`asyncCompact` cadence as [[attachQuantiles]].
+    */
   def attach(
       arriving: DataFrame,
       storeDir: String,
       shardCols: Seq[String],
       valueCol: String,
       lgK: Int = Sketches.DefaultLgK,
-      checkpointLocation: Option[String] = None
+      checkpointLocation: Option[String] = None,
+      compactEvery: Option[Int] = None,
+      asyncCompact: Boolean = false
   ): StreamingQuery = {
     val spark = arriving.sparkSession
+    val cadence = new CompactCadence(spark, storeDir, compactEvery, asyncCompact)
     val writer = arriving.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, bid: Long) =>
+        cadence.finishPending(bid)
         ingestBatch(spark, batch, storeDir, shardCols, valueCol,
           batchId = Some(bid), lgK = lgK)
+        cadence.maybeCompact(bid)
       }
     checkpointLocation
       .fold(writer)(c => writer.option("checkpointLocation", c))

@@ -80,6 +80,84 @@ class IncrementalBm25Spec extends SparkSpec {
     assert(served.count() > 0)
   }
 
+  test("compactEvery folds the tf store; ranking and replay idempotence survive the rewrite") {
+    val root = java.nio.file.Files.createTempDirectory("graft_bm25_compact").toString
+    val store = s"$root/tf"
+    IncrementalBm25.seed(docs(0 until 100).toDF("doc_id", "text"), store)
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, String)]
+    val q = IncrementalBm25.attach(
+      mem.toDF().toDF("doc_id", "text"), store,
+      checkpointLocation = Some(s"$root/chk"), compactEvery = Some(2))
+    try {
+      (0 until 6).foreach { i =>
+        mem.addData(docs(100 + i * 20 until 120 + i * 20): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // 7 appends (seed + 6 batches) would leave ≥ 7 file sets; the
+    // cadence folds them (last compaction at bid 4; bid 5 appends after)
+    val files = Option(new java.io.File(store).listFiles()).get
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(files <= 4, s"expected a compacted tf store, found $files files")
+    // ranking identical to a from-scratch index over the accumulated corpus
+    val streamed = TextAnalysis
+      .bm25Serve(IncrementalBm25.load(spark, store), queries, "query_id", "qtext", topK = 5)
+      .select("query_id", "doc_id", "rank", "score")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)) -> r.getDouble(3)).toMap
+    val scratch = TextAnalysis
+      .bm25Serve(
+        TextAnalysis.bm25Index(docs(0 until 220).toDF("doc_id", "text"), "doc_id", "text"),
+        queries, "query_id", "qtext", topK = 5)
+      .select("query_id", "doc_id", "rank", "score")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)) -> r.getDouble(3)).toMap
+    assert(streamed.keySet == scratch.keySet)
+    for ((k, s) <- streamed) assert(math.abs(s - scratch(k)) <= 1e-6)
+    // the ingest_batch stamp is a data column: a replay of an already-
+    // ingested batch id is STILL a no-op after the rewrite
+    val rows = spark.read.parquet(store).count()
+    IncrementalBm25.ingestBatch(
+      spark, docs(160 until 180).toDF("doc_id", "text"), store, batchId = Some(3L))
+    assert(spark.read.parquet(store).count() == rows,
+      "replay after compaction appended rows — the stamp did not survive the rewrite")
+  }
+
+  test("async compaction preserves the index; no live swap dirs outlive the stream") {
+    val root = java.nio.file.Files.createTempDirectory("graft_bm25_async").toString
+    val store = s"$root/tf"
+    IncrementalBm25.seed(docs(0 until 100).toDF("doc_id", "text"), store)
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, String)]
+    val q = IncrementalBm25.attach(
+      mem.toDF().toDF("doc_id", "text"), store,
+      checkpointLocation = Some(s"$root/chk"),
+      compactEvery = Some(2), asyncCompact = true)
+    try {
+      (0 until 6).foreach { i =>
+        mem.addData(docs(100 + i * 20 until 120 + i * 20): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // content identity regardless of how many background swaps landed
+    val streamed = TextAnalysis
+      .bm25Serve(IncrementalBm25.load(spark, store), queries, "query_id", "qtext", topK = 5)
+      .select("query_id", "doc_id", "rank", "score")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)) -> r.getDouble(3)).toMap
+    val scratch = TextAnalysis
+      .bm25Serve(
+        TextAnalysis.bm25Index(docs(0 until 220).toDF("doc_id", "text"), "doc_id", "text"),
+        queries, "query_id", "qtext", topK = 5)
+      .select("query_id", "doc_id", "rank", "score")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)) -> r.getDouble(3)).toMap
+    assert(streamed.keySet == scratch.keySet)
+    for ((k, s) <- streamed) assert(math.abs(s - scratch(k)) <= 1e-6)
+    val siblings = Option(new java.io.File(store).getParentFile.listFiles()).get.map(_.getName)
+    assert(!siblings.exists(n => n.endsWith("__compact_tmp") || n.endsWith("__compact_old")),
+      siblings.mkString(","))
+  }
+
   test("a replayed batch id is a no-op") {
     val root = java.nio.file.Files.createTempDirectory("graft_bm25_replay").toString
     val store = s"$root/tf"

@@ -138,6 +138,33 @@ class LakeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(third == again && parquetFiles == again.toInt)
   }
 
+  test("compact carries sidecar directories through the swap") {
+    // the selection store nests its `_graft_meta` parameter table
+    // INSIDE the store dir; the swap sets the whole live dir aside and
+    // deletes it after the rescue, so without the ride-along the meta
+    // would vanish with the set-aside copy (r18)
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_compact_sidecar").toString + "/store"
+    (0 until 6).foreach { b =>
+      spark.range(b * 50, (b + 1) * 50).select($"id")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    Seq((256, 2, "md5")).toDF("buckets", "n", "family")
+      .write.mode("overwrite").parquet(s"$dir/_graft_meta")
+    val before = spark.read.parquet(dir).orderBy($"id").collect()
+
+    val bytes = Option(new java.io.File(dir).listFiles()).get
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length()).sum
+    Lake.compact(spark, dir, targetBytes = bytes / 2, sortCols = Seq("id"))
+    // data content identical (spark.read ignores `_`-prefixed entries)
+    assert(spark.read.parquet(dir).orderBy($"id").collect().sameElements(before))
+    // ...and the sidecar survived, content intact
+    val meta = spark.read.parquet(s"$dir/_graft_meta").collect()
+    assert(meta.length == 1 && meta.head.getInt(0) == 256 && meta.head.getString(2) == "md5")
+    val siblings = Option(new java.io.File(dir).getParentFile.listFiles()).get.map(_.getName)
+    assert(!siblings.exists(_.contains("__compact")), siblings.mkString(","))
+  }
+
   test("async compact: rewrite off-thread, late appends rescued at the swap, content identical") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_acompact").toString + "/store"

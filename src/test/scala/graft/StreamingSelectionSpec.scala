@@ -92,6 +92,41 @@ class StreamingSelectionSpec extends SparkSpec {
     assert(ratios1 == ratios2)
   }
 
+  test("compactEvery folds the count store; the _graft_meta sidecar survives the swap") {
+    val root = java.nio.file.Files.createTempDirectory("graft_dsir_compact").toString
+    val store = s"$root/dsir"
+    IncrementalSelection.seed(
+      docs(0 until 120).toDF("doc_id", "text"), store, "text", isTarget, buckets = B)
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, String)]
+    val q = IncrementalSelection.attach(
+      mem.toDF().toDF("doc_id", "text"), store, "text", isTarget, buckets = B,
+      checkpointLocation = Some(s"$root/chk"), compactEvery = Some(2))
+    try {
+      (0 until 6).foreach { i =>
+        mem.addData(docs(120 + i * 40 until 160 + i * 40): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // 7 appends folded (last compaction at bid 4; bid 5 appends after)
+    val files = Option(new java.io.File(store).listFiles()).get
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(files <= 4, s"expected a compacted count store, found $files files")
+    // the meta sidecar rode through every swap: parameter validation
+    // still passes AND still rejects a mismatch
+    val streamed = IncrementalSelection.ratios(spark, store, buckets = B)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    intercept[IllegalArgumentException] {
+      IncrementalSelection.ratios(spark, store, buckets = B * 2)
+    }
+    // and the folded store still matches a from-scratch fit exactly
+    val direct = Selection
+      .dsirLogRatios(docs(0 until 360).toDF("doc_id", "text"), "text", isTarget, buckets = B)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(streamed == direct)
+  }
+
   test("a buckets/n/family mismatch against the persisted store metadata fails loudly") {
     import graft.operators.HashFamily
     val root = java.nio.file.Files.createTempDirectory("graft_dsir_meta").toString
