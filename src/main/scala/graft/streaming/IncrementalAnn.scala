@@ -56,7 +56,11 @@ object IncrementalAnn {
       .withColumn(BatchCol, lit(-1L))
       .write.mode("overwrite").parquet(storeDir)
 
-  /** Assign one arriving batch and append it to the index. */
+  /** Assign one arriving batch and append it to the index.
+    * `probeReplay = false` skips the store probe — only safe when the
+    * caller KNOWS the id is fresh ([[StoreGuard.ReplayProbe]]).
+    * Returns false iff the batch was a replay no-op.
+    */
   def ingestBatch(
       spark: SparkSession,
       batch: DataFrame,
@@ -65,19 +69,22 @@ object IncrementalAnn {
       idCol: String,
       vecCol: String,
       batchId: Option[Long] = None,
-      assignPlanes: Option[Int] = None
-  ): Unit = {
+      assignPlanes: Option[Int] = None,
+      probeReplay: Boolean = true
+  ): Boolean = {
     // a crash inside a compaction swap can leave the live dir set aside
     // (two existence checks when healthy — see Lake.recoverCompact)
     graft.sources.Lake.recoverCompact(storeDir)
     batchId match {
-      case Some(b) if StoreGuard.hasBatch(spark, storeDir, BatchCol, b) => return
+      case Some(b) if probeReplay && StoreGuard.hasBatch(spark, storeDir, BatchCol, b) =>
+        return false
       case _ => ()
     }
     val rows = assigned(batch, centroids, idCol, vecCol, assignPlanes)
       .withColumn(BatchCol, lit(batchId.getOrElse(-1L)))
     rows.write.mode("append").parquet(storeDir)
     RuntimeEventBus.ingested(storeDir, batchId, rows.count())
+    true
   }
 
   /** Top-k cosine neighbors for `queries` against the persisted index —
@@ -119,12 +126,15 @@ object IncrementalAnn {
     val spark = arriving.sparkSession
     val cadence = new CompactCadence(spark, storeDir, compactEvery, asyncCompact,
       compactTargetBytes, sortCols = Seq("cell"))
+    val probe = new StoreGuard.ReplayProbe
     val writer = arriving.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         cadence.finishPending(bid)
-        ingestBatch(spark, batch, storeDir, centroids, idCol, vecCol,
-          batchId = Some(bid), assignPlanes = assignPlanes)
+        if (ingestBatch(spark, batch, storeDir, centroids, idCol, vecCol,
+            batchId = Some(bid), assignPlanes = assignPlanes,
+            probeReplay = probe.needed))
+          probe.ingested()
         cadence.maybeCompact(bid)
       }
     checkpointLocation

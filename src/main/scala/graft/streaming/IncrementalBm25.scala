@@ -46,7 +46,10 @@ object IncrementalBm25 {
       .write.mode("overwrite").parquet(storeDir)
 
   /** Append one micro-batch's tf rows; replay-idempotent with
-    * `batchId` set.
+    * `batchId` set. `probeReplay = false` skips the store probe — only
+    * safe when the caller KNOWS the id is fresh
+    * ([[StoreGuard.ReplayProbe]]). Returns false iff the batch was a
+    * replay no-op.
     */
   def ingestBatch(
       spark: SparkSession,
@@ -54,8 +57,9 @@ object IncrementalBm25 {
       storeDir: String,
       idCol: String = "doc_id",
       textCol: String = "text",
-      batchId: Option[Long] = None
-  ): Unit = {
+      batchId: Option[Long] = None,
+      probeReplay: Boolean = true
+  ): Boolean = {
     // heal a compaction the previous run crashed mid-swap BEFORE any
     // read of the store (two existence checks when healthy — see
     // Lake.recoverCompact; same per-trigger discipline as the dedup
@@ -65,7 +69,8 @@ object IncrementalBm25 {
     // a prior `seed` bootstraps it on the first micro-batch instead of
     // dying on AnalysisException inside foreachBatch
     batchId match {
-      case Some(b) if StoreGuard.hasBatch(spark, storeDir, BatchCol, b) => return
+      case Some(b) if probeReplay && StoreGuard.hasBatch(spark, storeDir, BatchCol, b) =>
+        return false
       case _ => ()
     }
     val tf = tfOf(batch, idCol, textCol)
@@ -74,6 +79,7 @@ object IncrementalBm25 {
     // rows = (doc, term) tf rows appended; the count re-runs the
     // batch-sized tokenize only when a bus sink is registered
     RuntimeEventBus.ingested(storeDir, batchId, tf.count())
+    true
   }
 
   /** Load the store as a servable [[Bm25Index]]: df and corpus stats
@@ -122,11 +128,14 @@ object IncrementalBm25 {
     val spark = arriving.sparkSession
     val cadence = new CompactCadence(spark, storeDir, compactEvery, asyncCompact,
       compactTargetBytes, rangeCols = Seq("term"))
+    val probe = new StoreGuard.ReplayProbe
     val writer = arriving.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         cadence.finishPending(bid)
-        ingestBatch(spark, batch, storeDir, idCol, textCol, batchId = Some(bid))
+        if (ingestBatch(spark, batch, storeDir, idCol, textCol, batchId = Some(bid),
+            probeReplay = probe.needed))
+          probe.ingested()
         cadence.maybeCompact(bid)
       }
     checkpointLocation

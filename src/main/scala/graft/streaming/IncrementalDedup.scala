@@ -155,8 +155,9 @@ object IncrementalDedup {
       maxBucketSize: Option[Int] = None,
       batchId: Option[Long] = None,
       idPushdownCap: Int = 100000,
-      bandTable: Option[BandTable] = None
-  ): Unit = {
+      bandTable: Option[BandTable] = None,
+      probeReplay: Boolean = true
+  ): Boolean = {
     // a crash inside a previous trigger's compaction can leave the live
     // directory set aside at <dir>.__compact_old — repair before reading
     // (two existence checks when healthy; see Lake.recoverCompact)
@@ -166,11 +167,13 @@ object IncrementalDedup {
     // bucketed mode reads through the CATALOG — a path read would drop
     // the bucket spec and the join would re-shuffle the whole table
     val bandsRaw = bandTable.fold(spark.read.parquet(bandsDir))(t => spark.table(t.name))
+    // probeReplay = false skips both probe jobs — only safe when the
+    // caller KNOWS the id is fresh (StoreGuard.ReplayProbe)
     val (doneBands, doneCorpus) = batchId match {
-      case Some(b) => (hasBatch(bandsRaw, b), hasBatch(corpusRaw, b))
-      case None    => (false, false)
+      case Some(b) if probeReplay => (hasBatch(bandsRaw, b), hasBatch(corpusRaw, b))
+      case _                      => (false, false)
     }
-    if (doneBands && doneCorpus) return // replayed batch: full no-op
+    if (doneBands && doneCorpus) return false // replayed batch: full no-op
 
     val corpus = withoutBatch(corpusRaw, batchId)
     val candsRaw = bandTable match {
@@ -245,6 +248,7 @@ object IncrementalDedup {
     RuntimeEventBus.ingested(corpusDir, batchId, nSurvivors)
     cands.unpersist()
     survivors.unpersist()
+    true
     } finally if (pruned) spark.conf.set(inThresholdKey, prevInThreshold)
   }
 
@@ -299,14 +303,17 @@ object IncrementalDedup {
           sortCols = Seq("band_idx", "band_hash"), offset = 1), corpus)
       else Seq(corpus)
     }
+    val probe = new StoreGuard.ReplayProbe
     val writer = arriving.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         // install any finished background repack FIRST, before this
         // trigger reads the stores (loop thread — no append can race)
         cadences.foreach(_.finishPending(bid))
-        ingestBatch(spark, batch, corpusDir, bandsDir, idCol, textCol,
-          minJaccard, maxBucketSize, batchId = Some(bid), bandTable = bandTable)
+        if (ingestBatch(spark, batch, corpusDir, bandsDir, idCol, textCol,
+            minJaccard, maxBucketSize, batchId = Some(bid), bandTable = bandTable,
+            probeReplay = probe.needed))
+          probe.ingested()
         cadences.foreach(_.maybeCompact(bid))
       }
     checkpointLocation

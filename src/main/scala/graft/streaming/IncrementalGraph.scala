@@ -46,6 +46,9 @@ object IncrementalGraph {
 
   /** Append one micro-batch's edges; replay-idempotent with `batchId`
     * set. Bootstraps a missing store (attach without seed).
+    * `probeReplay = false` skips the store probe — only safe when the
+    * caller KNOWS the id is fresh ([[StoreGuard.ReplayProbe]]).
+    * Returns false iff the batch was a replay no-op.
     */
   def ingestBatch(
       spark: SparkSession,
@@ -53,13 +56,15 @@ object IncrementalGraph {
       storeDir: String,
       srcCol: String = "src",
       dstCol: String = "dst",
-      batchId: Option[Long] = None
-  ): Unit = {
+      batchId: Option[Long] = None,
+      probeReplay: Boolean = true
+  ): Boolean = {
     // heal a compaction the previous run crashed mid-swap BEFORE any
     // read of the store (cheap when healthy — Lake.recoverCompact)
     graft.sources.Lake.recoverCompact(storeDir)
     batchId match {
-      case Some(b) if StoreGuard.hasBatch(spark, storeDir, BatchCol, b) => return
+      case Some(b) if probeReplay && StoreGuard.hasBatch(spark, storeDir, BatchCol, b) =>
+        return false
       case _ => ()
     }
     val rows = batch
@@ -67,6 +72,7 @@ object IncrementalGraph {
       .withColumn(BatchCol, lit(batchId.getOrElse(-1L)))
     rows.write.mode("append").parquet(storeDir)
     RuntimeEventBus.ingested(storeDir, batchId, rows.count())
+    true
   }
 
   /** The accumulated edge SET (duplicates across observations/batches
@@ -154,11 +160,14 @@ object IncrementalGraph {
     val spark = arriving.sparkSession
     val cadence = new CompactCadence(spark, storeDir, compactEvery, asyncCompact,
       rangeCols = Seq("src"))
+    val probe = new StoreGuard.ReplayProbe
     val writer = arriving.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         cadence.finishPending(bid)
-        ingestBatch(spark, batch, storeDir, srcCol, dstCol, batchId = Some(bid))
+        if (ingestBatch(spark, batch, storeDir, srcCol, dstCol, batchId = Some(bid),
+            probeReplay = probe.needed))
+          probe.ingested()
         cadence.maybeCompact(bid)
       }
     checkpointLocation

@@ -59,15 +59,18 @@ object IncrementalManifest {
       seed: String,
       tokenCol: Option[String] = None,
       family: HashFamily = HashFamily.Md5,
-      batchId: Option[Long] = None
-  ): Unit = {
+      batchId: Option[Long] = None,
+      probeReplay: Boolean = true
+  ): Boolean = {
     // heal a compaction the previous run crashed mid-swap BEFORE any
     // read of the store (cheap when healthy — Lake.recoverCompact)
     Lake.recoverCompact(storeDir)
     batchId match {
       // StoreGuard tolerates a missing/partial store: attach-without-seed
-      // bootstraps on the first micro-batch (see StoreGuard scaladoc)
-      case Some(b) if StoreGuard.hasBatch(spark, storeDir, BatchCol, b) => return
+      // bootstraps on the first micro-batch (see StoreGuard scaladoc);
+      // probeReplay = false skips the probe (StoreGuard.ReplayProbe)
+      case Some(b) if probeReplay && StoreGuard.hasBatch(spark, storeDir, BatchCol, b) =>
+        return false
       case _ => ()
     }
     val rows = Lake.shardManifest(batch, idCol, contentCols, nShards, seed, tokenCol, family)
@@ -75,6 +78,7 @@ object IncrementalManifest {
     rows.write.mode("append").parquet(storeDir)
     // rows ≤ nShards per batch by construction
     RuntimeEventBus.ingested(storeDir, batchId, rows.count())
+    true
   }
 
   /** The live manifest: roll the per-batch rows up per shard — counts
@@ -110,12 +114,14 @@ object IncrementalManifest {
     // compactEvery folds the accretion back, shard-sorted
     val cadence = new CompactCadence(spark, storeDir, compactEvery, asyncCompact,
       sortCols = Seq("shard"))
+    val probe = new StoreGuard.ReplayProbe
     val writer = arriving.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         cadence.finishPending(bid)
-        ingestBatch(spark, batch, storeDir, idCol, contentCols, nShards, seed,
-          tokenCol, family, batchId = Some(bid))
+        if (ingestBatch(spark, batch, storeDir, idCol, contentCols, nShards, seed,
+            tokenCol, family, batchId = Some(bid), probeReplay = probe.needed))
+          probe.ingested()
         cadence.maybeCompact(bid)
       }
     checkpointLocation

@@ -84,7 +84,12 @@ object IncrementalScd2 {
     foldOpen(events.sparkSession, storeDir, keyCols, tsCol, attrCols, tieBreak)
   }
 
-  /** Fold one micro-batch of changelog rows into the store. */
+  /** Fold one micro-batch of changelog rows into the store.
+    * `probeReplay = false` skips the version-log replay probe — only
+    * safe when the caller KNOWS the id is fresh
+    * ([[StoreGuard.ReplayProbe]]). Returns false iff the batch was a
+    * replay no-op.
+    */
   def ingestBatch(
       spark: SparkSession,
       batch: DataFrame,
@@ -93,8 +98,9 @@ object IncrementalScd2 {
       tsCol: String,
       attrCols: Seq[String],
       tieBreak: Seq[String],
-      batchId: Option[Long]
-  ): Unit = {
+      batchId: Option[Long],
+      probeReplay: Boolean = true
+  ): Boolean = {
     // a crash inside a version-log compaction swap can leave the live
     // dir set aside (cheap when healthy — see Lake.recoverCompact; the
     // open-version HEAD has its own recovery below)
@@ -102,9 +108,12 @@ object IncrementalScd2 {
     // attach-without-seed bootstrap (the BM25/sketches/ANN StoreGuard
     // contract): a missing store is an EMPTY store, so the first
     // micro-batch creates it instead of dying inside foreachBatch.
-    val storeOpt = StoreGuard.readStore(spark, storeDir)
-    if (batchId.exists(b => storeOpt.exists(s => !s.filter(col(BatchCol) === b).isEmpty)))
-      return // replayed batch: append already committed, recompute is a no-op
+    // Lazy: on the steady-state path (probe skipped, open head intact)
+    // the version log is never LISTED here — only appended to below.
+    lazy val storeOpt = StoreGuard.readStore(spark, storeDir)
+    if (probeReplay &&
+        batchId.exists(b => storeOpt.exists(s => !s.filter(col(BatchCol) === b).isEmpty)))
+      return false // replayed batch: append already committed, recompute is a no-op
 
     val cols = (keyCols ++ attrCols ++ (tsCol +: tieBreak)).map(col)
     val withinBatch =
@@ -177,6 +186,7 @@ object IncrementalScd2 {
     stamped.write.mode("append").parquet(storeDir)
     nChanges.foreach(n => RuntimeEventBus.ingested(storeDir, batchId, n))
     foldOpen(spark, storeDir, keyCols, tsCol, attrCols, tieBreak)
+    true
   }
 
   /** Fold the head store back to one row per key (latest by ts, tie) —
@@ -278,12 +288,14 @@ object IncrementalScd2 {
     // the open-version HEAD is already folded in-place per batch.
     val cadence = new CompactCadence(
       spark, storeDir, compactEvery, asyncCompact, compactTargetBytes)
+    val probe = new StoreGuard.ReplayProbe
     val writer = arriving.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         cadence.finishPending(bid)
-        ingestBatch(spark, batch, storeDir, keyCols, tsCol, attrCols, tieBreak,
-          batchId = Some(bid))
+        if (ingestBatch(spark, batch, storeDir, keyCols, tsCol, attrCols, tieBreak,
+            batchId = Some(bid), probeReplay = probe.needed))
+          probe.ingested()
         cadence.maybeCompact(bid)
       }
     checkpointLocation

@@ -127,7 +127,12 @@ object IncrementalSelection {
   }
 
   /** Count one micro-batch and append its single vector row. With
-    * `batchId` set, a replay is a no-op.
+    * `batchId` set, a replay is a no-op. `probeReplay = false` skips
+    * BOTH the replay probe and the meta validation/bootstrap reads —
+    * only safe after a prior fresh ingest through the same parameters
+    * ([[StoreGuard.ReplayProbe]]: meta existence and legacy status
+    * cannot change mid-run, and the parameters are fixed per attach).
+    * Returns false iff the batch was a replay no-op.
     */
   def ingestBatch(
       spark: SparkSession,
@@ -138,17 +143,19 @@ object IncrementalSelection {
       buckets: Int = 1024,
       n: Int = 2,
       family: HashFamily = HashFamily.Md5,
-      batchId: Option[Long] = None
-  ): Unit = {
+      batchId: Option[Long] = None,
+      probeReplay: Boolean = true
+  ): Boolean = {
     // heal a compaction the previous run crashed mid-swap BEFORE any
     // read (the meta sidecar rides inside storeDir, so the swap heal
     // restores it too — Lake.rescueLateAppends carries subdirs)
     graft.sources.Lake.recoverCompact(storeDir)
-    checkMeta(spark, storeDir, buckets, Some(n), Some(family))
+    if (probeReplay) checkMeta(spark, storeDir, buckets, Some(n), Some(family))
     batchId match {
       // StoreGuard tolerates a missing/partial store: attach-without-seed
       // bootstraps on the first micro-batch (see StoreGuard scaladoc)
-      case Some(b) if StoreGuard.hasBatch(spark, storeDir, BatchCol, b) => return
+      case Some(b) if probeReplay && StoreGuard.hasBatch(spark, storeDir, BatchCol, b) =>
+        return false
       case _ => ()
     }
     // Bootstrap-stamp eligibility must be decided BEFORE the append: a
@@ -163,8 +170,11 @@ object IncrementalSelection {
     // sees rows without meta and never stamps. Correctness is unharmed
     // (validation is skipped, not wrong); re-seed or hand-write the meta
     // row to restore loud mismatch checking.
-    val metaAbsent = StoreGuard.readStore(spark, metaDir(storeDir)).isEmpty
-    val storeWasEmpty = StoreGuard.readStore(spark, storeDir).isEmpty
+    // probeReplay = false implies a prior fresh ingest already ran the
+    // bootstrap decision: meta exists (stamped then or at seed) or the
+    // store is legacy — either way the block below would no-op/renag
+    val metaAbsent = probeReplay && StoreGuard.readStore(spark, metaDir(storeDir)).isEmpty
+    val storeWasEmpty = metaAbsent && StoreGuard.readStore(spark, storeDir).isEmpty
     countsRow(batch, textCol, isTarget, buckets, n, family)
       .withColumn(BatchCol, lit(batchId.getOrElse(-1L)))
       .write.mode("append").parquet(storeDir)
@@ -176,6 +186,7 @@ object IncrementalSelection {
         s"[graft] $storeDir: legacy store without _graft_meta — existing rows' " +
           "(buckets, n, family) unverifiable; not stamping caller parameters")
     }
+    true
   }
 
   /** The maintained model: element-wise-sum the store's count vectors
@@ -235,12 +246,14 @@ object IncrementalSelection {
   ): StreamingQuery = {
     val spark = arriving.sparkSession
     val cadence = new CompactCadence(spark, storeDir, compactEvery, asyncCompact)
+    val probe = new StoreGuard.ReplayProbe
     val writer = arriving.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         cadence.finishPending(bid)
-        ingestBatch(spark, batch, storeDir, textCol, isTarget, buckets, n, family,
-          batchId = Some(bid))
+        if (ingestBatch(spark, batch, storeDir, textCol, isTarget, buckets, n, family,
+            batchId = Some(bid), probeReplay = probe.needed))
+          probe.ingested()
         cadence.maybeCompact(bid)
       }
     checkpointLocation

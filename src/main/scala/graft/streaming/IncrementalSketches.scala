@@ -46,7 +46,9 @@ object IncrementalSketches {
       .write.mode("overwrite").parquet(storeDir)
 
   /** Sketch one micro-batch and append its shard rows to the store.
-    * With `batchId` set, a replay is a no-op.
+    * With `batchId` set, a replay is a no-op. `probeReplay = false`
+    * skips the store probe ([[StoreGuard.ReplayProbe]]); returns false
+    * iff the batch was a replay no-op.
     */
   def ingestBatch(
       spark: SparkSession,
@@ -55,15 +57,17 @@ object IncrementalSketches {
       shardCols: Seq[String],
       valueCol: String,
       batchId: Option[Long] = None,
-      lgK: Int = Sketches.DefaultLgK
-  ): Unit = {
+      lgK: Int = Sketches.DefaultLgK,
+      probeReplay: Boolean = true
+  ): Boolean = {
     // heal a compaction the previous run crashed mid-swap BEFORE any
     // read of the store (cheap when healthy — Lake.recoverCompact)
     graft.sources.Lake.recoverCompact(storeDir)
     batchId match {
       // StoreGuard tolerates a missing/partial store: attach-without-seed
       // bootstraps on the first micro-batch (see StoreGuard scaladoc)
-      case Some(b) if StoreGuard.hasBatch(spark, storeDir, BatchCol, b) => return
+      case Some(b) if probeReplay && StoreGuard.hasBatch(spark, storeDir, BatchCol, b) =>
+        return false
       case _ => ()
     }
     val rows = Sketches
@@ -71,6 +75,7 @@ object IncrementalSketches {
       .withColumn(BatchCol, lit(batchId.getOrElse(-1L)))
     rows.write.mode("append").parquet(storeDir)
     RuntimeEventBus.ingested(storeDir, batchId, rows.count())
+    true
   }
 
   /** Roll the persisted store up to `groupCols` (empty = global) and
@@ -112,17 +117,20 @@ object IncrementalSketches {
       shardCols: Seq[String],
       valueCol: String,
       batchId: Option[Long] = None,
-      k: Int = Sketches.DefaultKllK
-  ): Unit = {
+      k: Int = Sketches.DefaultKllK,
+      probeReplay: Boolean = true
+  ): Boolean = {
     graft.sources.Lake.recoverCompact(storeDir)
     batchId match {
-      case Some(b) if StoreGuard.hasBatch(spark, storeDir, BatchCol, b) => return
+      case Some(b) if probeReplay && StoreGuard.hasBatch(spark, storeDir, BatchCol, b) =>
+        return false
       case _ => ()
     }
     Sketches
       .kllShardSketches(batch, shardCols, valueCol, k)
       .withColumn(BatchCol, lit(batchId.getOrElse(-1L)))
       .write.mode("append").parquet(storeDir)
+    true
   }
 
   /** Roll the persisted quantile store up to `groupCols` (empty =
@@ -154,12 +162,14 @@ object IncrementalSketches {
   ): StreamingQuery = {
     val spark = arriving.sparkSession
     val cadence = new CompactCadence(spark, storeDir, compactEvery, asyncCompact)
+    val probe = new StoreGuard.ReplayProbe
     val writer = arriving.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         cadence.finishPending(bid)
-        ingestQuantilesBatch(spark, batch, storeDir, shardCols, valueCol,
-          batchId = Some(bid), k = k)
+        if (ingestQuantilesBatch(spark, batch, storeDir, shardCols, valueCol,
+            batchId = Some(bid), k = k, probeReplay = probe.needed))
+          probe.ingested()
         cadence.maybeCompact(bid)
       }
     checkpointLocation
@@ -182,12 +192,14 @@ object IncrementalSketches {
   ): StreamingQuery = {
     val spark = arriving.sparkSession
     val cadence = new CompactCadence(spark, storeDir, compactEvery, asyncCompact)
+    val probe = new StoreGuard.ReplayProbe
     val writer = arriving.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         cadence.finishPending(bid)
-        ingestBatch(spark, batch, storeDir, shardCols, valueCol,
-          batchId = Some(bid), lgK = lgK)
+        if (ingestBatch(spark, batch, storeDir, shardCols, valueCol,
+            batchId = Some(bid), lgK = lgK, probeReplay = probe.needed))
+          probe.ingested()
         cadence.maybeCompact(bid)
       }
     checkpointLocation

@@ -41,6 +41,31 @@ private[streaming] object StoreGuard {
       df.columns.contains(batchCol) && !df.filter(col(batchCol) === lit(b)).isEmpty
     }
 
+  /** Per-attach memoization of the replay probe: within ONE streaming
+    * run, `foreachBatch` delivers strictly increasing batch ids and a
+    * batch committed in the checkpoint log is never redelivered — only
+    * the FIRST trigger after a (re)start can be a replay of the last
+    * uncommitted batch. So each attach probes the store until its first
+    * FRESH (non-replayed) ingest and skips the probe from then on,
+    * dropping a listing + scan job from every steady-state trigger (the
+    * 300-batch replay measured ~4.7 s of per-trigger FIXED cost even at
+    * 17-doc batches — BASELINE.md r17 observed lead).
+    *
+    * A replay-SKIPPED first trigger keeps probing: without a
+    * `checkpointLocation` a restarted stream restarts batch ids at 0,
+    * and the store probe is then the only thing standing between the
+    * old ids and silent double-appends (the documented contract remains
+    * "use a checkpoint for exactly-once"; this just preserves the
+    * probe-every-trigger behavior for uncheckpointed reruns).
+    */
+  final class ReplayProbe {
+    @volatile private var freshSeen = false
+    /** True while this attach must still consult the store. */
+    def needed: Boolean = !freshSeen
+    /** Record a trigger that ingested fresh (non-replayed) content. */
+    def ingested(): Unit = freshSeen = true
+  }
+
   private def isAbsence(e: AnalysisException): Boolean = {
     val cond = Option(e.getCondition).getOrElse("")
     cond.startsWith("PATH_NOT_FOUND") ||
