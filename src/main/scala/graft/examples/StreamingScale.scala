@@ -2,7 +2,7 @@ package graft.examples
 
 import graft.core.Period
 import graft.sources.Tables
-import graft.streaming.{BarCascade, DriftMonitor, GapFill, IncrementalDedup, IncrementalManifest, IncrementalSelection, IncrementalSketches, StreamAsOf, StreamingFunnel}
+import graft.streaming.{BarCascade, DriftMonitor, GapFill, IncrementalBm25, IncrementalDedup, IncrementalManifest, IncrementalSelection, IncrementalSketches, StreamAsOf, StreamingFunnel}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -391,6 +391,66 @@ object StreamingScale {
     val liveShards = IncrementalManifest.manifest(spark, manStore).count()
     println(f"#   manifest store after replay: $manRows per-batch rows; " +
       f"live rollup to $liveShards shards in ${(System.nanoTime() - tMan) / 1e9}%.2f s")
+    }
+
+    if (want('J')) {
+    // ---- J. BM25 tf-store maintenance + serve-latency-vs-file-count ------
+    // the ingest loop never READS the tf store on steady-state triggers
+    // (ReplayProbe, r18), so its wall should stay FLAT as files accrete;
+    // the file-count term lands on the SERVE side (load derives df/stats
+    // from the whole store) — measured here as the same query set served
+    // from the accreted store vs after one term-range compaction.
+    // SPARK_GRAFT_BM25_COMPACT=<n> / SPARK_GRAFT_BM25_COMPACT_ASYNC=true
+    // exercise the in-loop cadence arms instead.
+    val tfStore = s"$root/bm25_store"
+    val bmCompact = sys.env.get("SPARK_GRAFT_BM25_COMPACT").map(_.toInt)
+    val bmAsync = sys.env.get("SPARK_GRAFT_BM25_COMPACT_ASYNC").contains("true")
+    val bmQ = IncrementalBm25.attach(
+      spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(docReplay),
+      tfStore, checkpointLocation = Some(s"$root/_chk/bm25"),
+      compactEvery = bmCompact, asyncCompact = bmAsync)
+    try {
+      bmQ.processAllAvailable()
+      val label = (bmCompact, bmAsync) match {
+        case (Some(n), true)  => s"bm25 tf store (async-compact/$n)"
+        case (Some(n), false) => s"bm25 tf store (compact/$n)"
+        case _                => "bm25 tf store"
+      }
+      println(statOf(label, bmQ, rowsOverride = Some(nDocs - per)).row)
+      val trig = bmQ.recentProgress.filter(_.numInputRows > 0)
+        .map(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(0L))
+      if (trig.length >= 8) {
+        val quarters = (0 until 4).map { qi =>
+          val slice = trig.slice(trig.length * qi / 4, trig.length * (qi + 1) / 4)
+          slice.sum / 1e3 / slice.length
+        }
+        println(f"#   per-batch wall by quartile: ${quarters.map(q => f"$q%.2f").mkString(" / ")} s")
+      }
+    } finally bmQ.stop()
+    def tfFiles() = Option(new java.io.File(tfStore).listFiles()).getOrElse(Array.empty)
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    // serve A/B on the SAME store content: accreted layout vs one
+    // term-range compaction (what the in-loop cadence maintains)
+    val bmQueries = spark.read.parquet(tfStore)
+      .groupBy(col("doc_id")).agg(concat_ws(" ", collect_list(col("term"))).as("qtext"))
+      .select(col("doc_id").as("query_id"), expr("array_join(slice(split(qtext, ' '), 1, 3), ' ')").as("qtext"))
+      .limit(32).persist()
+    def serveSecs(): Double = {
+      val t = System.nanoTime()
+      graft.operators.TextAnalysis
+        .bm25Serve(IncrementalBm25.load(spark, tfStore), bmQueries,
+          "query_id", "qtext", topK = 10)
+        .foreach(_ => ())
+      (System.nanoTime() - t) / 1e9
+    }
+    val accretedFiles = tfFiles()
+    val serveAccreted = serveSecs()
+    graft.sources.Lake.compact(spark, tfStore, rangeCols = Seq("term"))
+    val serveCompact = serveSecs()
+    bmQueries.unpersist()
+    println(f"#   bm25 serve (32 queries, top-10): $serveAccreted%.2f s on $accretedFiles files " +
+      f"-> $serveCompact%.2f s on ${tfFiles()} files after term-range compact")
     }
 
     println(f"# cadence check: live-equivalent event density = " +
