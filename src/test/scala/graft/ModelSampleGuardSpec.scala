@@ -113,7 +113,10 @@ class ModelSampleGuardSpec extends SparkSpec {
       "examples/IngestionScale.scala" -> 4,
       // manifest-verification pulls in the crawl→shards pipeline stage:
       // each is ≤ #shards rows (1024 manifest lines), never the corpus
-      "examples/ProductionPipeline.scala" -> 3
+      "examples/ProductionPipeline.scala" -> 3,
+      // limit(pairs·2·17)-bounded batch material for the paired probe
+      // A/B — a measurement harness input, never an operator plan
+      "examples/ProbeTailAB.scala" -> 1
     )
     val root = java.nio.file.Paths.get("src/main/scala/graft")
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
