@@ -73,65 +73,20 @@ object Classifier {
   ): HashedLogReg = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     require(epochs >= 1, s"epochs must be >= 1, got $epochs")
-    val spark = df.sparkSession
-    import spark.implicits._
 
-    // (id, y, n_tokens, bucket, x) with x = cnt_b / n — one row per
-    // DISTINCT (doc, bucket); cached: every epoch reuses it twice
-    val toks = df.select(
-      col(idCol).as("__id"),
-      col(labelCol).cast("double").as("__y"),
-      split(col(textCol), " ").as("__toks")
-    )
-    val feat = toks
-      .select(
-        col("__id"),
-        col("__y"),
-        size(col("__toks")).cast("double").as("__n"),
-        explode(col("__toks")).as("__tok")
-      )
-      .withColumn("bucket", tokenBucket(col("__tok"), buckets, family))
-      .groupBy(col("__id"), col("__y"), col("__n"), col("bucket"))
-      .agg(count(lit(1)).cast("double").as("__cnt"))
-      .withColumn("__x", col("__cnt") / col("__n"))
-      .select(col("__id"), col("__y"), col("bucket"), col("__x"))
-      .persist()
+    val feat = buildFeatures(df, idCol, textCol, labelCol, buckets, family).persist()
+    // one bias row per doc (buildFeatures) — counting them materializes
+    // the cache without the distinct the old per-(doc,bucket)-only
+    // layout needed
     val nDocs =
-      feat.select(col("__id")).distinct().count().toDouble
+      feat.filter(col("bucket") === -1L).count().toDouble
 
     val weights = Array.fill(buckets)(0.0)
     var bias = 0.0
     var epoch = 0
     try {
       while (epoch < epochs) {
-        val wDf = broadcast(
-          weights.toIndexedSeq.zipWithIndex
-            .map { case (w, b) => (b.toLong, w) }
-            .toDF("bucket", "__w")
-        )
-        // margin per doc → residual (σ(z) − y); both joins are on __id /
-        // bucket equi-keys, the weight side is bucket-sized broadcast
-        val resid = feat
-          .join(wDf, "bucket")
-          .groupBy(col("__id"), col("__y"))
-          .agg(sum(col("__w") * col("__x")).as("__dot"))
-          .select(
-            col("__id"),
-            (lit(1.0) / (lit(1.0) + exp(-(lit(bias) + col("__dot")))) - col("__y"))
-              .as("__r")
-          )
-        // gradient: ≤ buckets rows + the bias row (bucket = -1);
-        // DECIMAL(28,18) sums make the fold order-independent
-        val grad = feat
-          .join(resid, "__id")
-          .select(col("bucket"), (col("__r") * col("__x")).as("__g"))
-          .union(resid.select(lit(-1L).as("bucket"), col("__r").as("__g")))
-          .groupBy(col("bucket"))
-          .agg(
-            sum(col("__g").cast(org.apache.spark.sql.types.DecimalType(28, 18)))
-              .cast("double")
-              .as("__g")
-          )
+        val grad = epochGrad(feat, bias, weights)
           .collect() // bounded: ≤ buckets + 1 rows whatever the corpus size
         grad.foreach { row =>
           val b = row.getLong(0)
@@ -143,6 +98,109 @@ object Classifier {
       }
     } finally feat.unpersist()
     HashedLogReg(bias, weights, buckets, family)
+  }
+
+  /** The per-epoch feature frame: (id, y, bucket, x) with x = cnt_b / n —
+    * one row per DISTINCT (doc, bucket) — PLUS one synthetic bias row
+    * per doc (bucket = -1, x = 1), hash-partitioned on `__id` before the
+    * fit caches it.
+    *
+    * Both choices exist for the epoch loop's plan shape (r19
+    * optimization round; see OPTIMIZATION_r19.md):
+    *
+    *   - id-partitioning makes EVERY per-epoch operator exchange-free:
+    *     the per-doc margin aggregate groups by a superset of the cache
+    *     partitioning, and the gradient join joins two id-partitioned
+    *     sides, so the only per-epoch shuffle left is the ≤ buckets+1-row
+    *     gradient fold. The old shape re-shuffled the corpus-sized
+    *     feature frame TWICE per epoch.
+    *   - the bias rows make the bias gradient fall out of the SAME
+    *     per-bucket aggregate (x = 1 ⇒ Σ r·x = Σ r at bucket −1), which
+    *     removes the `union(resid…)` branch that referenced the residual
+    *     frame twice — Catalyst duplicates a twice-referenced subtree,
+    *     so the old plan computed every margin TWICE per epoch (the
+    *     [[auc]] round-15 diamond, re-found here).
+    */
+  private[graft] def buildFeatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      buckets: Int,
+      family: HashFamily
+  ): DataFrame = {
+    val toks = df.select(
+      col(idCol).as("__id"),
+      col(labelCol).cast("double").as("__y"),
+      split(col(textCol), " ").as("__toks")
+    )
+    val real = toks
+      .select(
+        col("__id"),
+        col("__y"),
+        size(col("__toks")).cast("double").as("__n"),
+        explode(col("__toks")).as("__tok")
+      )
+      .withColumn("bucket", tokenBucket(col("__tok"), buckets, family))
+      .groupBy(col("__id"), col("__y"), col("__n"), col("bucket"))
+      .agg(count(lit(1)).cast("double").as("__cnt"))
+      .withColumn("__x", col("__cnt") / col("__n"))
+      .select(col("__id"), col("__y"), col("bucket"), col("__x"))
+    val biasRows = toks.select(
+      col("__id"),
+      col("__y"),
+      lit(-1L).as("bucket"),
+      lit(1.0).as("__x")
+    )
+    // union FIRST (UnionExec reports UnknownPartitioning even for
+    // co-partitioned children), THEN establish the id-partitioning the
+    // epoch loop relies on
+    real.unionByName(biasRows).repartition(col("__id"))
+  }
+
+  /** One full-batch gradient step as a DataFrame: ≤ buckets rows of
+    * (bucket, __g) plus the bias row (bucket = -1). DECIMAL(28,18) sums
+    * make the fold order-independent.
+    *
+    * Exchange-free by construction over the id-partitioned `feat` cache
+    * (see [[buildFeatures]]): the weight vector rides in as a LITERAL
+    * array (codegen'd `element_at` lookup — no per-epoch broadcast
+    * build), the margin aggregate and the gradient join both reuse the
+    * cache partitioning (SHUFFLE_HASH hint: a sort-merge join would
+    * re-sort the cached frame every epoch), and the only shuffle is the
+    * final ≤ buckets+1-row gradient fold. The bucket = -1 bias rows are
+    * excluded from the margin (`when(bucket >= 0, …)` — sum skips
+    * nulls) and carry the bias gradient through the same per-bucket
+    * aggregate.
+    */
+  private[graft] def epochGrad(
+      feat: DataFrame,
+      bias: Double,
+      weights: Array[Double]
+  ): DataFrame = {
+    val wLit = typedLit(weights.toIndexedSeq)
+    val resid = feat
+      .groupBy(col("__id"), col("__y"))
+      .agg(
+        sum(
+          when(
+            col("bucket") >= 0,
+            element_at(wLit, (col("bucket") + lit(1L)).cast("int")) * col("__x"))
+        ).as("__dot"))
+      .select(
+        col("__id"),
+        (lit(1.0) / (lit(1.0) + exp(-(lit(bias) + coalesce(col("__dot"), lit(0.0))))) -
+          col("__y")).as("__r")
+      )
+    feat
+      .join(resid.hint("SHUFFLE_HASH"), "__id")
+      .select(col("bucket"), (col("__r") * col("__x")).as("__g"))
+      .groupBy(col("bucket"))
+      .agg(
+        sum(col("__g").cast(org.apache.spark.sql.types.DecimalType(28, 18)))
+          .cast("double")
+          .as("__g")
+      )
   }
 
   /** Score a text column under a fitted (or closed-form) model:
