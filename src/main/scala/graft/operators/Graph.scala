@@ -147,19 +147,12 @@ object Graph {
       tol: Option[Double]
   ): (DataFrame, Int) = {
     checkpointDir.foreach(nodes.sparkSession.sparkContext.setCheckpointDir)
-    // rank frames checkpoint through the partitioning-preserving bridge
-    // (r19): a stock localCheckpoint under AQE reports
-    // UnknownPartitioning, which re-exchanged the node-sized rank frame
-    // TWICE per round (contribution join + join-back). With the
-    // id-partitioning carried across rounds, the only per-round shuffle
-    // left is the contribution re-group on `dst`.
     def ckpt(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) {
         df.persist()
         try df.checkpoint()
         finally df.unpersist()
-      } else
-        org.apache.spark.sql.graftbridge.ColumnBridge.localCheckpointKeepPartitioning(df)
+      } else df.localCheckpoint()
     def unpersistLocal(df: DataFrame): Unit =
       if (checkpointDir.isEmpty)
         org.apache.spark.sql.graftbridge.ColumnBridge.unpersistLocalCheckpoint(df)
@@ -187,99 +180,63 @@ object Graph {
         "src"
       )
       .select(col("src"), col("dst"), col("od"))
-    // explicit-count repartition (r19): REPARTITION_BY_NUM is exempt
-    // from AQE coalescing, so the cache holds an EXACT
-    // HashPartitioning(src, P) that the rank frame's carried
-    // HashPartitioning(id, P) co-partitions with — no exchange on
-    // EITHER side of the per-round contribution join
-    val numParts = nodes.sparkSession.sessionState.conf.numShufflePartitions
     val weighted = (if (checkpointDir.isDefined) ckpt(weightedBase) else weightedBase)
-      .repartition(numParts, col("src"))
+      .repartition(col("src"))
       .persist()
+    // out-edge-owning node ids, for the dangling anti-join (node-sized)
+    val outNodes = weighted.select(col("src").as("id")).distinct().persist()
+    // TrustRank arm: node-sized teleport distribution, cached once
+    val resetDf = reset.map(r =>
+      nodes
+        .join(r.select(col("id"), col("reset")), Seq("id"), "left")
+        .na.fill(0.0, Seq("reset"))
+        .persist())
 
-    // Per-node constants RIDE IN THE RANK FRAME (r19 optimization
-    // round): the dangling flag (no out-edges) and, for TrustRank, the
-    // teleport weight are joined ONCE here and then carried through
-    // every checkpointed round — the old shape re-derived both per
-    // round (a node-sized anti-join against the out-node set, plus the
-    // reset join), and rebuilt `next` from the `nodes` frame, which
-    // re-ran the node-source scan every round. Each round is now a
-    // straight chain over the previous (cached) rank frame: contrib
-    // equi-join + dst aggregate, a scan-only dangling-mass aggregate,
-    // one join back, one broadcast of the 1-row dangling frame. Cost:
-    // one boolean (+ one double for TrustRank) per node in checkpoint
-    // state.
-    val isDangling = coalesce(col("__has_out"), lit(false)) === false
-    val baseCols = Seq(col("id"), isDangling.as("__dangling")) ++
-      reset.map(_ => coalesce(col("reset"), lit(0.0)).as("reset")).toSeq
-    val outNodes = weighted
-      .select(col("src").as("id"), lit(true).as("__has_out"))
-      .distinct()
-    val withFlags = reset
-      .map(r => nodes.join(r.select(col("id"), col("reset")), Seq("id"), "left"))
-      .getOrElse(nodes)
-      .join(outNodes, Seq("id"), "left")
-      .select(baseCols: _*)
-
-    val prInit = (init, reset) match {
-      case (Some(i0), _) =>
-        withFlags
+    var ranks = ckpt(init match {
+      case Some(i0) =>
+        nodes
           .join(i0.select(col("id"), col("pr")), Seq("id"), "left")
           .na.fill(1.0 / n, Seq("pr"))
-      case (None, Some(_)) => withFlags.withColumn("pr", col("reset"))
-      case (None, None)    => withFlags.withColumn("pr", lit(1.0 / n))
-    }
-    // explicit-count repartition: REPARTITION_BY_NUM shuffles are exempt
-    // from AQE coalescing, so the checkpoint captures an EXACT
-    // HashPartitioning(id, P) that matches the cached edge frame's
-    // src-partitioning — every round's joins then co-partition for free
-    var ranks = ckpt(prInit.repartition(numParts, col("id")))
+      case None =>
+        resetDf match {
+          case Some(rst) => rst.select(col("id"), col("reset").as("pr"))
+          case None      => nodes.select(col("id"), lit(1.0 / n).as("pr"))
+        }
+    })
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
       round += 1
-      // SHUFFLE_HASH hints (r19): both per-round joins are co-partitioned
-      // (see the repartition notes above), so the hint's only effect is
-      // HOW the join runs — build a hash table of the node-sized side
-      // per partition. The default sort-merge would re-SORT the cached
-      // edge frame every round, and a broadcast would rebuild and ship
-      // the rank frame every round (and is impossible at real node
-      // counts anyway).
       val contrib = weighted
-        .join(
-          ranks.select(col("id"), col("pr")).hint("SHUFFLE_HASH"),
-          weighted("src") === col("id"))
+        .join(ranks, weighted("src") === ranks("id"))
         .groupBy(weighted("dst").as("cid"))
         .agg(sum((col("pr") / col("od")).cast(dec)).cast("double").as("c"))
-      // dangling mass: 1-row frame from a scan-only aggregate over the
-      // flagged rank cache; coalesce covers the no-dangling case (empty
-      // sum is NULL)
+      // dangling mass: 1-row frame; coalesce covers the no-dangling case
+      // (empty sum is NULL)
       val dangling = ranks
-        .agg(
-          coalesce(
-            sum(when(col("__dangling"), col("pr")).cast(dec)).cast("double"),
-            lit(0.0)).as("dm"))
-      val joined = ranks
-        .join(contrib.hint("SHUFFLE_HASH"), ranks("id") === col("cid"), "left")
+        .join(outNodes, Seq("id"), "left_anti")
+        .agg(coalesce(sum(col("pr").cast(dec)).cast("double"), lit(0.0)).as("dm"))
+      val joined = nodes
+        .join(contrib, nodes("id") === col("cid"), "left")
         .crossJoin(broadcast(dangling))
-      val carried = Seq(ranks("id"), col("__dangling")) ++
-        reset.map(_ => col("reset")).toSeq
-      val next = ckpt(reset match {
-        case Some(_) =>
+      val next = ckpt(resetDf match {
+        case Some(rst) =>
           // pr' = (1-d)·reset + d·(contrib + dm·reset): teleport AND
           // dangling mass flow to the trusted distribution
-          joined.select(
-            carried :+
+          joined
+            .join(rst, Seq("id"))
+            .select(
+              col("id"),
               (lit(1.0 - damping) * col("reset") +
                 lit(damping) * (coalesce(col("c"), lit(0.0)) + col("dm") * col("reset")))
-                .as("pr"): _*
-          )
+                .as("pr")
+            )
         case None =>
           joined.select(
-            carried :+
-              (lit((1.0 - damping) / n) +
-                lit(damping) * (coalesce(col("c"), lit(0.0)) + col("dm") / lit(n.toDouble)))
-                .as("pr"): _*
+            nodes("id"),
+            (lit((1.0 - damping) / n) +
+              lit(damping) * (coalesce(col("c"), lit(0.0)) + col("dm") / lit(n.toDouble)))
+              .as("pr")
           )
       })
       // residual probe rides the two checkpointed frames (a filter +
@@ -297,11 +254,13 @@ object Graph {
       ranks = next
     }
     weighted.unpersist()
+    outNodes.unpersist()
+    resetDf.foreach(_.unpersist())
     if (tol.isDefined && !converged)
       throw new IllegalStateException(
         s"power iteration still above tol after $maxRounds rounds — raise maxRounds " +
           "(a partial fixpoint would silently misrank)")
-    (ranks.select(col("id"), col("pr")), round)
+    (ranks, round)
   }
 
   /** Harmonic centrality via HyperBall (Boldi & Vigna, "In-Core
@@ -387,17 +346,12 @@ object Graph {
   ): (DataFrame, Vector[(Int, Long)]) = {
     require(maxRadius >= 1, s"maxRadius must be >= 1, got $maxRadius")
     checkpointDir.foreach(nodes.sparkSession.sparkContext.setCheckpointDir)
-    // same r19 round-shape discipline as [[prRun]]: exact explicit-count
-    // partitionings on the cached edge frame and the per-round state
-    // checkpoint, SHUFFLE_HASH per-round joins — one exchange per radius
-    // (the gather re-group on `dst`) instead of three
     def ckpt(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) {
         df.persist()
         try df.checkpoint()
         finally df.unpersist()
-      } else
-        org.apache.spark.sql.graftbridge.ColumnBridge.localCheckpointKeepPartitioning(df)
+      } else df.localCheckpoint()
     def unpersistLocal(df: DataFrame): Unit =
       if (checkpointDir.isEmpty)
         org.apache.spark.sql.graftbridge.ColumnBridge.unpersistLocalCheckpoint(df)
@@ -405,18 +359,16 @@ object Graph {
     // pre-partitioned on `src` + cached for the same edge-side shuffle
     // reuse as [[pageRank]] (cached partitioning survives AQE;
     // checkpoint's does not — reliable arm checkpoints first)
-    val numParts = nodes.sparkSession.sessionState.conf.numShufflePartitions
     val eBase = edges.select(col("src"), col("dst"))
     val e = (if (checkpointDir.isDefined) ckpt(eBase) else eBase)
-      .repartition(numParts, col("src"))
+      .repartition(col("src"))
       .persist()
     var state = ckpt(
       nodes
         .groupBy(col("id"))
         .agg(hll_sketch_agg(col("id"), lgK).as("sk"))
         .withColumn("est", hll_sketch_estimate(col("sk")))
-        .withColumn("harmonic", lit(0.0))
-        .repartition(numParts, col("id")))
+        .withColumn("harmonic", lit(0.0)))
     def radiusSum(): Long =
       state.agg(sum(col("est"))).first().getLong(0)
     var radii = Vector.empty[(Int, Long)]
@@ -426,8 +378,7 @@ object Graph {
     while (grew && r < maxRadius) {
       r += 1
       val gathered = e
-        .join(state.select(col("id"), col("sk")).hint("SHUFFLE_HASH"),
-          e("src") === col("id"))
+        .join(state, e("src") === state("id"))
         .groupBy(e("dst").as("gid"))
         .agg(hll_union_agg(col("sk"), false).as("nbr"))
       // __prev (last round's est) stays in the checkpointed frame so the
@@ -436,7 +387,7 @@ object Graph {
       // 8 radii × a join the state already knew the answer to)
       val next = ckpt(
         state
-          .join(gathered.hint("SHUFFLE_HASH"), state("id") === col("gid"), "left")
+          .join(gathered, state("id") === col("gid"), "left")
           .select(
             state("id"),
             when(col("nbr").isNull, state("sk"))
@@ -517,17 +468,12 @@ object Graph {
   ): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     checkpointDir.foreach(nodes.sparkSession.sparkContext.setCheckpointDir)
-    // same r19 round-shape discipline as [[prRun]]: exact explicit-count
-    // partitionings + carried checkpoint partitioning + SHUFFLE_HASH
-    // joins — the label frame no longer re-exchanges per round; the two
-    // exchanges left are the vote aggregates (inherent re-groups)
     def ckpt(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) {
         df.persist()
         try df.checkpoint()
         finally df.unpersist()
-      } else
-        org.apache.spark.sql.graftbridge.ColumnBridge.localCheckpointKeepPartitioning(df)
+      } else df.localCheckpoint()
     def unpersistLocal(df: DataFrame): Unit =
       if (checkpointDir.isEmpty)
         org.apache.spark.sql.graftbridge.ColumnBridge.unpersistLocalCheckpoint(df)
@@ -539,18 +485,16 @@ object Graph {
       else dir
     // same edge-shuffle-once discipline as pageRank: cached partitioning
     // survives AQE, checkpointed partitioning does not
-    val numParts = nodes.sparkSession.sessionState.conf.numShufflePartitions
     val sym = (if (checkpointDir.isDefined) ckpt(symBase) else symBase)
-      .repartition(numParts, col("src"))
+      .repartition(col("src"))
       .persist()
 
-    var labels = ckpt(
-      nodes.select(col("id"), col("id").as("label")).repartition(numParts, col("id")))
+    var labels = ckpt(nodes.select(col("id"), col("id").as("label")))
     var r = 0
     while (r < rounds) {
       r += 1
       val votes = sym
-        .join(labels.hint("SHUFFLE_HASH"), sym("src") === labels("id"))
+        .join(labels, sym("src") === labels("id"))
         .groupBy(sym("dst").as("vid"), col("label"))
         .agg(count(lit(1)).as("cnt"))
       val best = votes
@@ -561,7 +505,7 @@ object Graph {
             .as("new_label"))
       val next = ckpt(
         labels
-          .join(best.hint("SHUFFLE_HASH"), labels("id") === col("vid"), "left")
+          .join(best, labels("id") === col("vid"), "left")
           .select(labels("id"), coalesce(col("new_label"), col("label")).as("label")))
       unpersistLocal(labels)
       labels = next
