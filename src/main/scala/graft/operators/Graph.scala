@@ -183,24 +183,42 @@ object Graph {
     val weighted = (if (checkpointDir.isDefined) ckpt(weightedBase) else weightedBase)
       .repartition(col("src"))
       .persist()
-    // out-edge-owning node ids, for the dangling anti-join (node-sized)
-    val outNodes = weighted.select(col("src").as("id")).distinct().persist()
-    // TrustRank arm: node-sized teleport distribution, cached once
-    val resetDf = reset.map(r =>
-      nodes
-        .join(r.select(col("id"), col("reset")), Seq("id"), "left")
-        .na.fill(0.0, Seq("reset"))
-        .persist())
+    // Per-node constants RIDE IN THE RANK FRAME (r19 optimization
+    // round): the dangling flag (no out-edges) and, for TrustRank, the
+    // teleport weight are joined ONCE here and then carried through
+    // every checkpointed round. The old shape re-derived both per
+    // round — a node-sized anti-join against the out-node set, the
+    // TrustRank reset join, and a `nodes` rescan to rebuild `next` —
+    // three per-round operators replaced by one boolean (+ one double
+    // for TrustRank) per node of checkpoint state. The dangling mass
+    // is now a scan-only aggregate over the checkpointed rank frame,
+    // and `next` chains off `ranks` instead of rescanning the node
+    // source. (The round shape itself — stock localCheckpoint, AQE
+    // coalescing, planner-chosen joins — is deliberately unchanged: a
+    // variant that additionally pinned explicit-count partitionings
+    // and SHUFFLE_HASH hints measured ~2x SLOWER at bench scale, see
+    // OPTIMIZATION_r19.md.)
+    val isDangling = coalesce(col("__has_out"), lit(false)) === false
+    val baseCols = Seq(col("id"), isDangling.as("__dangling")) ++
+      reset.map(_ => coalesce(col("reset"), lit(0.0)).as("reset")).toSeq
+    val outNodes = weighted
+      .select(col("src").as("id"), lit(true).as("__has_out"))
+      .distinct()
+    val withFlags = reset
+      .map(r => nodes.join(r.select(col("id"), col("reset")), Seq("id"), "left"))
+      .getOrElse(nodes)
+      .join(outNodes, Seq("id"), "left")
+      .select(baseCols: _*)
 
     var ranks = ckpt(init match {
       case Some(i0) =>
-        nodes
+        withFlags
           .join(i0.select(col("id"), col("pr")), Seq("id"), "left")
           .na.fill(1.0 / n, Seq("pr"))
       case None =>
-        resetDf match {
-          case Some(rst) => rst.select(col("id"), col("reset").as("pr"))
-          case None      => nodes.select(col("id"), lit(1.0 / n).as("pr"))
+        reset match {
+          case Some(_) => withFlags.withColumn("pr", col("reset"))
+          case None    => withFlags.withColumn("pr", lit(1.0 / n))
         }
     })
     var round = 0
@@ -208,35 +226,38 @@ object Graph {
     while (!converged && round < maxRounds) {
       round += 1
       val contrib = weighted
-        .join(ranks, weighted("src") === ranks("id"))
+        .join(ranks.select(col("id"), col("pr")), weighted("src") === col("id"))
         .groupBy(weighted("dst").as("cid"))
         .agg(sum((col("pr") / col("od")).cast(dec)).cast("double").as("c"))
-      // dangling mass: 1-row frame; coalesce covers the no-dangling case
+      // dangling mass: 1-row frame from a scan-only aggregate over the
+      // flagged rank frame; coalesce covers the no-dangling case
       // (empty sum is NULL)
       val dangling = ranks
-        .join(outNodes, Seq("id"), "left_anti")
-        .agg(coalesce(sum(col("pr").cast(dec)).cast("double"), lit(0.0)).as("dm"))
-      val joined = nodes
-        .join(contrib, nodes("id") === col("cid"), "left")
+        .agg(
+          coalesce(
+            sum(when(col("__dangling"), col("pr")).cast(dec)).cast("double"),
+            lit(0.0)).as("dm"))
+      val joined = ranks
+        .join(contrib, ranks("id") === col("cid"), "left")
         .crossJoin(broadcast(dangling))
-      val next = ckpt(resetDf match {
-        case Some(rst) =>
+      val carried = Seq(ranks("id"), col("__dangling")) ++
+        reset.map(_ => col("reset")).toSeq
+      val next = ckpt(reset match {
+        case Some(_) =>
           // pr' = (1-d)·reset + d·(contrib + dm·reset): teleport AND
           // dangling mass flow to the trusted distribution
-          joined
-            .join(rst, Seq("id"))
-            .select(
-              col("id"),
+          joined.select(
+            carried :+
               (lit(1.0 - damping) * col("reset") +
                 lit(damping) * (coalesce(col("c"), lit(0.0)) + col("dm") * col("reset")))
-                .as("pr")
-            )
+                .as("pr"): _*
+          )
         case None =>
           joined.select(
-            nodes("id"),
-            (lit((1.0 - damping) / n) +
-              lit(damping) * (coalesce(col("c"), lit(0.0)) + col("dm") / lit(n.toDouble)))
-              .as("pr")
+            carried :+
+              (lit((1.0 - damping) / n) +
+                lit(damping) * (coalesce(col("c"), lit(0.0)) + col("dm") / lit(n.toDouble)))
+                .as("pr"): _*
           )
       })
       // residual probe rides the two checkpointed frames (a filter +
@@ -254,13 +275,11 @@ object Graph {
       ranks = next
     }
     weighted.unpersist()
-    outNodes.unpersist()
-    resetDf.foreach(_.unpersist())
     if (tol.isDefined && !converged)
       throw new IllegalStateException(
         s"power iteration still above tol after $maxRounds rounds — raise maxRounds " +
           "(a partial fixpoint would silently misrank)")
-    (ranks, round)
+    (ranks.select(col("id"), col("pr")), round)
   }
 
   /** Harmonic centrality via HyperBall (Boldi & Vigna, "In-Core
