@@ -40,6 +40,24 @@ object Multimodal {
     StructField("brightness", DoubleType)
   ))
 
+  /** Spread a fixture ID frame across the session's cores before a
+    * per-row codec SYNTH kernel (r19 optimization round; guide §2.5's
+    * input-skew remedy). The testdata tables ship as ONE single-row-
+    * group parquet file, so without this every `withSynthetic*`
+    * generator — and the whole partition-local synth→decode chain built
+    * on top of it — ran on ONE core (measured: the gradient-PNG synth +
+    * aHash kernels cost 1.5 s single-threaded vs 0.15 s at 32 threads
+    * for the q_image_neardup fixture set; q_multimodal_decode fell
+    * 3.4 s → 0.7 s warm-solo from this change alone). The shuffle moves
+    * only the id rows — payloads do not exist yet, and everything
+    * downstream stays partition-local — so the cost is bounded by the
+    * id-frame width at ANY scale, unlike spreading the corpus tables
+    * themselves (measured and rejected: shuffling raw `documents` text
+    * regressed every text-kernel query; see OPTIMIZATION_r19.md).
+    */
+  private def spreadIds(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Wrap a binary column with its typed metadata struct. */
   def withMetadata(df: DataFrame, payloadCol: String, mediaType: String): DataFrame =
     df.withColumn(
@@ -314,7 +332,7 @@ object Multimodal {
     val idIdx = df.schema.fieldIndex(idCol)
     val phIdx = df.schema.fieldIndex(phaseCol)
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    df.mapPartitions { rows =>
+    spreadIds(df).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(idIdx) % 1000000L
         val payload = synthGradientPng(
@@ -340,7 +358,7 @@ object Multimodal {
     val outSchema = StructType(df.schema.fields :+ StructField("payload", BinaryType))
     val idIdx = df.schema.fieldIndex(idCol)
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    df.mapPartitions { rows =>
+    spreadIds(df).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(idIdx)
         val w = (16 + id % 40).toInt
@@ -596,6 +614,12 @@ object Multimodal {
     val outSchema = StructType(df.schema.fields :+ StructField("payload", BinaryType))
     val idIdx = df.schema.fieldIndex(idCol)
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    // deliberately NOT spreadIds (r19): the downstream consumer of this
+    // fixture is decodeAudio, whose AudioSystem.getAudioInputStream SPI
+    // lookup contends on a JDK-global lock — 32 threads measured 2.7x
+    // SLOWER than the single-partition run (2.45 s vs 0.92 s warm-solo
+    // q_multimodal_audio_decode). synthWav itself is pure ByteBuffer
+    // math, but spreading here would spread the contended decode too.
     df.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(idIdx)
@@ -770,7 +794,7 @@ object Multimodal {
     val outSchema = StructType(df.schema.fields :+ StructField("payload", BinaryType))
     val idIdx = df.schema.fieldIndex(idCol)
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    df.mapPartitions { rows =>
+    spreadIds(df).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(idIdx)
         val payload = synthAvi(
@@ -1045,7 +1069,7 @@ object Multimodal {
     val outSchema = StructType(df.schema.fields :+ StructField("payload", BinaryType))
     val idIdx = df.schema.fieldIndex(idCol)
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    df.mapPartitions { rows =>
+    spreadIds(df).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(idIdx)
         val payload = synthAviDib(
@@ -1197,7 +1221,7 @@ object Multimodal {
     val outSchema = StructType(df.schema.fields :+ StructField("payload", BinaryType))
     val idIdx = df.schema.fieldIndex(idCol)
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    df.mapPartitions { rows =>
+    spreadIds(df).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(idIdx)
         val payload = synthAviMjpeg(
