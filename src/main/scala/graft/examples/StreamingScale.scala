@@ -306,6 +306,11 @@ object StreamingScale {
         }
         println(f"#   per-batch wall by quartile: ${quarters.map(q => f"$q%.2f").mkString(" / ")} s; " +
           s"final store files corpus=${storeFiles(0)} bands=${storeFiles(1)}")
+        // SPARK_GRAFT_TRIG_DUMP=true: the full per-trigger wall list —
+        // outlier forensics (which batch spiked, not just the max)
+        if (sys.env.get("SPARK_GRAFT_TRIG_DUMP").contains("true"))
+          println("#   trigger walls s: " +
+            trig.map(t => f"${t / 1e3}%.1f").mkString(" "))
       }
     } finally dedupQ.stop()
     }

@@ -652,10 +652,37 @@ object Dedup {
       minhashCandidates(docs, idCol, textCol,
         maxBucketSize = maxBucketSize, hashFamily = hashFamily),
       docs, idCol, textCol, minJaccard = minJaccard)
-    val labels =
-      clusters(verified.select(col("doc1"), col("doc2")), "doc1", "doc2", maxIter, checkpointDir)
-    val losers = labels.filter(col("node") =!= col("label")).select(col("node").as(idCol))
-    docs.join(losers, Seq(idCol), "left_anti")
+    // Materialize the (candidate-bounded) verified pairs ONCE, then
+    // probe for the ZERO-PAIR case (r19 optimization round): the
+    // steady-state streaming trigger runs this within-batch pass on a
+    // batch that almost never self-duplicates, and the old shape paid
+    // the full label-propagation machinery — edge ckpt + label ckpt +
+    // at least one join-round + convergence probe, 4+ jobs — to
+    // propagate labels over an EMPTY pair set. Zero pairs ⇒ zero
+    // losers ⇒ docs pass through unchanged, bit-identically. The
+    // non-empty path is also no worse: [[clusters]] previously
+    // materialized this same chain into its edge frame (referencing it
+    // twice via the symmetrizing union); now the union reads the
+    // checkpointed rows instead of re-deriving the chain.
+    val pairs = verified.select(col("doc1"), col("doc2"))
+    val pairsM =
+      if (checkpointDir.isDefined) {
+        checkpointDir.foreach(docs.sparkSession.sparkContext.setCheckpointDir)
+        pairs.persist()
+        try pairs.checkpoint()
+        finally pairs.unpersist()
+      } else pairs.localCheckpoint()
+    if (pairsM.isEmpty) {
+      if (checkpointDir.isEmpty)
+        org.apache.spark.sql.graftbridge.ColumnBridge.unpersistLocalCheckpoint(pairsM)
+      docs
+    } else {
+      val labels = clusters(pairsM, "doc1", "doc2", maxIter, checkpointDir)
+      if (checkpointDir.isEmpty)
+        org.apache.spark.sql.graftbridge.ColumnBridge.unpersistLocalCheckpoint(pairsM)
+      val losers = labels.filter(col("node") =!= col("label")).select(col("node").as(idCol))
+      docs.join(losers, Seq(idCol), "left_anti")
+    }
   }
 
   /** [[dropNearDuplicates]] plus its coverage audit: `(kept,

@@ -85,6 +85,15 @@ object IncrementalDedup {
     */
   final case class BandTable(name: String, buckets: Int)
 
+  /** Cached store read-schemas (corpus, and bands unless bucketed):
+    * fixed for the life of a loop by the uniform-schema contract, so
+    * [[attach]] reads them once and every later trigger skips parquet
+    * schema inference (r19 per-trigger fixed-cost work).
+    */
+  final case class StoreSchemas(
+      corpus: org.apache.spark.sql.types.StructType,
+      bands: Option[org.apache.spark.sql.types.StructType])
+
   /** Write the initial (already-deduplicated) corpus and its UNCAPPED
     * band table, stamped with `ingest_batch = -1` so subsequent
     * [[ingestBatch]] appends keep a uniform schema. Band parameters are
@@ -99,7 +108,9 @@ object IncrementalDedup {
       textCol: String = "text",
       bandTable: Option[BandTable] = None
   ): Unit = {
-    clusterById(docs.select(col(idCol), col(textCol)).withColumn(BatchCol, lit(-1L)), idCol)
+    clusterById(
+      docs.select(col(idCol), col(textCol)).withColumn(BatchCol, lit(-1L)), idCol,
+      docs.sparkSession.sessionState.conf.numShufflePartitions)
       .write.mode("overwrite").parquet(corpusDir)
     val bands = Dedup.bandedSignatures(docs, idCol, textCol).withColumn(BatchCol, lit(-1L))
     bandTable match {
@@ -119,9 +130,22 @@ object IncrementalDedup {
     * the candidate-id `isin` fetch skip non-candidate files via parquet
     * min/max stats. An unclustered append (hash-partitioned survivors)
     * gives every file the full batch's id range and nothing ever skips.
+    *
+    * `parts` sizes the append's file fan-out from the already-counted
+    * survivor volume (r19): the old shape wrote one file per SHUFFLE
+    * partition per trigger regardless of batch size, so a 17-doc batch
+    * appended up to 8 near-empty files per store — the file-count
+    * growth term the compaction cadence exists to bound grew 8× faster
+    * than the data. One file per ~50k rows keeps small-batch appends at
+    * exactly one file while large backfill batches still fan out.
     */
-  private def clusterById(df: DataFrame, idCol: String): DataFrame =
-    df.repartitionByRange(col(idCol)).sortWithinPartitions(idCol)
+  private def clusterById(df: DataFrame, idCol: String, parts: Int): DataFrame =
+    df.repartitionByRange(parts, col(idCol)).sortWithinPartitions(idCol)
+
+  private def appendParts(spark: SparkSession, rows: Long): Int =
+    math.max(1L, math.min(
+      spark.sessionState.conf.numShufflePartitions.toLong,
+      rows / 50000L + 1L)).toInt
 
   private def hasBatch(df: DataFrame, b: Long): Boolean =
     df.columns.contains(BatchCol) && !df.filter(col(BatchCol) === lit(b)).isEmpty
@@ -156,17 +180,28 @@ object IncrementalDedup {
       batchId: Option[Long] = None,
       idPushdownCap: Int = 100000,
       bandTable: Option[BandTable] = None,
-      probeReplay: Boolean = true
+      probeReplay: Boolean = true,
+      storeSchemas: Option[StoreSchemas] = None
   ): Boolean = {
     // a crash inside a previous trigger's compaction can leave the live
     // directory set aside at <dir>.__compact_old — repair before reading
     // (two existence checks when healthy; see Lake.recoverCompact)
     graft.sources.Lake.recoverCompact(corpusDir)
     if (bandTable.isEmpty) graft.sources.Lake.recoverCompact(bandsDir)
-    val corpusRaw = spark.read.parquet(corpusDir)
+    // store schemas are FIXED for the life of a loop (the seed/append
+    // uniform-schema contract above), so [[attach]] caches them after
+    // the first trigger and every later read skips parquet schema
+    // inference — one fewer driver-side footer read per store per
+    // trigger (r19; part of the per-trigger fixed-cost attack)
+    val corpusRaw = storeSchemas.map(_.corpus)
+      .fold(spark.read.parquet(corpusDir))(s => spark.read.schema(s).parquet(corpusDir))
     // bucketed mode reads through the CATALOG — a path read would drop
     // the bucket spec and the join would re-shuffle the whole table
-    val bandsRaw = bandTable.fold(spark.read.parquet(bandsDir))(t => spark.table(t.name))
+    val bandsRaw = bandTable match {
+      case Some(t) => spark.table(t.name)
+      case None => storeSchemas.flatMap(_.bands)
+        .fold(spark.read.parquet(bandsDir))(s => spark.read.schema(s).parquet(bandsDir))
+    }
     // probeReplay = false skips both probe jobs — only safe when the
     // caller KNOWS the id is fresh (StoreGuard.ReplayProbe)
     val (doneBands, doneCorpus) = batchId match {
@@ -227,8 +262,16 @@ object IncrementalDedup {
     // match themselves)
     val nSurvivors = survivors.count()
     val stamp = (df: DataFrame) => batchId.fold(df)(b => df.withColumn(BatchCol, lit(b)))
-    if (!doneBands) {
+    // zero survivors ⇒ both appends would write empty part files that
+    // still count toward the store's file-growth term — skip them (a
+    // replay of an all-dup batch recomputes to the same no-op)
+    if (!doneBands && nSurvivors > 0) {
+      // band rows ≈ survivors × bands — size the fan-out like the
+      // corpus append instead of writing one near-empty file per
+      // shuffle partition per trigger
+      val bandParts = appendParts(spark, nSurvivors * 32)
       val newBands = stamp(Dedup.bandedSignatures(survivors, idCol, textCol))
+        .repartition(bandParts)
       bandTable match {
         case Some(BandTable(name, n)) =>
           // append with the SAME bucket spec: each batch adds one file
@@ -241,8 +284,9 @@ object IncrementalDedup {
           newBands.write.mode("append").parquet(bandsDir)
       }
     }
-    if (!doneCorpus)
-      clusterById(stamp(survivors), idCol).write.mode("append").parquet(corpusDir)
+    if (!doneCorpus && nSurvivors > 0)
+      clusterById(stamp(survivors), idCol, appendParts(spark, nSurvivors))
+        .write.mode("append").parquet(corpusDir)
     // loop-health ride-along: rows = survivors appended (the count is
     // already materialized above, so this costs nothing either way)
     RuntimeEventBus.ingested(corpusDir, batchId, nSurvivors)
@@ -304,15 +348,25 @@ object IncrementalDedup {
       else Seq(corpus)
     }
     val probe = new StoreGuard.ReplayProbe
+    // store schemas read ONCE at the first trigger (post-crash-repair)
+    // and reused for the life of the loop — see [[StoreSchemas]]
+    var schemas: Option[StoreSchemas] = None
     val writer = arriving.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         // install any finished background repack FIRST, before this
         // trigger reads the stores (loop thread — no append can race)
         cadences.foreach(_.finishPending(bid))
+        if (schemas.isEmpty) {
+          graft.sources.Lake.recoverCompact(corpusDir)
+          if (bandTable.isEmpty) graft.sources.Lake.recoverCompact(bandsDir)
+          schemas = Some(StoreSchemas(
+            spark.read.parquet(corpusDir).schema,
+            if (bandTable.isEmpty) Some(spark.read.parquet(bandsDir).schema) else None))
+        }
         if (ingestBatch(spark, batch, corpusDir, bandsDir, idCol, textCol,
             minJaccard, maxBucketSize, batchId = Some(bid), bandTable = bandTable,
-            probeReplay = probe.needed))
+            probeReplay = probe.needed, storeSchemas = schemas))
           probe.ingested()
         cadences.foreach(_.maybeCompact(bid))
       }
