@@ -122,11 +122,18 @@ object Bench {
     // values land in the JSON so the round capture needs no manual pass.
     // Skipped when REPEAT>1 (already steady-state) or under ONLY.
     val settleRepeat = sys.env.getOrElse("SPARK_GRAFT_SETTLE_REPEAT", "5").toInt
+    // Trigger lowered 1.5 → 1.3 (r19; the r18 verdict's ask): two rounds
+    // running, >1.3× movers (q_classifier_auc_trained 1.39×, then
+    // q_graph_harmonic 1.49×) sat just under the old trigger and never
+    // got a verdict while every stamped mover settled `interference`.
+    // Override: SPARK_GRAFT_SETTLE_TRIGGER.
+    val settleTrigger =
+      sys.env.getOrElse("SPARK_GRAFT_SETTLE_TRIGGER", "1.3").toDouble
     val settled: Seq[(String, Double, Double, Double)] =
       if (repeat > 1 || only.isDefined || settleRepeat <= 0) Seq.empty
       else ok.flatMap { case (name, inSuite) =>
         refQueries.get(name).collect {
-          case ref if ref > 0 && inSuite > 1.5 * ref =>
+          case ref if ref > 0 && inSuite > settleTrigger * ref =>
             val fn = SparkEntry.benchQueries(name)
             val times = (1 to settleRepeat).flatMap { _ =>
               val t0 = System.nanoTime()
@@ -167,13 +174,23 @@ object Bench {
     val failedJson = (failed ++ regressed.map(_ + ":regressed"))
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2).sum
+    // Settle-ADJUSTED total (r19, the r18 verdict's ask): in-suite
+    // totals have been interference-dominated two rounds running — the
+    // adjusted number replaces every `interference`-settled mover's
+    // in-suite time with its warm-solo minimum, i.e. the total the
+    // suite would have recorded without the ambient blips. Regressions
+    // are NOT adjusted (a real mover must stay visible).
+    val soloByName = settled.collect {
+      case (k, _, solo, ref) if verdict(solo, ref) == "interference" => k -> solo
+    }.toMap
+    val adjusted = ok.map { case (k, v) => soloByName.getOrElse(k, v) }.sum
     // stdout gets a SHORT summary line only: downstream captures keep a
     // bounded tail of stdout, and an 87-query map (~2 KB) overflows it.
     // The per-query detail goes to BENCH_LAST.json exclusively.
     val summary =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${ok.size},"settled":${settled.size},"failed":$failedJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"adjusted":$adjusted%.3f,"unit":"sec","n":${ok.size},"settled":${settled.size},"failed":$failedJson,"sf":"$sfDir"}"""
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"settled":$settledJson,"failed":$failedJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"adjusted":$adjusted%.3f,"unit":"sec","queries":$qs,"settled":$settledJson,"failed":$failedJson,"sf":"$sfDir"}"""
     realOut.println(summary)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(benchOut),
