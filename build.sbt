@@ -36,4 +36,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // Diagnostic passthrough (r20): extra -D/-XX flags for A/B experiments
+  // (e.g. SPARK_GRAFT_JAVA_OPTS="-Dspark.sql.codegen.wholeStage=false").
+  // Empty in normal runs — the bench contract is unchanged without it.
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))

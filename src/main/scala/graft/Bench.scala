@@ -63,15 +63,24 @@ object Bench {
       "SPARK_GRAFT_BENCH_OUT",
       java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_LAST.json").toString)
 
-    // Settle-pass reference: the PREVIOUS run's per-query seconds, read
-    // BEFORE this run overwrites the file (override: SPARK_GRAFT_BENCH_REF).
-    // Only comparable when the reference ran the same sf dir. Parsed with
-    // a regex — the file is our own single-line format, no JSON dep needed.
-    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", benchOut)
-    val refQueries: Map[String, Double] =
+    // Settle-pass reference: a prior run's per-query seconds AT THE SAME
+    // sf dir. Resolution order (r20 — the r19 driver run went
+    // referenceless because the last BENCH_LAST was an sf1 capture, so
+    // the one run that needed settling got settled:0):
+    //   1. SPARK_GRAFT_BENCH_REF (explicit override),
+    //   2. the per-sf BENCH_LAST_<sf>.json this main stamps on every run,
+    //   3. the legacy shared BENCH_LAST.json,
+    //   4. the COMMITTED per-sf reference BENCH_REF_<sf>.json (refreshed
+    //      each round) — the self-defending floor: whatever ran last,
+    //      a same-sf reference always exists.
+    // A candidate only qualifies if its "sf" field matches this run's.
+    // Parsed with a regex — our own single-line format, no JSON dep.
+    val sfName = new java.io.File(sfDir).getName
+    val repoDir = java.nio.file.Paths.get(benchOut).toAbsolutePath.getParent
+    def parseRef(path: String): Map[String, Double] =
       try {
         val txt = new String(
-          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(refPath)), "UTF-8")
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
         if (!txt.contains("\"sf\":\"" + sfDir + "\"")) Map.empty
         else {
           val from = txt.indexOf("\"queries\":")
@@ -91,6 +100,53 @@ object Bench {
           }
         }
       } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    val benchOutPerSf = repoDir.resolve(s"BENCH_LAST_$sfName.json").toString
+    val refQueries: Map[String, Double] =
+      (sys.env.get("SPARK_GRAFT_BENCH_REF").toSeq ++ Seq(
+        benchOutPerSf, benchOut,
+        repoDir.resolve(s"BENCH_REF_$sfName.json").toString))
+        .iterator.map(parseRef).find(_.nonEmpty).getOrElse(Map.empty)
+    // SPARK_GRAFT_DIAG=true: decompose each query's FIRST-run cost into
+    // task work vs driver/JVM overhead (guide §1 — measure before
+    // optimizing the suite's dominant term, the per-query first-run
+    // overhead). Pure measurement: the timed region is unchanged; the
+    // per-query deltas land in SPARK_GRAFT_DIAG_OUT
+    // (default /tmp/bench_diag.tsv), never on stdout.
+    val diag = sys.env.get("SPARK_GRAFT_DIAG").exists(v => v == "1" || v == "true")
+    val diagListener = if (diag) {
+      val l = new org.apache.spark.scheduler.SparkListener {
+        val jobs, stages, tasks, runMs, cpuNs, taskGcMs = new java.util.concurrent.atomic.AtomicLong
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+        override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          stages.incrementAndGet()
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          tasks.incrementAndGet()
+          val m = t.taskMetrics
+          if (m != null) {
+            runMs.addAndGet(m.executorRunTime)
+            cpuNs.addAndGet(m.executorCpuTime)
+            taskGcMs.addAndGet(m.jvmGCTime)
+          }
+        }
+        def reset(): Unit = Seq(jobs, stages, tasks, runMs, cpuNs, taskGcMs).foreach(_.set(0))
+      }
+      spark.sparkContext.addSparkListener(l)
+      Some(l)
+    } else None
+    val diagRows = scala.collection.mutable.ArrayBuffer.empty[String]
+    val jitBean = java.lang.management.ManagementFactory.getCompilationMXBean
+    def gcTotalMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime).sum
+    }
+    def cgCount: Long =
+      org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+    def cgSrcBytes: Long =
+      org.apache.spark.metrics.source.CodegenMetrics.METRIC_SOURCE_CODE_SIZE.getCount *
+        org.apache.spark.metrics.source.CodegenMetrics.METRIC_SOURCE_CODE_SIZE
+          .getSnapshot.getMean.toLong
     val selected = SparkEntry.benchQueries.toSeq
       .sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -98,6 +154,8 @@ object Bench {
       // A failed run must not win min() with its (fast) time-to-throw:
       // only successful runs are timed; a query with zero successes is
       // reported in "failed", not in "queries".
+      diagListener.foreach(_.reset())
+      val (jit0, gc0, cg0) = if (diag) (jitBean.getTotalCompilationTime, gcTotalMs, cgCount) else (0L, 0L, 0L)
       val times = (1 to repeat).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
@@ -108,7 +166,19 @@ object Bench {
             System.err.println(s"[bench] $name failed: $e"); None
         }
       }
+      diagListener.foreach { l =>
+        Thread.sleep(120) // listener bus drain — diag runs are not timing truth
+        diagRows += f"$name\t${times.minOption.getOrElse(-1.0)}%.3f\t${l.jobs.get}\t${l.stages.get}\t${l.tasks.get}\t${l.runMs.get}\t${l.cpuNs.get / 1000000}\t${l.taskGcMs.get}\t${jitBean.getTotalCompilationTime - jit0}\t${gcTotalMs - gc0}\t${cgCount - cg0}"
+      }
       name -> times.minOption
+    }
+    if (diag) {
+      val out = sys.env.getOrElse("SPARK_GRAFT_DIAG_OUT", "/tmp/bench_diag.tsv")
+      val header = "query\twall_s\tjobs\tstages\ttasks\ttask_run_ms\ttask_cpu_ms\ttask_gc_ms\tjit_ms\tgc_ms\tcg_units"
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(out),
+        (header +: diagRows).mkString("", "\n", "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] diag written to $out (cg source bytes ~ $cgSrcBytes)")
     }
     val ok = results.collect { case (k, Some(v)) => k -> v }
     val failed = results.collect { case (k, None) => k }
@@ -152,9 +222,12 @@ object Bench {
     // when the warm-solo minimum lands at-or-below the reference
     // (suite neighbors — GC, codegen cache — caused the in-suite blip),
     // "regression" when even solo stays above it. Tolerance 1.15×: the
-    // warm-solo min still jitters a few percent run-to-run, while a
-    // genuine plan regression — the thing this must catch — shows up at
-    // ≥1.5× (the trigger criterion). A regression verdict is a FAILURE:
+    // warm-solo min still jitters a few percent run-to-run; movers whose
+    // solo lands in (1.15×, settleTrigger×] of the reference get a hard
+    // regression verdict — at the 1.3 default that band is narrow, and a
+    // genuine plan regression typically sits well above it (r19 ADVICE:
+    // this comment used to claim such movers can't occur; they can, and
+    // flagging them loudly is the point). A regression verdict is a FAILURE:
     // the query joins "failed" in both JSON lines so a real mover can
     // never hide in prose again.
     def verdict(solo: Double, ref: Double): String =
@@ -192,12 +265,18 @@ object Bench {
     val full =
       f"""{"metric":"total","value":$total%.3f,"adjusted":$adjusted%.3f,"unit":"sec","queries":$qs,"settled":$settledJson,"failed":$failedJson,"sf":"$sfDir"}"""
     realOut.println(summary)
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(benchOut),
-      (full + "\n").getBytes("UTF-8"))
-    catch {
-      case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[bench] file write failed: $e")
+    // two copies: the legacy shared path (external consumers) AND the
+    // per-sf stamp — so a later run at a DIFFERENT sf can neither
+    // destroy this run's per-query evidence nor leave the next same-sf
+    // run referenceless (r19 VERDICT #1)
+    Seq(benchOut, benchOutPerSf).foreach { p =>
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(p),
+        (full + "\n").getBytes("UTF-8"))
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] file write failed ($p): $e")
+      }
     }
     spark.stop()
   }
