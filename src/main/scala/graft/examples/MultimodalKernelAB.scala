@@ -61,5 +61,27 @@ object MultimodalKernelAB {
     parallel("synth")(i => synthOne(i.toLong))
     parallel("aHash")(i => Multimodal.aHash(payloads(i)))
     parallel("decodeImage")(i => Multimodal.decodeImage(payloads(i)))
+
+    // audio kernels (r20): decodeAudio was SPI-lock-bound before the
+    // once-per-JVM AudioFileReader resolution (r19 measured 32 threads
+    // 2.7× SLOWER than one) — this section is the thread-scaling proof
+    // for the fix (the withSyntheticAudio fixture parameters, verbatim)
+    def synthWavOne(i: Long): Array[Byte] = {
+      val id = i % 1000000L
+      Multimodal.synthWav(
+        sampleRate = (8000 + (id % 8) * 1000).toInt,
+        channels = (1 + id % 2).toInt,
+        frames = (256 + id % 256).toInt,
+        amplitude = ((id % 1000) * 16).toInt)
+    }
+    (0 until 200).foreach(i => Multimodal.decodeAudio(synthWavOne(i.toLong)))
+    val wavs = timed(s"synthWav x$n single-thread") {
+      Array.tabulate(n)(i => synthWavOne(i.toLong))
+    }
+    timed(s"decodeAudio x$n single-thread") {
+      wavs.foreach(Multimodal.decodeAudio(_))
+    }
+    parallel("synthWav")(i => synthWavOne(i.toLong))
+    parallel("decodeAudio")(i => Multimodal.decodeAudio(wavs(i)))
   }
 }

@@ -540,15 +540,57 @@ object Multimodal {
         lit(null).cast("long").as("n_frames")))
   }
 
+  /** `AudioSystem.getAudioInputStream`'s provider lookup goes through
+    * `JDK13Services.getProviders` — a class-global SYNCHRONIZED method
+    * that builds a fresh ServiceLoader on EVERY call, so 32 decode
+    * threads serialize on one JVM lock (r19 measured the spread audio
+    * fixture 2.7× SLOWER than single-partition because of it). Resolve
+    * the `AudioFileReader` providers ONCE per JVM and iterate them
+    * exactly the way `AudioSystem` does — first reader that does not
+    * throw `UnsupportedAudioFileException` wins — so the per-row decode
+    * is lock-free with identical semantics (r20; unlocks spreading the
+    * audio fixture like every other codec fixture).
+    */
+  private lazy val audioFileReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    val loaded = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator().asScala.toSeq
+    // WAV-capable readers FIRST (relative order preserved within each
+    // group): the JDK's provider order puts SoftMidiAudioFileReader
+    // ahead of WaveFileReader, and its per-call MIDI probe goes through
+    // MidiSystem's own JDK13Services lookup — the SAME global lock —
+    // plus a thrown UnsupportedAudioFileException per non-MIDI payload.
+    // Reordering cannot change which reader WINS for any payload: the
+    // container magics (RIFF / FORM / .snd / MThd) are mutually
+    // exclusive, so at most one reader group ever accepts a given
+    // stream (measured: provider-chain decode 0.14 s/5k single-thread
+    // and 0.23 s at 32 threads vs 0.023 s flat for the wave reader
+    // alone).
+    val (wave, rest) = loaded.partition(_.getClass.getName.contains("Wave"))
+    wave ++ rest
+  }
+
+  private def audioInputStream(
+      in: java.io.InputStream): javax.sound.sampled.AudioInputStream = {
+    audioFileReaders.foreach { r =>
+      try return r.getAudioInputStream(in)
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "Stream of unsupported format")
+  }
+
   /** REAL audio decode via the JDK's sampled-audio API: parse the
-    * stream with `javax.sound.sampled.AudioSystem`, pull the PCM16
+    * stream with the JDK's `AudioFileReader` SPI (resolved once — see
+    * [[audioFileReaders]]), pull the PCM16
     * frames, and compute peak amplitude and RMS (both in int16 units —
     * sqrt of an exact integer mean, so constant-amplitude fixtures
     * round-trip exactly). Returns None for undecodable bytes.
     */
   def decodeAudio(payload: Array[Byte]): Option[(Int, Int, Int, Long, Double, Double)] = {
     try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      val ais = audioInputStream(
         new java.io.ByteArrayInputStream(payload))
       try {
         val fmt = ais.getFormat
@@ -614,13 +656,13 @@ object Multimodal {
     val outSchema = StructType(df.schema.fields :+ StructField("payload", BinaryType))
     val idIdx = df.schema.fieldIndex(idCol)
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    // deliberately NOT spreadIds (r19): the downstream consumer of this
-    // fixture is decodeAudio, whose AudioSystem.getAudioInputStream SPI
-    // lookup contends on a JDK-global lock — 32 threads measured 2.7x
-    // SLOWER than the single-partition run (2.45 s vs 0.92 s warm-solo
-    // q_multimodal_audio_decode). synthWav itself is pure ByteBuffer
-    // math, but spreading here would spread the contended decode too.
-    df.mapPartitions { rows =>
+    // spreadIds like every other codec fixture (r20): the r19 reason to
+    // stay single-partition — AudioSystem.getAudioInputStream's
+    // per-call SPI lookup serializing 32 decode threads on a JDK-global
+    // lock (2.45 s vs 0.92 s warm-solo q_multimodal_audio_decode) — is
+    // gone now that decodeAudio resolves the AudioFileReader providers
+    // once per JVM ([[audioFileReaders]]).
+    spreadIds(df).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(idIdx)
         val payload = synthWav(

@@ -1152,7 +1152,13 @@ object PipelineQueries extends QueryPack {
         org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.BinaryType)))
       val enc = org.apache.spark.sql.Encoders.row(outSchema)
-      val wavs = withTwins.mapPartitions { rows =>
+      // spread the id frame before the synth kernel (r20): the docs
+      // table is one unsplittable row group, so this inline generator —
+      // missed by the r19 withSynthetic* spread — ran the whole
+      // synthWavRamp + fingerprint chain on ONE core; only (id, shift)
+      // rows shuffle, payloads are born downstream
+      val spread = withTwins.repartition(s.sparkContext.defaultParallelism)
+      val wavs = spread.mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0) % 1000000L
           // prime periods (1999, 97) → joint profile period ~194k ids:
