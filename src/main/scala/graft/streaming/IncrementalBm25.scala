@@ -73,12 +73,21 @@ object IncrementalBm25 {
         return false
       case _ => ()
     }
+    // Materialize once, size the append fan-out from the known row
+    // count (one file per ~50k tf rows — StoreGuard.appendParts; r20,
+    // the r19 dedup-loop discipline): the tf agg otherwise inherits
+    // shuffle partitioning and appends one near-empty file per shuffle
+    // partition per trigger. The count also feeds the loop-health event
+    // without a second tokenize pass.
     val tf = tfOf(batch, idCol, textCol)
       .withColumn(BatchCol, lit(batchId.getOrElse(-1L)))
-    tf.write.mode("append").parquet(storeDir)
-    // rows = (doc, term) tf rows appended; the count re-runs the
-    // batch-sized tokenize only when a bus sink is registered
-    RuntimeEventBus.ingested(storeDir, batchId, tf.count())
+      .persist()
+    val nRows = tf.count()
+    if (nRows > 0)
+      tf.coalesce(StoreGuard.appendParts(spark, nRows))
+        .write.mode("append").parquet(storeDir)
+    RuntimeEventBus.ingested(storeDir, batchId, nRows)
+    tf.unpersist()
     true
   }
 

@@ -143,9 +143,7 @@ object IncrementalDedup {
     df.repartitionByRange(parts, col(idCol)).sortWithinPartitions(idCol)
 
   private def appendParts(spark: SparkSession, rows: Long): Int =
-    math.max(1L, math.min(
-      spark.sessionState.conf.numShufflePartitions.toLong,
-      rows / 50000L + 1L)).toInt
+    StoreGuard.appendParts(spark, rows)
 
   private def hasBatch(df: DataFrame, b: Long): Boolean =
     df.columns.contains(BatchCol) && !df.filter(col(BatchCol) === lit(b)).isEmpty
@@ -266,22 +264,31 @@ object IncrementalDedup {
     // still count toward the store's file-growth term — skip them (a
     // replay of an all-dup batch recomputes to the same no-op)
     if (!doneBands && nSurvivors > 0) {
-      // band rows ≈ survivors × bands — size the fan-out like the
-      // corpus append instead of writing one near-empty file per
-      // shuffle partition per trigger
-      val bandParts = appendParts(spark, nSurvivors * 32)
+      // band rows ≈ survivors × bands (bandedSignatures runs with its
+      // defaults here, so DefaultBands is the actual multiplier — the
+      // old ×32 estimate fanned large backfill appends into ~8× more
+      // files than the 50k-row target; r19 ADVICE). Size the fan-out
+      // like the corpus append instead of writing one near-empty file
+      // per shuffle partition per trigger.
+      val bandParts = appendParts(spark, nSurvivors * Dedup.DefaultBands)
       val newBands = stamp(Dedup.bandedSignatures(survivors, idCol, textCol))
-        .repartition(bandParts)
       bandTable match {
         case Some(BandTable(name, n)) =>
           // append with the SAME bucket spec: each batch adds one file
           // set per bucket; the bucketed scan unions a bucket's files,
-          // so the exchange-free join property survives every append
-          newBands.write.mode("append")
+          // so the exchange-free join property survives every append.
+          // Repartition BY THE BUCKET COLUMNS (not round-robin): each
+          // bucket's rows then concentrate in one task, so the append
+          // emits at most one file per bucket actually present — a
+          // round-robin spread would emit up to bandParts × n files
+          // per batch (r19 ADVICE).
+          newBands.repartition(bandParts, col("band_idx"), col("band_hash"))
+            .write.mode("append")
             .bucketBy(n, "band_idx", "band_hash")
             .saveAsTable(name)
         case None =>
-          newBands.write.mode("append").parquet(bandsDir)
+          newBands.repartition(bandParts)
+            .write.mode("append").parquet(bandsDir)
       }
     }
     if (!doneCorpus && nSurvivors > 0)

@@ -73,11 +73,20 @@ object IncrementalManifest {
         return false
       case _ => ()
     }
+    // Materialize once and size the append fan-out from the known row
+    // count (≤ nShards per batch by construction — StoreGuard.appendParts
+    // keeps a micro-batch's manifest rows in one file instead of one
+    // near-empty file per post-shuffle partition; r20). The count also
+    // feeds the loop-health event without re-running the manifest agg.
     val rows = Lake.shardManifest(batch, idCol, contentCols, nShards, seed, tokenCol, family)
       .withColumn(BatchCol, lit(batchId.getOrElse(-1L)))
-    rows.write.mode("append").parquet(storeDir)
-    // rows ≤ nShards per batch by construction
-    RuntimeEventBus.ingested(storeDir, batchId, rows.count())
+      .persist()
+    val nRows = rows.count()
+    if (nRows > 0)
+      rows.coalesce(StoreGuard.appendParts(spark, nRows))
+        .write.mode("append").parquet(storeDir)
+    RuntimeEventBus.ingested(storeDir, batchId, nRows)
+    rows.unpersist()
     true
   }
 

@@ -166,7 +166,17 @@ object IncrementalScd2 {
       .filter(!(attrs <=> col("__prev")))
       .select(cols: _*)
 
-    val stamped = changes.withColumn(BatchCol, lit(batchId.getOrElse(-1L)))
+    // Materialize the change rows ONCE before either append (r20): the
+    // change plan READS the open store, and the head append MODIFIES
+    // it — an unpinned second append would re-execute the whole
+    // window+join chain (2× the per-trigger compute) against a store
+    // the first append just changed (correct only while Spark's cached
+    // file-index snapshot holds — the same hazard the dedup loop
+    // pins against). The count doubles as the append fan-out size and
+    // the loop-health rows figure, and it sees the PRE-append state by
+    // construction.
+    val stamped = changes.withColumn(BatchCol, lit(batchId.getOrElse(-1L))).persist()
+    val nChanges = stamped.count()
     // ordering is load-bearing: head append first, version-log append
     // second (the COMMIT point the replay check reads), head fold LAST.
     // A crash between the appends leaves stamped head rows that the
@@ -174,18 +184,22 @@ object IncrementalScd2 {
     // duplicates carry identical payloads, so the fold's latest-per-key
     // collapse is unaffected. The fold never destroys pre-batch state
     // until the batch is committed in the version log.
-    // loop-health COUNT before the appends (the count re-executes the
-    // change plan, which reads the open store — it must see the
-    // PRE-append state or the number drifts), but the success EVENT
-    // publishes only AFTER both appends commit: a failed append must not
-    // leave a success=true batch.ingested for a batch that never landed
-    // (r17 ADVICE). Guarded by hasSinks so an unobserved loop skips the
-    // extra pass entirely.
-    val nChanges = if (RuntimeEventBus.hasSinks) Some(stamped.count()) else None
-    stamped.write.mode("append").parquet(openDir(storeDir))
-    stamped.write.mode("append").parquet(storeDir)
-    nChanges.foreach(n => RuntimeEventBus.ingested(storeDir, batchId, n))
-    foldOpen(spark, storeDir, keyCols, tsCol, attrCols, tieBreak)
+    // Zero-change batches skip the appends AND the fold outright (r20,
+    // the dedup loop's zero-survivor discipline): an empty append still
+    // grows both stores' file counts, and a replay of an all-unchanged
+    // batch recomputes to the same no-op. The success EVENT publishes
+    // only AFTER both appends commit: a failed append must not leave a
+    // success=true batch.ingested for a batch that never landed
+    // (r17 ADVICE).
+    if (nChanges > 0) {
+      val out = stamped.coalesce(StoreGuard.appendParts(spark, nChanges))
+      out.write.mode("append").parquet(openDir(storeDir))
+      out.write.mode("append").parquet(storeDir)
+    }
+    RuntimeEventBus.ingested(storeDir, batchId, nChanges)
+    stamped.unpersist()
+    if (nChanges > 0)
+      foldOpen(spark, storeDir, keyCols, tsCol, attrCols, tieBreak)
     true
   }
 

@@ -70,11 +70,21 @@ object IncrementalSketches {
         return false
       case _ => ()
     }
+    // Materialize once and size the append fan-out from the known row
+    // count (StoreGuard.appendParts — shard rows are KB-scale, so a
+    // micro-batch lands in exactly one file instead of one near-empty
+    // file per post-shuffle partition; r20). The count also feeds the
+    // loop-health event without re-running the sketch aggregate.
     val rows = Sketches
       .hllShardSketches(batch, shardCols, valueCol, lgK)
       .withColumn(BatchCol, lit(batchId.getOrElse(-1L)))
-    rows.write.mode("append").parquet(storeDir)
-    RuntimeEventBus.ingested(storeDir, batchId, rows.count())
+      .persist()
+    val nRows = rows.count()
+    if (nRows > 0)
+      rows.coalesce(StoreGuard.appendParts(spark, nRows))
+        .write.mode("append").parquet(storeDir)
+    RuntimeEventBus.ingested(storeDir, batchId, nRows)
+    rows.unpersist()
     true
   }
 
@@ -126,10 +136,16 @@ object IncrementalSketches {
         return false
       case _ => ()
     }
-    Sketches
+    // same sized-fan-out discipline as [[ingestBatch]] (r20)
+    val rows = Sketches
       .kllShardSketches(batch, shardCols, valueCol, k)
       .withColumn(BatchCol, lit(batchId.getOrElse(-1L)))
-      .write.mode("append").parquet(storeDir)
+      .persist()
+    val nRows = rows.count()
+    if (nRows > 0)
+      rows.coalesce(StoreGuard.appendParts(spark, nRows))
+        .write.mode("append").parquet(storeDir)
+    rows.unpersist()
     true
   }
 

@@ -25,6 +25,20 @@ import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession}
   */
 private[streaming] object StoreGuard {
 
+  /** Size an append's file fan-out from an already-known row count:
+    * one file per ~50k rows, capped at the shuffle-partition count —
+    * a micro-batch append lands in exactly one file while backfill
+    * batches still fan out (the r19 dedup-loop fix, shared by every
+    * store loop; r20 rolls it to the rest). Without this, every store
+    * whose append inherits shuffle partitioning grows one NEAR-EMPTY
+    * file per shuffle partition per trigger — file count outruns data
+    * volume and every later store read goes footer-bound.
+    */
+  def appendParts(spark: SparkSession, rows: Long): Int =
+    math.max(1L, math.min(
+      spark.sessionState.conf.numShufflePartitions.toLong,
+      rows / 50000L + 1L)).toInt
+
   /** The store dir as a DataFrame, or None iff the store genuinely
     * does not exist yet (absent path / no committed parquet files).
     * Transient or structural read errors propagate.
