@@ -135,6 +135,22 @@ object Bench {
       Some(l)
     } else None
     val diagRows = scala.collection.mutable.ArrayBuffer.empty[String]
+    // Catalyst phase decomposition (r20): per-executed-query analysis /
+    // optimization / physical-planning driver time, summed per bench
+    // query via a QueryExecutionListener. Diag-only — the listener is
+    // not registered in timed runs.
+    val phaseMs = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]
+    def phaseGet(k: String): Long = Option(phaseMs.get(k)).map(_.get).getOrElse(0L)
+    if (diag) spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        qe.tracker.phases.foreach { case (phase, summary) =>
+          phaseMs.computeIfAbsent(phase, _ => new java.util.concurrent.atomic.AtomicLong)
+            .addAndGet(summary.durationMs)
+        }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    })
     val jitBean = java.lang.management.ManagementFactory.getCompilationMXBean
     def gcTotalMs: Long = {
       import scala.jdk.CollectionConverters._
@@ -156,6 +172,9 @@ object Bench {
       // reported in "failed", not in "queries".
       diagListener.foreach(_.reset())
       val (jit0, gc0, cg0) = if (diag) (jitBean.getTotalCompilationTime, gcTotalMs, cgCount) else (0L, 0L, 0L)
+      val (an0, op0, pl0) =
+        if (diag) (phaseGet("analysis"), phaseGet("optimization"), phaseGet("planning"))
+        else (0L, 0L, 0L)
       val times = (1 to repeat).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
@@ -168,13 +187,13 @@ object Bench {
       }
       diagListener.foreach { l =>
         Thread.sleep(120) // listener bus drain — diag runs are not timing truth
-        diagRows += f"$name\t${times.minOption.getOrElse(-1.0)}%.3f\t${l.jobs.get}\t${l.stages.get}\t${l.tasks.get}\t${l.runMs.get}\t${l.cpuNs.get / 1000000}\t${l.taskGcMs.get}\t${jitBean.getTotalCompilationTime - jit0}\t${gcTotalMs - gc0}\t${cgCount - cg0}"
+        diagRows += f"$name\t${times.minOption.getOrElse(-1.0)}%.3f\t${l.jobs.get}\t${l.stages.get}\t${l.tasks.get}\t${l.runMs.get}\t${l.cpuNs.get / 1000000}\t${l.taskGcMs.get}\t${jitBean.getTotalCompilationTime - jit0}\t${gcTotalMs - gc0}\t${cgCount - cg0}\t${phaseGet("analysis") - an0}\t${phaseGet("optimization") - op0}\t${phaseGet("planning") - pl0}"
       }
       name -> times.minOption
     }
     if (diag) {
       val out = sys.env.getOrElse("SPARK_GRAFT_DIAG_OUT", "/tmp/bench_diag.tsv")
-      val header = "query\twall_s\tjobs\tstages\ttasks\ttask_run_ms\ttask_cpu_ms\ttask_gc_ms\tjit_ms\tgc_ms\tcg_units"
+      val header = "query\twall_s\tjobs\tstages\ttasks\ttask_run_ms\ttask_cpu_ms\ttask_gc_ms\tjit_ms\tgc_ms\tcg_units\tanalysis_ms\toptimization_ms\tplanning_ms"
       java.nio.file.Files.write(
         java.nio.file.Paths.get(out),
         (header +: diagRows).mkString("", "\n", "\n").getBytes("UTF-8"))

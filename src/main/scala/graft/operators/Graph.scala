@@ -396,6 +396,16 @@ object Graph {
     var grew = true
     while (grew && r < maxRadius) {
       r += 1
+      // NOTE (r20, measured + rejected): folding the join-back into the
+      // gather aggregate (union self rows with edge contributions, one
+      // per-id hll_union_agg — jobs/radius 7→4, wall −15 %) PERTURBS the
+      // estimates: DataSketches union results are not byte-canonical
+      // across merge groupings, so intermediate `est` values drift
+      // ~0.1 % and `harmonic` (the sum of per-radius deltas) moves on
+      // ~300/5000 nodes at sf0.1. `ball`/`eff_diameter` stayed
+      // identical, but these are declared queries — the join-back stays
+      // so the byte-passthrough (`when(nbr isNull, state.sk)`) keeps
+      // outputs bit-identical. Evidence: OPTIMIZATION_r20.md HyperBall.
       val gathered = e
         .join(state, e("src") === state("id"))
         .groupBy(e("dst").as("gid"))
@@ -422,11 +432,22 @@ object Graph {
               greatest(col("est") - col("__prev"), lit(0L)).cast("double") / lit(r)))
       // convergence probe rides the checkpointed frame: est is monotone
       // non-decreasing up to estimator jitter, so "no ball grew" ends
-      // the walk at the graph's effective diameter
-      grew = !next.filter(col("est") > col("__prev")).isEmpty
+      // the walk at the graph's effective diameter. When the caller
+      // needs per-radius reach too, BOTH numbers come from one scan-only
+      // aggregate (one probe job per radius, not two).
+      if (collectRadii) {
+        val probe = next
+          .agg(
+            sum(col("est")).as("reach"),
+            count(when(col("est") > col("__prev"), lit(1))).as("grew"))
+          .head()
+        grew = probe.getLong(1) > 0
+        if (grew) radii :+= (r -> probe.getLong(0))
+      } else {
+        grew = !next.filter(col("est") > col("__prev")).isEmpty
+      }
       unpersistLocal(state)
       state = next.drop("__prev")
-      if (collectRadii && grew) radii :+= (r -> radiusSum())
     }
     e.unpersist()
     (state.select(col("id"), col("est").as("ball"), col("harmonic")), radii)

@@ -116,7 +116,12 @@ class ModelSampleGuardSpec extends SparkSpec {
       "examples/ProductionPipeline.scala" -> 3,
       // limit(pairs·2·17)-bounded batch material for the paired probe
       // A/B — a measurement harness input, never an operator plan
-      "examples/ProbeTailAB.scala" -> 1
+      "examples/ProbeTailAB.scala" -> 1,
+      // A/B equality-proof dumper: toJSON.collect() of named BENCH
+      // query outputs (top-k / per-radius / per-group frames, all
+      // driver-sized by the queries' own bounds), written to files for
+      // diffing — a measurement harness, never an operator plan (r20)
+      "examples/DumpBench.scala" -> 1
     )
     val root = java.nio.file.Paths.get("src/main/scala/graft")
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
