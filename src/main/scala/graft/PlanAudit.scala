@@ -56,6 +56,22 @@ object PlanAudit {
     val bytesRead = new AtomicLong(0)
     val memSpilled = new AtomicLong(0)
     val diskSpilled = new AtomicLong(0)
+    // True process-level read bytes (r19/r20 carry: NIO-read local
+    // parquet bypasses Hadoop's FileSystem.Statistics, so
+    // inputMetrics.bytesRead reads ~0 here). local[n] runs driver and
+    // executors in ONE process, so /proc/self/io rchar deltas are the
+    // ground truth for "how many bytes did this query actually read" —
+    // including every duplicated-scan re-read. Includes shuffle-file
+    // and spill re-reads too (an upper bound on scan bytes, and exactly
+    // the number a scan-duplication audit wants to see multiply).
+    def procRchar(): Long =
+      try {
+        val src = scala.io.Source.fromFile("/proc/self/io")
+        try src.getLines().collectFirst {
+          case l if l.startsWith("rchar:") => l.stripPrefix("rchar:").trim.toLong
+        }.getOrElse(-1L)
+        finally src.close()
+      } catch { case scala.util.control.NonFatal(_) => -1L }
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
         if (t.taskMetrics != null) {
@@ -80,7 +96,7 @@ object PlanAudit {
       else all.map(n => n -> (try staticScans(n) catch { case _: Throwable => -1 }))
         .filter(_._2 >= threshold).map(_._1)
 
-    println(f"${"query"}%-28s ${"static"}%6s ${"final"}%6s ${"reused"}%6s ${"inputMB"}%8s ${"spillMB"}%8s ${"sec"}%7s")
+    println(f"${"query"}%-28s ${"static"}%6s ${"final"}%6s ${"reused"}%6s ${"inputMB"}%8s ${"ioMB"}%8s ${"spillMB"}%8s ${"sec"}%7s")
     targets.foreach { name =>
       try {
         val df = SparkEntry.benchQueries(name)(spark, sfDir)
@@ -96,11 +112,13 @@ object PlanAudit {
         // ADVICE), and the SAME QueryExecution then renders with its
         // runtime-reused stages visible. At sf1000 scale the former
         // two-execution shape doubled a 17-minute query.
+        val io0 = procRchar()
         val t0 = System.nanoTime()
         qe.toRdd.foreach(_ => ())
         val sec = (System.nanoTime() - t0) / 1e9
         // a listener race can trail the action by a beat
         Thread.sleep(200)
+        val ioMb = if (io0 < 0) -1.0 else (procRchar() - io0) / 1e6
         val mb = bytesRead.get() / 1e6
         val spillMb = diskSpilled.get() / 1e6
         val fin = qe.executedPlan.toString
@@ -111,7 +129,7 @@ object PlanAudit {
           (qe.explainString(
             org.apache.spark.sql.execution.FormattedMode) + "\n\n===== FINAL =====\n" + fin)
             .getBytes("UTF-8"))
-        println(f"$name%-28s $stat%6d $finScans%6d $reused%6d $mb%8.1f $spillMb%8.1f $sec%7.2f" +
+        println(f"$name%-28s $stat%6d $finScans%6d $reused%6d $mb%8.1f $ioMb%8.1f $spillMb%8.1f $sec%7.2f" +
           (if (memSpilled.get() > 0) f"  (mem-spill ${memSpilled.get() / 1e6}%.0f MB)" else ""))
       } catch {
         case e: Throwable =>

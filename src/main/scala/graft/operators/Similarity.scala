@@ -732,8 +732,16 @@ object Similarity {
         .withColumnRenamed(idCol, "query_id")
         .withColumnRenamed(vecCol, "qvec")
     }
+    // broadcast the QUERY side explicitly (guide §3.1): it is
+    // O(|queries| · nprobe) rows by construction — the serve-shape
+    // invariant — while the corpus side grows with n. Left to size
+    // estimates, the planner at bench scale builds on the CORPUS side
+    // (1 MB < threshold, r20 PlanAudit), and at 100 TB the estimate
+    // flips the join to a sort-merge that shuffles every corpus row by
+    // cell; the hint pins the only shape that is right at every scale:
+    // corpus scanned once, never shuffled, never broadcast.
     val scored = corpusCells
-      .join(queryCells, Seq("cell"))
+      .join(broadcast(queryCells), Seq("cell"))
       .filter(col("query_id") =!= col(idCol))
       .select(
         col("query_id"),
