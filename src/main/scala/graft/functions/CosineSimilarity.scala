@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -17,12 +17,19 @@ import org.apache.spark.sql.types._
   * accumulation order and double promotion, so results are bit-identical
   * to the composite — the ANN oracles hold unchanged.
   *
-  * Interpreted eval only (`CodegenFallback`): the loop is already tight
-  * JVM code; codegen would inline the same loop.
+  * Codegen emits the SAME fused loop inline (r20): this expression sits
+  * in candidate-pair projections evaluated n²/nlist times, and a
+  * CodegenFallback there is not "the same loop" — inside a whole-stage
+  * span a fallback eval forces the join output to materialize as an
+  * UnsafeRow (copying BOTH embedding arrays per pair) and boxes the
+  * returned double. The generated loop is arithmetic-identical
+  * (same accumulation order, same float→double promotion,
+  * java.lang.Math.sqrt both paths), so results stay bit-identical to
+  * the interpreted form — CosineSimilaritySpec pins generated vs
+  * interpreted equality.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression
-    with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
@@ -61,6 +68,33 @@ case class CosineSimilarity(left: Expression, right: Expression)
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val getX = if (leftFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getY = if (rightFloat) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |double $na = 0.0;
+         |double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $x = $getX;
+         |  final double $y = $getY;
+         |  $dot += $x * $y;
+         |  $na += $x * $x;
+         |  $nb += $y * $y;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression,

@@ -25,6 +25,36 @@ class CosineExprSpec extends SparkSpec {
     assert(both.count() > 400)
   }
 
+  test("generated code matches the interpreted loop bit-for-bit (r20 doGenCode)") {
+    // the r20 doGenCode must reproduce nullSafeEval's arithmetic exactly:
+    // same accumulation order, same float→double promotion, Math.sqrt.
+    // The reference below IS that loop, run driver-side on the collected
+    // arrays; Double.compare catches any -0.0/NaN drift == would mask.
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val pairs = emb.alias("a")
+      .join(emb.alias("b"), col("b.vec_id") === col("a.vec_id") + 7)
+      .select(
+        col("a.embedding").as("ea"),
+        col("b.embedding").as("eb"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+    val rows = pairs.collect()
+    assert(rows.length > 400)
+    rows.foreach { r =>
+      val a = r.getSeq[Float](0)
+      val b = r.getSeq[Float](1)
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val ref = dot / (math.sqrt(na) * math.sqrt(nb))
+      assert(java.lang.Double.compare(ref, r.getDouble(2)) == 0)
+    }
+  }
+
   test("registered cosine_sim is usable from SQL") {
     graft.functions.CosineSimilarity.register(spark)
     Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
