@@ -961,6 +961,15 @@ object Similarity {
     *   shuffles and the candidate volume is |batch| · |cell| instead of
     *   n · |cell| — the difference between a bounded pass and the
     *   corpus-quadratic self-mining sweep at a pinned nlist.
+    * @param pairShards self-mining pair-join salt width (ignored on the
+    *   bounded-batch path). None (default): defaultParallelism — right
+    *   whenever nlist is small/pinned, where the cell join's distinct
+    *   keys cap the n²/nlist scoring at nlist tasks and one hot cell
+    *   tail-dominates (r20 sf10: load ≈1 for tens of minutes). Pass
+    *   Some(1) to disable when nlist ≥ cores (the nlist ∝ n cadence):
+    *   pairing is already parallel there and the ×S corpus replication
+    *   is pure overhead (measured: q_hard_negatives_scaled ×0.77 at
+    *   sf1 with auto-salt on).
     */
   def hardNegatives(
       df: DataFrame,
@@ -970,7 +979,8 @@ object Similarity {
       centroids: DataFrame,
       k: Int,
       assignPlanes: Option[Int] = None,
-      queryFilter: Option[Column] = None
+      queryFilter: Option[Column] = None,
+      pairShards: Option[Int] = None
   ): DataFrame = {
     val slim = df.select(col(idCol), col(vecCol), col(labelCol))
     val cells = assignPlanes match {
@@ -988,8 +998,37 @@ object Similarity {
     val e = cells.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("__evec"),
       col(labelCol).as("neighbor_label"), col("cell"))
-    val scored = q
-      .join(e, Seq("cell"))
+    // Self-mining pairing is SALTED (guide §2.5; r20): the join key has
+    // only nlist distinct values, so the pair-scoring stage — the
+    // n²/nlist cosine work pipelined after the join — runs on at most
+    // nlist tasks (the r20 sf10 run sat at load ≈1 on ONE skewed cell
+    // for tens of minutes). The query side takes a deterministic shard
+    // pmod(xxhash64(id), S); the corpus side replicates ×S, so every
+    // (q, e) pair appears exactly once and results are identical while
+    // the pairing runs on nlist·S partitions. S = defaultParallelism:
+    // scale-adaptive, and the ×S corpus replication shuffles only
+    // n·S rows of (id, vec, label, cell) — O(n·cores), noise next to
+    // the n²/nlist pair volume it parallelizes. The bounded-batch path
+    // broadcasts the batch instead and needs none of this (the corpus
+    // never shuffles there). The repartition PINS the shard count:
+    // AQE coalesces shuffle-read partitions by READ bytes (~MBs of
+    // vectors each), blind to the ×|cell| pair fan-out AFTER the join
+    // — left to itself it merges the shards right back (measured at
+    // sf1: 16.1 s coalesced vs 14.5 s pinned vs 18.6 s unsalted).
+    val shards =
+      if (queryFilter.isDefined) 1
+      else pairShards.getOrElse(df.sparkSession.sparkContext.defaultParallelism)
+    val scored = (if (shards <= 1) q.join(e, Seq("cell"))
+                  else {
+                    val qS = q.withColumn(
+                      "__shard", pmod(xxhash64(col("query_id")), lit(shards.toLong)))
+                      .repartition(shards, col("cell"), col("__shard"))
+                    val eS = e.withColumn(
+                      "__shard",
+                      explode(sequence(lit(0L), lit(shards.toLong - 1))))
+                      .repartition(shards, col("cell"), col("__shard"))
+                    qS.join(eS, Seq("cell", "__shard")).drop("__shard")
+                  })
       .filter(col("query_label") =!= col("neighbor_label"))
       .select(
         col("query_id"), col("query_label"),

@@ -1358,8 +1358,11 @@ object PipelineQueries extends QueryPack {
           col("vec_id").cast("int").as("centroid_id"),
           col("embedding").as("centroid_vec"))
       Similarity
+        // pairShards=1: nlist ∝ n means the cell join already spreads
+        // the pairing over ≥ cores tasks — auto-salt's ×S corpus
+        // replication measured ×0.77 here (r20, hardNegatives scaladoc)
         .hardNegatives(emb, "vec_id", "embedding", "label", centroids, k = 3,
-          assignPlanes = Some(planes))
+          assignPlanes = Some(planes), pairShards = Some(1))
         .select(
           col("query_id"), col("query_label"),
           col("neighbor_id"), col("neighbor_label"), col("cos"), col("rank"))
